@@ -1,0 +1,64 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from defimap_data_pipelines_spark.session import get_spark  # noqa: E402
+from defimap_data_pipelines_spark.plans.queries import QUERIES  # noqa: E402
+
+# Headline set: domain window analytics + generic OLAP + LLM-data ops.
+BENCH_QUERIES = [
+    "gotk",
+    "total_return",
+    "tvl",
+    "trailing_return",
+    "return_1y",
+    "interpolate_linear",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unknown layout; still bench it
+    spark = get_spark("bench")
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    timings: dict[str, float] = {}
+    # one warmup pass on the smallest query to absorb JVM/session startup
+    QUERIES[names[0]](spark, sf_dir).count()
+    for n in names:
+        t0 = time.perf_counter()
+        df = QUERIES[n](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[n] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Text expression helpers for the documents table.
+
+All built-in Spark SQL functions (JVM, codegen). Patterns are kept to
+portable regex subsets (character classes, +) so a DuckDB oracle can run
+the same expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small stopword sets per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny and deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+    "it": ["il", "la", "gli", "e", "un", "una", "che", "di"],
+}
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WS_PATTERN = r"\s+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, trim, collapse internal whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), WS_PATTERN, " ")
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def ws_token_count(col: Column) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of alpha-runs + digit-runs + single punctuation marks — a
+    cheap proxy for BPE token count."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.try_divide(n_punct.cast("double"), F.length(col).cast("double"))
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """How many tokens of ``col`` are in ``words`` (normalized)."""
+    toks = ws_tokens(col)
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+
+def stopword_ratio(col: Column, words: list[str] | None = None) -> Column:
+    words = words or STOPWORDS["en"]
+    toks = ws_tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.try_divide(hits.cast("double"), F.size(toks).cast("double"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    (The reference has no fingerprinting; this is the exact-dedup key.)
+    """
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of normalized text, as array<string>.
+
+    Built from sequence+transform over the token array — stays JVM-side.
+    Documents shorter than n words yield a single shingle of all tokens.
+    """
+    toks = ws_tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of normalized text."""
+    s = normalize_text(col)
+    k = F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), k)
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))

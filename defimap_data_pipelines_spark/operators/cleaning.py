@@ -1,0 +1,61 @@
+"""Cleaning operators for the bronze -> silver hop
+(aave_extract.py:679-694).
+
+- fillna_zero: df[["aave_apy","liquidity_index"]].fillna(0.0)
+  (aave_extract.py:685,691)
+- interpolate_linear: pandas df.interpolate(method="linear",
+  limit_direction="forward") (aave_extract.py:686-694), re-expressed as
+  pure window functions so it runs distributed with no Python in the
+  loop:
+
+    prev value/index  = last(x ignorenulls)  over preceding rows
+    next value/index  = first(x ignorenulls) over following rows
+    interior gap      -> prev + (next-prev) * (i-pi)/(ni-pi)
+    trailing NULLs    -> prev (pandas linear interpolate forward-fills
+                          past the last valid observation)
+    leading NULLs     -> stay NULL (limit_direction="forward")
+
+Windows partition by ``name`` (per-strategy series, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fillna_zero(df: DataFrame, cols: list[str]) -> DataFrame:
+    return df.fillna(0.0, subset=cols)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    cols: list[str],
+    partition_col: str = "name",
+    order_col: str = "date",
+) -> DataFrame:
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    wprev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    df = df.withColumn("_idx", F.row_number().over(w))
+    for c in cols:
+        prev_v = F.last(c, ignorenulls=True).over(wprev)
+        prev_i = F.last(
+            F.when(F.col(c).isNotNull(), F.col("_idx")), ignorenulls=True
+        ).over(wprev)
+        next_v = F.first(c, ignorenulls=True).over(wnext)
+        next_i = F.first(
+            F.when(F.col(c).isNotNull(), F.col("_idx")), ignorenulls=True
+        ).over(wnext)
+        interp = prev_v + (next_v - prev_v) * (
+            (F.col("_idx") - prev_i) / (next_i - prev_i)
+        ).cast("double")
+        df = df.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(prev_v.isNull(), F.lit(None))
+            .when(next_v.isNull(), prev_v)
+            .otherwise(interp),
+        )
+    return df.drop("_idx")

@@ -1,0 +1,214 @@
+"""Risk metrics (aave_transform.py:348-521), computed natively with
+Spark aggregates/windows instead of driver-side pandas/numpy.
+
+Per strategy (``name``), over the GOTK of the last year
+(get_gotk_query(ds-365, ds) — aave_transform.py:446):
+
+- sd: sample stdev of daily percent_change * sqrt(365)
+  (statistics.stdev == stddev_samp; aave_transform.py:349-353)
+- annual_return: (mean_daily + 1)**365 - 1 (aave_transform.py:355-358;
+  note the exponent is the nominal day_period even when fewer rows)
+- sharpe: annual_return / sd (aave_transform.py:360-361)
+- alpha/beta/r_square: OLS y~x vs the benchmark series
+  (np.polyfit(x, y, 1) + manual residual R², aave_transform.py:363-382).
+  np.polyfit's least-squares line is computed here in closed form from
+  moment sums; R² uses the reference's residual formula (not corr²) so
+  degenerate inputs behave identically. The reference aligns the two
+  series positionally after tail(n) (SURVEY.md J2); since both are daily
+  grids the real key is the date, so we join on date — the semantic
+  translation called out in the survey.
+- max_drawdown: relative drawdown mm (the reference's naming quirk —
+  the absolute dollar drawdown is computed then DISCARDED by the caller,
+  aave_transform.py:403,458-464), peak/valley dates, duration in days.
+  Cumulative returns are quantized to integer micro-units so running
+  max/argmin are exact integer comparisons (deterministic tie-breaks:
+  first date, matching pandas idxmin/idxmax first-occurrence).
+
+All windows partition by ``name``: strategies parallelize, window state
+stays small (SURVEY.md §2.5 scale note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.config import QUANT_SCALE
+
+
+def _tail(df: DataFrame, n: int) -> DataFrame:
+    """pandas .tail(n) per name: last n rows by date."""
+    w = Window.partitionBy("name").orderBy(F.col("date").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def sd_annualized(gotk: DataFrame, day_period: int = 365) -> DataFrame:
+    return (
+        _tail(gotk, day_period)
+        .groupBy("name")
+        .agg((F.stddev_samp("percent_change") * F.sqrt(F.lit(365.0))).alias("sd"))
+    )
+
+
+def annual_return(gotk: DataFrame, day_period: int = 365) -> DataFrame:
+    return (
+        _tail(gotk, day_period)
+        .groupBy("name")
+        .agg(
+            (
+                F.pow(F.avg("percent_change") + 1, F.lit(float(day_period))) - 1
+            ).alias("annual_return")
+        )
+    )
+
+
+def ols_alpha_beta_r2(
+    gotk: DataFrame, benchmark: DataFrame, day_period: int = 365
+) -> DataFrame:
+    """OLS of strategy pc (y) on benchmark pc (x), joined by date."""
+    y = _tail(gotk, day_period).select(
+        "name", "date", F.col("percent_change").alias("y")
+    )
+    xb = benchmark
+    if "name" not in xb.columns:
+        xb = xb.withColumn("name", F.lit("_benchmark"))
+    x = _tail(xb, day_period).select("date", F.col("percent_change").alias("x"))
+    joined = y.join(F.broadcast(x), "date")
+    m = joined.groupBy("name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    alpha = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    # SSres = sum((y - (alpha + beta x))^2), expanded to moment sums
+    ss_res = (
+        F.col("syy")
+        + F.col("n") * alpha * alpha
+        + beta * beta * F.col("sxx")
+        - 2 * alpha * F.col("sy")
+        - 2 * beta * F.col("sxy")
+        + 2 * alpha * beta * F.col("sx")
+    )
+    ss_tot = F.col("syy") - F.col("n") * (F.col("sy") / F.col("n")) * (
+        F.col("sy") / F.col("n")
+    )
+    return m.select(
+        "name",
+        alpha.alias("alpha"),
+        beta.alias("beta"),
+        (1 - ss_res / ss_tot).alias("r_square"),
+    )
+
+
+def max_drawdown(gotk: DataFrame, day_period: int = 365) -> DataFrame:
+    """Relative max drawdown + peak/valley dates + duration, per name."""
+    w = Window.partitionBy("name").orderBy("date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("name")
+
+    df = _tail(gotk, day_period).select(
+        "name",
+        "date",
+        "end_day_investment",
+        (F.col("end_day_investment") - F.col("start_day_investment")).alias("ret"),
+    )
+    rq = F.round(F.col("ret") * float(QUANT_SCALE)).cast("long")
+    df = df.select("name", "date", "end_day_investment", rq.alias("rq"))
+    df = df.withColumn("cum", F.sum("rq").over(wcum))
+    df = df.withColumn("runmax", F.max("cum").over(wcum))
+    df = df.withColumn("dd", F.col("cum") - F.col("runmax"))
+    df = df.withColumn("min_dd", F.min("dd").over(wall))
+    df = df.withColumn(
+        "valley_date",
+        F.min(F.when(F.col("dd") == F.col("min_dd"), F.col("date"))).over(wall),
+    )
+    df = df.withColumn(
+        "max_cum_pre_valley",
+        F.max(
+            F.when(F.col("date") <= F.col("valley_date"), F.col("cum"))
+        ).over(wall),
+    )
+    df = df.withColumn(
+        "peak_date",
+        F.min(
+            F.when(
+                (F.col("date") <= F.col("valley_date"))
+                & (F.col("cum") == F.col("max_cum_pre_valley")),
+                F.col("date"),
+            )
+        ).over(wall),
+    )
+    df = df.withColumn(
+        "edi_at_peak",
+        F.min(
+            F.when(F.col("date") == F.col("peak_date"), F.col("end_day_investment"))
+        ).over(wall),
+    )
+    return (
+        df.groupBy("name")
+        .agg(
+            F.first("min_dd").alias("min_dd"),
+            F.first("peak_date").alias("peak_date"),
+            F.first("valley_date").alias("valley_date"),
+            F.first("edi_at_peak").alias("edi_at_peak"),
+        )
+        .select(
+            "name",
+            (
+                (F.col("min_dd") / float(QUANT_SCALE)) / F.col("edi_at_peak")
+            ).alias("max_drawdown"),
+            "peak_date",
+            "valley_date",
+            F.datediff(F.col("valley_date"), F.col("peak_date"))
+            .cast("long")
+            .alias("duration"),
+        )
+    )
+
+
+def risk_metrics(
+    gotk: DataFrame,
+    benchmark: DataFrame,
+    return_1y: DataFrame,
+    ds: str,
+    day_period: int = 365,
+) -> DataFrame:
+    """Assemble the pre_risk row per strategy (aave_transform.py:466-479).
+
+    ``return_1y`` is a (name, return_1y) frame from the compounded-return
+    query with its ytd fallback (see pipelines.transform).
+    """
+    sd = sd_annualized(gotk, day_period)
+    ar = annual_return(gotk, day_period)
+    reg = ols_alpha_beta_r2(gotk, benchmark, day_period)
+    dd = max_drawdown(gotk, day_period)
+    out = (
+        sd.join(ar, "name")
+        .join(reg, "name")
+        .join(dd, "name")
+        .join(return_1y, "name", "left")
+    )
+    return out.select(
+        F.lit(ds).cast("date").alias("date"),
+        "name",
+        "sd",
+        "return_1y",
+        (F.col("annual_return") / F.col("sd")).alias("sharpe"),
+        "alpha",
+        "beta",
+        "r_square",
+        "max_drawdown",
+        "peak_date",
+        "valley_date",
+        "duration",
+    )

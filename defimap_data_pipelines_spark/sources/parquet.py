@@ -1,0 +1,47 @@
+"""Parquet/lakehouse readers.
+
+Replaces the reference's storage tiers (SURVEY.md §1.1): per-day GCS CSVs
+(bronze, aave_extract.py:662-667) and BigQuery table-per-strategy (silver,
+aave_extract.py:699) become partitioned parquet tables; the `name`
+partition column replaces table-per-strategy so partition pruning does
+what manual table selection did.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table from a scale-factor directory.
+
+    Supports both the driver's single-file layout (``{name}.parquet``)
+    and a partitioned-directory layout (``{name}/``).
+    """
+    single = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.parquet(single if os.path.exists(single) else os.path.join(sf_dir, name))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view for the spark.sql front-end."""
+    for n, df in read_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
