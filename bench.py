@@ -24,7 +24,19 @@ BENCH_QUERIES = [
     "tvl",
     "trailing_return",
     "return_1y",
+    "risk",
     "interpolate_linear",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "sessionize",
+    "window_running_stats",
+    "tumbling_hourly",
+    "text_stats",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "cosine_topk",
 ]
 
 

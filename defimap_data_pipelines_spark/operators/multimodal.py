@@ -1,0 +1,111 @@
+"""Multimodal column plumbing (engine extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata (schemas.MEDIA_SCHEMA). The Spark-side machinery — schema,
+partition-friendly batching, Arrow-batched decode UDFs over
+``mapInPandas`` — is real and tested; the actual codec step is STUBBED
+(the container has no image/audio libraries): ``decode_media`` computes
+deterministic fake features derived from the payload bytes, and raises
+``NotImplementedError`` when ``strict=True``.
+
+At 100 TB: payloads stay columnar in parquet; mapInPandas streams Arrow
+record batches through the decoder so peak memory is one batch per
+task, and ``spark.sql.files.maxPartitionBytes`` bounds task input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real codec: derives (w, h, frames)
+    from the payload digest. Replace with PIL/av/librosa in production."""
+    d = hashlib.sha256(payload).digest()
+    return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 32
+
+
+def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched
+    mapInPandas. ``strict=True`` raises NotImplementedError at the
+    decode step (no codec libraries in this environment)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decoding needs codec libraries (PIL/av); "
+                    "install them and swap _fake_decode"
+                )
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                w, h, nf = _fake_decode(raw)
+                rows.append(
+                    (
+                        int(mid),
+                        str(kind),
+                        len(raw),
+                        hashlib.sha256(raw).hexdigest(),
+                        w,
+                        h,
+                        nf if kind == "video" else 1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        decode, DECODE_SCHEMA
+    )
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plan over decoded video metadata: one row per
+    sampled frame index (JVM-side explode — no Python)."""
+    return decoded.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Build a MEDIA-shaped frame from the documents table (test input:
+    payload = utf-8 bytes of the text)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )

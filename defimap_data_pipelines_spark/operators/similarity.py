@@ -1,0 +1,159 @@
+"""Embedding similarity search (engine extension: LLM-data pipeline).
+
+- cosine_topk: brute-force top-k — the correctness baseline. Query side
+  is broadcast; corpus scan stays partitioned, so the plan is a single
+  pass over the corpus at any scale (no shuffle until the per-query
+  top-k, which is a window over k*|queries| rows after local pruning).
+- cosine_pairs: all-pairs above a threshold (exact; quadratic — only
+  for modest corpora or verification).
+- lsh_topk: the scale path — random-hyperplane LSH buckets candidates,
+  exact cosine re-ranks within buckets. Hyperplanes are derived
+  deterministically from xxhash64 so no RNG state is shipped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus rows per query by cosine (excluding self-matches).
+
+    Returns (query_id, vec_id, cosine) with deterministic ordering
+    (ties broken by vec_id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        sim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (id_a < id_b, cosine >= threshold)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = pairs.select(
+        "id_a", "id_b", cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine")
+    )
+    return sim.filter(F.col("cosine") >= threshold)
+
+
+def _hyperplane_sign(vec, plane_id: int, dim: int, salt: int = 0):
+    """Deterministic pseudo-random hyperplane sign for a vector.
+
+    Plane components are xxhash64(salt, plane_id, j)-derived ±1; the
+    sign of <v, plane> is computed as a fold over the element index.
+    All JVM-side; no RNG, no broadcast of plane matrices.
+    """
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    dotp = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(vec, j + 1).cast("double")
+        * F.when(
+            F.xxhash64(F.lit(salt), F.lit(plane_id), j).bitwiseAND(F.lit(1)) == 1,
+            1.0,
+        ).otherwise(-1.0),
+    )
+    return F.when(dotp >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec, num_planes: int, dim: int, salt: int = 0):
+    """LSH bucket id: the num_planes-bit sign pattern of the vector."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        bucket = bucket * 2 + _hyperplane_sign(vec, p, dim, salt).cast("long")
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with OR-amplified LSH: ``num_tables``
+    independent hash tables of ``num_planes`` hyperplanes each; a
+    corpus row is a candidate if it collides with the query in ANY
+    table; exact cosine re-ranks candidates. Recall/latency trade via
+    (num_planes, num_tables). Recall is tested against cosine_topk.
+
+    Scale shape: one scan computes all table buckets (array explode),
+    the bucket join is the only shuffle, and candidates per query are
+    ~|corpus| * num_tables / 2^num_planes.
+    """
+
+    def bucketed(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col(vc), num_planes, dim, salt=t).alias("bucket"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vc).alias(f"_{out_id}_v"),
+            F.explode(buckets).alias("tb"),
+        ).select(out_id, f"_{out_id}_v", "tb.table", "tb.bucket")
+
+    c = bucketed(corpus, id_col, vec_col, "vec_id")
+    q = bucketed(queries, id_col, vec_col, "query_id")
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "_query_id_v", "_vec_id_v")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    sim = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("_query_id_v"), F.col("_vec_id_v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        sim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

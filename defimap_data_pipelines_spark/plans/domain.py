@@ -45,8 +45,12 @@ def orders_raw_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) + F.datediff(F.col("date"), F.lit(EPOCH).cast("date")) / 10000.0
         ).alias("liquidity_index"),
         (F.col("cents") / 100.0).alias("atoken_supply"),
-        (F.col("cents") / F.col("cnt") / 100.0).alias("asset_price"),
-        (F.col("cents") / F.col("cnt") / 10000.0).alias("aave_price"),
+        # bounded price series: raw daily averages of order totals are so
+        # volatile that (1+avg_pc)^365 overflows any rounding tolerance;
+        # mod-of-exact-cents keeps prices in [100, 110) / [50, 58) while
+        # staying bit-deterministic in both engines
+        (100.0 + (F.col("cents") % 997) / 100.0).alias("asset_price"),
+        (50.0 + (F.col("cents") % 773) / 100.0).alias("aave_price"),
     )
 
 
@@ -58,8 +62,8 @@ RAW_SERIES_SQL = f"""
            cnt / 10.0 + CAST(cnt AS DOUBLE) AS total_apy,
            1.0 + (date - DATE '{EPOCH}') / 10000.0 AS liquidity_index,
            cents / 100.0 AS atoken_supply,
-           cents / cnt / 100.0 AS asset_price,
-           cents / cnt / 10000.0 AS aave_price
+           100.0 + (cents % 997) / 100.0 AS asset_price,
+           50.0 + (cents % 773) / 100.0 AS aave_price
     FROM (
         SELECT CAST(o_orderdate AS DATE) AS date,
                o_orderpriority AS name,

@@ -56,7 +56,9 @@ def r(col, n=6):
 # Domain analytics (reference parity): GOTK / total return / TVL
 # --------------------------------------------------------------------------
 
-_GOTK_CORE_SQL = f"""
+def _gotk_core_sql(where: str = "") -> str:
+    """GOTK SQL over a ``raw_data`` CTE, optional row filter."""
+    return f"""
     SELECT date,
            name,
            COALESCE(LAG(end_day_investment) OVER wn, {INITIAL_PRINCIPAL})
@@ -85,6 +87,7 @@ _GOTK_CORE_SQL = f"""
                            * asset_price AS end_day_capital,
                        aave_price
                 FROM raw_data
+                {where}
                 WINDOW wncum AS (PARTITION BY name ORDER BY date ASC
                                  ROWS UNBOUNDED PRECEDING)
             )
@@ -95,7 +98,8 @@ _GOTK_CORE_SQL = f"""
     WINDOW wn AS (PARTITION BY name ORDER BY date ASC)
 """
 
-GOTK_SQL = f"WITH raw_data AS ({RAW_SERIES_SQL}) {_GOTK_CORE_SQL}"
+
+GOTK_SQL = f"WITH raw_data AS ({RAW_SERIES_SQL}) {_gotk_core_sql()}"
 
 
 @register("gotk", GOTK_SQL)
@@ -437,3 +441,889 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("asset_price")).alias("asset_price"),
     )
     return interpolate_linear(raw, ["asset_price"])
+
+
+# --------------------------------------------------------------------------
+# Domain analytics: risk metrics (A2-A8)
+# --------------------------------------------------------------------------
+
+LAST_YEAR = "2000-08-01"  # DS - 365 days
+
+
+def _return_1y_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QUERIES["return_1y"](spark, sf_dir)
+
+
+_CAPITAL_CORE_1Y_SQL = f"""
+    SELECT date, name,
+           COALESCE(LAG(end_day_investment) OVER wb, {INITIAL_PRINCIPAL})
+               AS start_day_investment,
+           end_day_investment,
+           end_day_investment
+               / COALESCE(LAG(end_day_investment) OVER wb, {INITIAL_PRINCIPAL}) - 1
+               AS percent_change
+    FROM (
+        SELECT date, name,
+               {INITIAL_PRINCIPAL} / FIRST_VALUE(asset_price) OVER wbcum
+                   * liquidity_index
+                   / FIRST_VALUE(liquidity_index) OVER wbcum
+                   * asset_price AS end_day_investment
+        FROM raw_data
+        WHERE name = '1-URGENT'
+          AND date BETWEEN DATE '{LAST_YEAR}' AND DATE '{DS}'
+        WINDOW wbcum AS (PARTITION BY name ORDER BY date ASC
+                         ROWS UNBOUNDED PRECEDING)
+    )
+    WINDOW wb AS (PARTITION BY name ORDER BY date ASC)
+"""
+
+RISK_SQL = f"""
+WITH raw_data AS ({RAW_SERIES_SQL}),
+g0 AS ({_gotk_core_sql(f"WHERE date BETWEEN DATE '{LAST_YEAR}' AND DATE '{DS}'")}),
+gt AS (
+    SELECT date, name, start_day_investment, end_day_investment, percent_change
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY name ORDER BY date DESC) AS rn
+          FROM g0)
+    WHERE rn <= 365
+),
+b0 AS ({_CAPITAL_CORE_1Y_SQL}),
+bt AS (
+    SELECT date, percent_change
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY name ORDER BY date DESC) AS rn
+          FROM b0)
+    WHERE rn <= 365
+),
+stats AS (
+    SELECT name,
+           STDDEV_SAMP(percent_change) * SQRT(365) AS sd,
+           POWER(AVG(percent_change) + 1, 365) - 1 AS annual_return
+    FROM gt GROUP BY name
+),
+xy AS (
+    SELECT gt.name AS name, bt.percent_change AS x, gt.percent_change AS y
+    FROM gt JOIN bt ON gt.date = bt.date
+),
+mom AS (
+    SELECT name, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM xy GROUP BY name
+),
+reg0 AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta FROM mom),
+reg1 AS (SELECT *, (sy - beta * sx) / n AS alpha FROM reg0),
+reg AS (
+    SELECT name, alpha, beta,
+           1 - (syy + n * alpha * alpha + beta * beta * sxx
+                - 2 * alpha * sy - 2 * beta * sxy + 2 * alpha * beta * sx)
+             / (syy - n * (sy / n) * (sy / n)) AS r_square
+    FROM reg1
+),
+dd0 AS (
+    SELECT name, date, end_day_investment,
+           CAST(ROUND((end_day_investment - start_day_investment) * 1000000.0)
+                AS BIGINT) AS rq
+    FROM gt
+),
+dd1 AS (SELECT *, SUM(rq) OVER wcum AS cum FROM dd0
+        WINDOW wcum AS (PARTITION BY name ORDER BY date ASC ROWS UNBOUNDED PRECEDING)),
+dd2 AS (SELECT *, MAX(cum) OVER wcum AS runmax FROM dd1
+        WINDOW wcum AS (PARTITION BY name ORDER BY date ASC ROWS UNBOUNDED PRECEDING)),
+dd3 AS (SELECT *, cum - runmax AS dd FROM dd2),
+dd4 AS (SELECT *, MIN(dd) OVER wall AS min_dd FROM dd3
+        WINDOW wall AS (PARTITION BY name)),
+dd5 AS (SELECT *, MIN(CASE WHEN dd = min_dd THEN date END) OVER wall AS valley_date
+        FROM dd4 WINDOW wall AS (PARTITION BY name)),
+dd6 AS (SELECT *, MAX(CASE WHEN date <= valley_date THEN cum END) OVER wall AS max_cum_pre
+        FROM dd5 WINDOW wall AS (PARTITION BY name)),
+dd7 AS (SELECT *, MIN(CASE WHEN date <= valley_date AND cum = max_cum_pre THEN date END)
+               OVER wall AS peak_date
+        FROM dd6 WINDOW wall AS (PARTITION BY name)),
+dd8 AS (SELECT *, MIN(CASE WHEN date = peak_date THEN end_day_investment END)
+               OVER wall AS edi_at_peak
+        FROM dd7 WINDOW wall AS (PARTITION BY name)),
+ddagg AS (
+    SELECT name, MIN(min_dd) AS min_dd, MIN(peak_date) AS peak_date,
+           MIN(valley_date) AS valley_date, MIN(edi_at_peak) AS edi_at_peak
+    FROM dd8 GROUP BY name
+),
+r1y AS ({RETURN_1Y_SQL})
+SELECT DATE '{DS}' AS date,
+       stats.name AS name,
+       ROUND(stats.sd, 9) AS sd,
+       r1y.return_1y AS return_1y,
+       ROUND(stats.annual_return / stats.sd, 9) AS sharpe,
+       ROUND(reg.alpha, 9) AS alpha,
+       ROUND(reg.beta, 9) AS beta,
+       ROUND(reg.r_square, 9) AS r_square,
+       ROUND(ddagg.min_dd / 1000000.0 / ddagg.edi_at_peak, 9) AS max_drawdown,
+       ddagg.peak_date AS peak_date,
+       ddagg.valley_date AS valley_date,
+       CAST(ddagg.valley_date - ddagg.peak_date AS BIGINT) AS duration
+FROM stats
+JOIN reg USING (name)
+JOIN ddagg USING (name)
+LEFT JOIN r1y USING (name)
+"""
+
+
+@register("risk", RISK_SQL)
+def q_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pre_risk row per strategy: annualized stdev, compounded 1y return
+    (+ytd fallback), Sharpe, OLS alpha/beta/R² vs benchmark, relative
+    max drawdown with peak/valley/duration (aave_transform.py:348-521)."""
+    from defimap_data_pipelines_spark.operators.growth import capital_gotk
+    from defimap_data_pipelines_spark.operators.risk import risk_metrics
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, LAST_YEAR, DS)
+    bench = capital_gotk(
+        raw.filter(
+            (F.col("name") == "1-URGENT")
+            & F.col("date").between(F.lit(LAST_YEAR), F.lit(DS))
+        )
+    )
+    out = risk_metrics(g, bench, _return_1y_df(spark, sf_dir), DS)
+    return out.select(
+        "date",
+        "name",
+        r(F.col("sd"), 9).alias("sd"),
+        "return_1y",
+        r(F.col("sharpe"), 9).alias("sharpe"),
+        r(F.col("alpha"), 9).alias("alpha"),
+        r(F.col("beta"), 9).alias("beta"),
+        r(F.col("r_square"), 9).alias("r_square"),
+        r(F.col("max_drawdown"), 9).alias("max_drawdown"),
+        "peak_date",
+        "valley_date",
+        "duration",
+    )
+
+
+# --------------------------------------------------------------------------
+# Generic OLAP operators (scan/filter/agg/join/sort/limit/setops/windows)
+# over the TPC-H-ish tables — the engine surface beyond reference parity.
+# Money sums are exact-integer (cents) so results are order-independent.
+# --------------------------------------------------------------------------
+
+Q1_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               / 100.0 AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+               AS BIGINT)) / 100.0 AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / COUNT(*) / 100.0
+               AS avg_price,
+           SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) / COUNT(*) / 10000.0
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", Q1_SQL)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2001-09-01").cast("date")
+    )
+    cents = lambda c: F.sum(F.round(c * 100).cast("long"))  # noqa: E731
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (cents(F.col("l_extendedprice")) / 100.0).alias("sum_base_price"),
+        (cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 100.0).alias(
+            "sum_disc_price"
+        ),
+        (
+            cents(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )
+            / 100.0
+        ).alias("sum_charge"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (cents(F.col("l_extendedprice")) / F.count(F.lit(1)) / 100.0).alias(
+            "avg_price"
+        ),
+        (
+            F.sum(F.round(F.col("l_discount") * 10000).cast("long"))
+            / F.count(F.lit(1))
+            / 10000.0
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+Q3_SQL = """
+    SELECT l_orderkey,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               / 100.0 AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", Q3_SQL)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain + top-k: customer ⋈ orders ⋈ lineitem; the customer
+    dim side broadcasts (AQE picks it; small-dim hint kept explicit)."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy(
+        "l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority"
+    ).agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+    return agg.select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    ).orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")).limit(10)
+
+
+Q5_SQL = """
+    SELECT n_name,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               / 100.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier", Q5_SQL)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join through broadcast dims (nation/region/supplier)."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    o = t["orders"].filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    joined = (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+
+
+SEMI_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@register("semi_join", SEMI_SQL)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ANTI_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+"""
+
+
+@register("anti_join", ANTI_SQL)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SETOPS_SQL = """
+    WITH a AS (SELECT DISTINCT c_nationkey AS k FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT DISTINCT c_nationkey AS k FROM customer
+               WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    UNION ALL
+    SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+"""
+
+
+@register("set_ops", SETOPS_SQL)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    ).distinct()
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("k")
+    ).distinct()
+    return (
+        a.intersect(b).select(F.lit("intersect").alias("op"), "k")
+        .unionByName(a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "k"))
+        .unionByName(a.union(b).distinct().select(F.lit("union").alias("op"), "k"))
+    )
+
+
+CUBE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_agg", CUBE_SQL)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias(
+            "sum_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+PIVOT_SQL = """
+    SELECT l_returnflag,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               FILTER (WHERE l_linestatus = 'O') / 100.0 AS price_O,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               FILTER (WHERE l_linestatus = 'F') / 100.0 AS price_F
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("pivot_linestatus", PIVOT_SQL)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return l.groupBy("l_returnflag").agg(
+        (F.sum(F.when(F.col("l_linestatus") == "O", cents)) / 100.0).alias("price_O"),
+        (F.sum(F.when(F.col("l_linestatus") == "F", cents)) / 100.0).alias("price_F"),
+    )
+
+
+MINMAX_SQL = """
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS min_date,
+           MAX(CAST(o_orderdate AS DATE)) AS max_date,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(*) AS n
+    FROM orders
+"""
+
+
+@register("min_max_scalar", MINMAX_SQL)
+def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate (A1: MIN(date), aave_extract.py:538-543)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min(F.to_date("o_orderdate")).alias("min_date"),
+        F.max(F.to_date("o_orderdate")).alias("max_date"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events analytics: windows, top-1-latest, sessionization, tumbling aggs
+# --------------------------------------------------------------------------
+
+LATEST_EVENT_SQL = """
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+"""
+
+
+@register("latest_event_per_user", LATEST_EVENT_SQL)
+def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 latest row per key (O2; aave_load.py:95-106)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value")
+    )
+
+
+WINDOW_STATS_SQL = """
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
+               AS value_rank,
+           LAG(value) OVER w AS prev_value,
+           SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) OVER wcum / 1000000.0
+               AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+           wcum AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("window_running_stats", WINDOW_STATS_SQL)
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + lag + exact running sum per user (W1/W3-family on the
+    generic event stream)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrank = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wrank).cast("long").alias("value_rank"),
+        F.lag("value").over(w).alias("prev_value"),
+        (
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long")).over(wcum)
+            / 1000000.0
+        ).alias("running_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN LAG(ts_us) OVER w IS NULL
+                      OR ts_us - LAG(ts_us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT *,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us ASC, event_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_value
+    FROM sess
+    GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize", SESSIONIZE_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch twin of the streaming session-window job."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("ts_us") - prev > 1800000000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq", F.sum("new_sess").over(wcum).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long")) / 1000000.0
+        ).alias("sum_value"),
+    )
+
+
+TUMBLING_SQL = """
+    SELECT epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                         AS TIMESTAMP)) AS bucket_us,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register("tumbling_hourly", TUMBLING_SQL)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation — batch twin of the streaming
+    windowed count (SURVEY.md §2.7 extension)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long")) / 1000000.0
+        ).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity search
+# --------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _sql_hits(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"length(list_filter({_TOKS}, t -> t IN ({inlist})))"
+
+
+def _textstats_sql() -> str:
+    from defimap_data_pipelines_spark.functions.text import STOPWORDS
+
+    return f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CAST(length({_TOKS}) AS BIGINT) AS n_ws_tokens,
+               CAST(length(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                    AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct_ratio,
+               {_sql_hits(STOPWORDS["en"])}
+                   / CAST(length({_TOKS}) AS DOUBLE) AS stopword_ratio,
+               md5({_NORM}) AS fingerprint
+        FROM documents
+    """
+
+
+TEXTSTATS_SQL = _textstats_sql()
+
+
+@register("text_stats", TEXTSTATS_SQL)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc char/token counts, punctuation + stopword ratios, md5
+    fingerprint — all JVM-side expressions."""
+    from defimap_data_pipelines_spark.operators.textops import text_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    out = text_stats(d)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "fingerprint",
+    )
+
+
+def _langid_sql() -> str:
+    from defimap_data_pipelines_spark.functions.text import STOPWORDS
+
+    langs = list(STOPWORDS)
+    score_cols = ",\n               ".join(
+        f"{_sql_hits(STOPWORDS[lang])} AS score_{lang}" for lang in langs
+    )
+    # same tie-break chain as operators/textops.lang_id: >= for later
+    # languages in the order, > for earlier
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"score_{lang} {op} score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+        SELECT doc_id, {', '.join(f'CAST(score_{lang} AS BIGINT) AS score_{lang}' for lang in langs)},
+               {case_sql} AS lang_pred
+        FROM (SELECT doc_id, {score_cols} FROM documents)
+    """
+
+
+LANGID_SQL = _langid_sql()
+
+
+@register("lang_id", LANGID_SQL)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language ID with deterministic tie-break."""
+    from defimap_data_pipelines_spark.functions.text import STOPWORDS
+    from defimap_data_pipelines_spark.operators.textops import lang_id
+
+    d = read_table(spark, sf_dir, "documents")
+    out = lang_id(d)
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}")
+          for lang in STOPWORDS],
+        "lang_pred",
+    )
+
+
+def _quality_sql() -> str:
+    from defimap_data_pipelines_spark.functions.text import STOPWORDS
+
+    nws = f"CAST(length({_TOKS}) AS DOUBLE)"
+    pr = (
+        f"CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))"
+        f" AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    )
+    sw = f"{_sql_hits(STOPWORDS['en'])} / {nws}"
+    mwl = f"CAST(length({_NORM}) AS DOUBLE) / {nws}"
+    return f"""
+        SELECT doc_id,
+               0.4 * LEAST(1.0, {nws} / 100.0)
+               + 0.3 * (1.0 - LEAST(1.0, ({pr}) * 5.0))
+               + 0.2 * LEAST(1.0, ({sw}) * 10.0)
+               + 0.1 * (CASE WHEN {mwl} >= 3.0 AND {mwl} <= 8.0
+                             THEN 1.0 ELSE 0.0 END) AS quality_score
+        FROM documents
+    """
+
+
+QUALITY_SQL = _quality_sql()
+
+
+@register("quality_score", QUALITY_SQL)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defimap_data_pipelines_spark.operators.textops import quality_score
+
+    return quality_score(read_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+"""
+
+
+@register("dedup_exact", DEDUP_EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint."""
+    from defimap_data_pipelines_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+JACCARD_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(length(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) >= 0.35
+"""
+
+
+@register("ngram_jaccard_pairs", JACCARD_SQL)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
+    from defimap_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.35
+    )
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+COSINE_TOPK_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, v.vec_id,
+               {_cosine_sql('qe', 'e')} AS cosine
+        FROM v, q
+        WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM sims)
+    WHERE rn <= 5
+"""
+
+
+@register("cosine_topk", COSINE_TOPK_SQL)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (ANN baseline);
+    r6: 64-element dot products may accumulate in different order."""
+    from defimap_data_pipelines_spark.operators.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("query_id", "vec_id", r(F.col("cosine"), 6).alias("cosine"))
+
+
+NEARDUP_COSINE_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cosine_sql('a.e', 'b.e')}, 6) AS cosine
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND {_cosine_sql('a.e', 'b.e')} >= 0.4
+"""
+
+
+@register("embedding_neardup_pairs", NEARDUP_COSINE_SQL)
+def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= 0.4; the synthetic
+    embeddings have no closer pairs — max pairwise cosine ~0.48)."""
+    from defimap_data_pipelines_spark.operators.similarity import cosine_pairs
+
+    out = cosine_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    return out.select("id_a", "id_b", r(F.col("cosine"), 6).alias("cosine"))
+
+
+# ---- rows-only entries (not SQL-expressible: engine-native hashing) ----
+
+
+@register("minhash_lsh_dedup")
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact Jaccard
+    (xxhash64-based — no SQL oracle; recall tested vs exact pairs in
+    tests/test_dedup.py)."""
+    from defimap_data_pipelines_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        read_table(spark, sf_dir, "documents"), threshold=0.35
+    )
+
+
+@register("simhash_pairs")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    from defimap_data_pipelines_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(read_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_decode")
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: Arrow-batched mapInPandas decode
+    (stubbed codec; rows-only)."""
+    from defimap_data_pipelines_spark.operators.multimodal import (
+        decode_media,
+        docs_as_media,
+    )
+
+    return decode_media(docs_as_media(read_table(spark, sf_dir, "documents")))

@@ -32,9 +32,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Supports both the driver's single-file layout (``{name}.parquet``)
     and a partitioned-directory layout (``{name}/``).
+
+    Nanosecond parquet timestamps (events.ts) are unreadable by Spark 4
+    by default; we read them as long via the legacy conf and convert to
+    TimestampType with exact integer microseconds (ts div 1000 — the
+    same floor-truncation DuckDB applies casting TIMESTAMP_NS ->
+    TIMESTAMP).
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     single = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.parquet(single if os.path.exists(single) else os.path.join(sf_dir, name))
+    df = spark.read.parquet(
+        single if os.path.exists(single) else os.path.join(sf_dir, name)
+    )
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -1,0 +1,103 @@
+"""Dedup & similarity: MinHash-LSH recall vs exact Jaccard, SimHash
+sanity, LSH-ANN recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from defimap_data_pipelines_spark.operators.similarity import cosine_topk, lsh_topk
+from defimap_data_pipelines_spark.sources.parquet import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup_identifies_duplicates(spark, docs):
+    base = docs.limit(10)
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text",
+                      "lang", "source", "n_chars")
+    groups = exact_dedup(base.unionByName(dup))
+    multi = groups.filter(F.col("n_dups") >= 2)
+    assert multi.count() == 10
+    # canonical is the min id (the original)
+    assert multi.filter(F.col("canonical_id") >= 100000).count() == 0
+
+
+def test_minhash_recall_vs_exact(docs):
+    """LSH candidates must recover >=90% of true Jaccard>=0.5 pairs and
+    never report a pair below threshold (verification step)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, threshold=0.5).collect()
+    }
+    assert approx <= exact  # exact-verify step guarantees precision
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9
+
+
+def test_simhash_near_dups_have_close_hashes(docs):
+    """Near-dup docs (high Jaccard) should have closer simhashes than
+    random pairs on average."""
+    sigs = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    near = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    if not near:
+        pytest.skip("no near-dup pairs in this SF")
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near_d = [ham(sigs[r.doc_a], sigs[r.doc_b]) for r in near]
+    ids = sorted(sigs)
+    rand_d = [ham(sigs[ids[i]], sigs[ids[-(i + 1)]]) for i in range(20)]
+    assert sum(near_d) / len(near_d) < sum(rand_d) / len(rand_d)
+
+
+def test_lsh_topk_recall(emb):
+    """Bucketed ANN recovers a solid fraction of brute-force top-5."""
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(q, emb, k=5).collect()
+    approx = lsh_topk(q, emb, k=5, num_planes=4).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+    aset = {(r.query_id, r.vec_id) for r in approx}
+    assert len(aset & bset) / len(bset) >= 0.5
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    from defimap_data_pipelines_spark.operators.multimodal import (
+        decode_media,
+        docs_as_media,
+        frame_sample,
+    )
+
+    media = docs_as_media(docs)
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    assert all(r.n_bytes > 0 and len(r.sha256) == 64 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r.media_id: (r.width, r.height) for r in decode_media(media).collect()}
+    assert all(again[r.media_id] == (r.width, r.height) for r in rows)
+    frames = frame_sample(decoded, every_n=2)
+    assert frames.count() > 0
+    # strict mode surfaces the stub
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(media, strict=True).collect()

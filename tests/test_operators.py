@@ -1,0 +1,190 @@
+"""Operator unit & differential tests (SURVEY.md §5 strategy):
+window edge cases, rebase-vs-naive trailing equivalence, interpolation
+vs pandas semantics, drawdown vs a literal pandas replica.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.operators.cleaning import interpolate_linear
+from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+from defimap_data_pipelines_spark.operators.risk import max_drawdown
+from defimap_data_pipelines_spark.operators.trailing import (
+    trailing_returns,
+    trailing_returns_naive,
+)
+from defimap_data_pipelines_spark.plans.domain import orders_raw_series
+from defimap_data_pipelines_spark.plans.queries import DS
+
+
+def _mk_raw(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "date", "name", "aave_apy", "liquidity_index",
+                "asset_price", "aave_price", "atoken_supply",
+            ],
+        )
+    ).withColumn("date", F.col("date").cast("date"))
+
+
+def test_gotk_first_row_basis(spark):
+    """Day-1 GOTK: edi = 10000 * 1 * 1 + day-1 reward; pc from the
+    10000 default (W1 IFNULL semantics)."""
+    raw = _mk_raw(
+        spark,
+        [
+            ("2022-01-01", "s1", 0.0, 1.0, 2.0, 5.0, 1.0),
+            ("2022-01-02", "s1", 0.0, 1.0, 2.0, 5.0, 1.0),
+        ],
+    )
+    out = growth_of_10k(raw).orderBy("date").collect()
+    assert out[0].end_day_investment == pytest.approx(10000.0)
+    assert out[0].start_day_investment == 10000.0
+    assert out[0].percent_change == pytest.approx(0.0)
+    assert out[1].percent_change == pytest.approx(0.0)
+
+
+def test_gotk_single_partition_isolated(spark):
+    """Two strategies never leak window state into each other."""
+    raw = _mk_raw(
+        spark,
+        [
+            ("2022-01-01", "a", 0.0, 1.0, 2.0, 5.0, 1.0),
+            ("2022-01-01", "b", 0.0, 1.0, 100.0, 5.0, 1.0),
+            ("2022-01-02", "b", 0.0, 1.0, 200.0, 5.0, 1.0),
+        ],
+    )
+    out = {(r.name, str(r.date)): r for r in growth_of_10k(raw).collect()}
+    assert out[("a", "2022-01-01")].end_day_investment == pytest.approx(10000.0)
+    assert out[("b", "2022-01-02")].end_day_investment == pytest.approx(20000.0)
+
+
+def test_gotk_monthly_reset(spark):
+    """W4: compounding resets at month boundaries."""
+    raw = _mk_raw(
+        spark,
+        [
+            ("2022-01-30", "s", 0.0, 1.0, 100.0, 5.0, 1.0),
+            ("2022-01-31", "s", 0.0, 1.0, 110.0, 5.0, 1.0),
+            ("2022-02-01", "s", 0.0, 1.0, 121.0, 5.0, 1.0),
+        ],
+    )
+    out = {
+        str(r.date): r.percent_change
+        for r in growth_of_10k(raw, monthly=True).collect()
+    }
+    assert out["2022-01-31"] == pytest.approx(0.1)
+    # Feb 1 is a new month-partition: edi=10000 basis, lag NULL -> pc=0
+    assert out["2022-02-01"] == pytest.approx(0.0)
+
+
+def test_trailing_rebase_equals_naive(spark, sf_dir):
+    """The single-scan rebased trailing returns must agree with the
+    reference-literal 6-subquery formulation to float tolerance."""
+    raw = orders_raw_series(spark, sf_dir)
+    fast = trailing_returns(raw, DS).toPandas()
+    slow = trailing_returns_naive(raw, DS).toPandas()
+    key = ["period", "name", "date"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    assert len(fast) == len(slow)
+    a = fast["percent_change"].to_numpy(dtype=float)
+    b = slow["percent_change"].to_numpy(dtype=float)
+    both_nan = np.isnan(a) & np.isnan(b)
+    # atol 1e-7: the rebase quantizes reward contributions at the common
+    # base, the naive form at each slice start — they may differ by one
+    # micro-unit * aave_price / principal per row (~5e-9 here)
+    close = np.isclose(a, b, rtol=1e-6, atol=1e-7)
+    assert bool(np.all(both_nan | close))
+
+
+def test_interpolate_matches_pandas(spark):
+    """P15: window interpolation == pandas interpolate(method='linear',
+    limit_direction='forward') including leading/trailing NULL runs."""
+    vals = [None, None, 1.0, None, None, 4.0, 5.0, None, 2.0, None, None]
+    rows = [
+        (str(dt.date(2022, 1, 1) + dt.timedelta(days=i)), "s", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["date", "name", "x"])
+    ).withColumn("date", F.col("date").cast("date"))
+    got = (
+        interpolate_linear(df, ["x"])
+        .orderBy("date")
+        .toPandas()["x"]
+        .to_numpy(dtype=float)
+    )
+    want = (
+        pd.Series(vals, dtype=float)
+        .interpolate(method="linear", limit_direction="forward")
+        .to_numpy()
+    )
+    assert np.allclose(got, want, equal_nan=True)
+
+
+def test_max_drawdown_matches_pandas_reference(spark, sf_dir):
+    """A6: native drawdown == the reference's literal pandas algorithm
+    (aave_transform.py:384-403), including the relative-mm quirk."""
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, "2000-08-01", DS)
+    got = {r.name: r for r in max_drawdown(g).collect()}
+    pdf = g.toPandas()
+    for name, grp in pdf.groupby("name"):
+        df_gotk = grp.sort_values("date").tail(365).reset_index(drop=True)
+        df_gotk["returns"] = (
+            df_gotk["end_day_investment"] - df_gotk["start_day_investment"]
+        )
+        df_gotk["cumulative_returns"] = df_gotk["returns"].cumsum()
+        df_gotk["running_max"] = df_gotk["cumulative_returns"].cummax()
+        df_gotk["drawdown"] = (
+            df_gotk["cumulative_returns"] - df_gotk["running_max"]
+        )
+        trough_date = df_gotk["date"][df_gotk["drawdown"].idxmin()]
+        sub = df_gotk[df_gotk["date"] <= trough_date]
+        peak_date = sub["date"][sub["cumulative_returns"].idxmax()]
+        mdd = df_gotk["drawdown"].min()
+        idx = int(df_gotk.index[df_gotk["date"] == peak_date].tolist()[0])
+        mm = mdd / df_gotk["end_day_investment"][idx]
+        r = got[name]
+        assert r.valley_date == trough_date
+        assert r.peak_date == peak_date
+        assert r.max_drawdown == pytest.approx(mm, rel=1e-4)
+        assert r.duration == (trough_date - peak_date).days
+
+
+def test_risk_regression_matches_numpy(spark, sf_dir):
+    """A4: closed-form OLS == np.polyfit + residual R²."""
+    from defimap_data_pipelines_spark.operators.growth import capital_gotk
+    from defimap_data_pipelines_spark.operators.risk import ols_alpha_beta_r2
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, "2000-08-01", DS)
+    bench = capital_gotk(
+        raw.filter(
+            (F.col("name") == "1-URGENT")
+            & F.col("date").between("2000-08-01", DS)
+        )
+    )
+    got = {r.name: r for r in ols_alpha_beta_r2(g, bench).collect()}
+    gp = g.toPandas()
+    bp = bench.toPandas().set_index("date")["percent_change"]
+    for name, grp in gp.groupby("name"):
+        grp = grp.sort_values("date").tail(365)
+        joined = grp.join(bp.rename("x"), on="date", how="inner")
+        x = joined["x"].to_numpy()
+        y = joined["percent_change"].to_numpy()
+        theta = np.polyfit(x, y, 1)
+        pred = theta[1] + theta[0] * x
+        r2 = 1 - np.sum((pred - y) ** 2) / np.sum((y - y.mean()) ** 2)
+        assert got[name].beta == pytest.approx(theta[0], rel=1e-6)
+        assert got[name].alpha == pytest.approx(theta[1], rel=1e-6, abs=1e-12)
+        assert got[name].r_square == pytest.approx(r2, rel=1e-6)
