@@ -57,30 +57,57 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct word n-grams.
+
+    Candidate generation uses PREFIX FILTERING (Chaudhuri et al. /
+    PPJoin family): order each doc's shingles by global document
+    frequency ascending; two docs with jaccard >= t MUST collide within
+    their first |d| - ceil(t*|d|) + 1 shingles. Joining only the
+    prefixes removes the frequent-shingle quadratic blowup; candidates
+    are then verified exactly with array_intersect. Result-identical to
+    the naive full inverted-index join.
     """
-    post = shingle_postings(docs, text_col, n)
-    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = post.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = post.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sh = docs.select(
+        "doc_id", word_shingles(F.col(text_col), n).alias("_sh")
+    ).cache()
+    post = sh.select("doc_id", F.explode("_sh").alias("shingle"))
+    freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    prefix_len = F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")) + 1
+    prefix = (
+        post.join(freq, "shingle")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= prefix_len)
+        .select("doc_id", "shingle")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    jac = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    staged = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
+            F.size(F.array_intersect("_sa", "_sb")).alias("_ni"),
+            F.size("_sa").alias("_na"),
+            F.size("_sb").alias("_nb"),
         )
+    )
+    jac = staged.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("_ni") / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double")
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold)
 

@@ -188,6 +188,9 @@ def risk_metrics(
     ``return_1y`` is a (name, return_1y) frame from the compounded-return
     query with its ytd fallback (see pipelines.transform).
     """
+    # materialize the tail slice once: four aggregation families reuse it
+    # (|names| * day_period rows — tiny at any corpus scale)
+    gotk = _tail(gotk, day_period).cache()
     sd = sd_annualized(gotk, day_period)
     ar = annual_return(gotk, day_period)
     reg = ols_alpha_beta_r2(gotk, benchmark, day_period)

@@ -116,7 +116,9 @@ def trailing_returns(raw: DataFrame, ds: str) -> DataFrame:
     """Single-scan trailing returns: (date, period, name, percent_change)."""
     starts = period_starts(ds)
     base_start = min(s for _, s, _ in starts)
-    base = gotk_base(raw, base_start, ds)
+    # cache: UNION branches don't share subplans in Spark, so without
+    # this each of the 6 arms would recompute the base windows
+    base = gotk_base(raw, base_start, ds).cache()
     arms = [_rebased_arm(base, p, s, ds, rule) for p, s, rule in starts]
     out = arms[0]
     for a in arms[1:]:

@@ -1,0 +1,131 @@
+"""Structured Streaming jobs (engine extension — the reference is daily
+batch only, SURVEY.md §2.7; these are the streaming twins of the batch
+operators, built for the 100 TB posture where bronze arrives
+continuously).
+
+- stream_bronze_to_silver: incremental bronze->silver with
+  dropDuplicates on (name, date) for replay idempotency; the streaming
+  equivalent of the reference's delete-range-then-append (S10) under
+  Trigger.AvailableNow.
+- stream_tumbling_counts / stream_session_windows: watermarked
+  tumbling/session window aggregations over the events stream — the
+  streaming twins of the batch tumbling_hourly / sessionize queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from defimap_data_pipelines_spark.schemas import RAW_SCHEMA
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_bronze_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(RAW_SCHEMA).parquet(path)
+
+
+def stream_bronze_to_silver(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint: str,
+):
+    """Incremental clean: fillna(0) on reward columns + dedup on
+    (name, date); AvailableNow drains the backlog then stops, giving
+    the same daily-batch semantics as the reference with streaming
+    bookkeeping (exactly-once via checkpoint)."""
+    stream = read_bronze_stream(spark, bronze_path)
+    cleaned = stream.fillna(0.0, subset=["aave_apy", "liquidity_index"]).dropDuplicates(
+        ["name", "date"]
+    )
+    return (
+        cleaned.writeStream.format("parquet")
+        .option("path", silver_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("name")
+        .trigger(availableNow=True)
+        .outputMode("append")
+    )
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """events parquet as a stream; ns timestamps arrive as long via the
+    nanosAsLong conf (sources/parquet.py) and convert exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = spark.readStream.schema(schema).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. Late rows
+    beyond the watermark are dropped; state is bounded by
+    (#types x windows-in-watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user via F.session_window — the streaming
+    twin of the batch gaps-and-islands sessionize query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain a streaming frame into an in-memory table (tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

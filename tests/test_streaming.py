@@ -1,0 +1,87 @@
+"""Structured Streaming tests: AvailableNow bronze->silver with replay
+idempotency; watermarked tumbling/session windows vs batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.pipelines.ingest import (
+    date_range_frame,
+    sample_chain_state,
+)
+from defimap_data_pipelines_spark.streaming.jobs import (
+    read_events_stream,
+    stream_bronze_to_silver,
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """The streaming file source needs a directory, not a single file."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def bronze_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("stream") / "bronze"
+    dates = date_range_frame(spark, "2022-01-01", "2022-03-31", ["aave_usdc"])
+    sample_chain_state(dates).write.mode("overwrite").parquet(str(p))
+    return str(p)
+
+
+def test_bronze_to_silver_available_now(spark, bronze_path, tmp_path):
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_bronze_to_silver(spark, bronze_path, silver, ckpt).start()
+    q.awaitTermination()
+    out = spark.read.parquet(silver)
+    assert out.count() == 90  # one row per day, dedup on (name, date)
+    # replay: restarting the stream over the same input adds nothing
+    q2 = stream_bronze_to_silver(spark, bronze_path, silver, ckpt).start()
+    q2.awaitTermination()
+    assert spark.read.parquet(silver).count() == 90
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, events_dir):
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+
+    stream = stream_tumbling_counts(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("tumbling")
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    g = {(str(r.window_start), r.event_type): r.n_events for r in got.collect()}
+    b = {(str(r.window_start), r.event_type): r.n_events for r in batch.collect()}
+    assert g == b
+
+
+def test_session_windows_bounded_state(spark, sf_dir, events_dir):
+    stream = stream_session_windows(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("sessions")
+    assert out.count() > 0
+    assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
