@@ -1327,3 +1327,161 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_media(docs_as_media(read_table(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+# As-of join, ranking suite, sliding/range frames, JSON extraction
+# --------------------------------------------------------------------------
+
+ASOF_SQL = """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ),
+    u AS (
+        SELECT event_id, user_id, event_type, value, ts_us,
+               1 AS marker, NULL AS pv
+        FROM e
+        UNION ALL
+        SELECT NULL AS event_id, user_id, NULL AS event_type, NULL AS value,
+               ts_us, 0 AS marker, value AS pv
+        FROM e WHERE event_type = 'purchase'
+    ),
+    carried AS (
+        SELECT *,
+               LAST_VALUE(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts_us ASC, marker ASC, pv ASC NULLS FIRST
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+        FROM u
+    )
+    SELECT event_id, user_id, ts_us, last_purchase_value
+    FROM carried WHERE marker = 1
+"""
+
+
+@register("asof_last_purchase", ASOF_SQL)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the user's most recent (<= ts)
+    purchase value — union-and-carry formulation (operators/asof.py)."""
+    from defimap_data_pipelines_spark.operators.asof import asof_join
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.col("value").alias("pv")
+    )
+    out = asof_join(
+        e, purchases, on=["user_id"], ts_col="ts_us", value_cols=["pv"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("pv_asof").alias("last_purchase_value"),
+    )
+
+
+RANK_SUITE_SQL = """
+    SELECT user_id, event_id,
+           CAST(DENSE_RANK() OVER wv AS BIGINT) AS value_dense_rank,
+           CAST(NTILE(4) OVER wt AS BIGINT) AS ts_quartile,
+           PERCENT_RANK() OVER wv AS value_percent_rank,
+           CUME_DIST() OVER wv AS value_cume_dist,
+           LEAD(value) OVER wt AS next_value,
+           NTH_VALUE(value, 3) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS third_value
+    FROM events
+    WINDOW wv AS (PARTITION BY user_id ORDER BY value ASC),
+           wt AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+@register("window_rank_suite", RANK_SUITE_SQL)
+def q_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function coverage: dense_rank, ntile, percent_rank,
+    cume_dist, lead, nth_value."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy("value")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.dense_rank().over(wv).cast("long").alias("value_dense_rank"),
+        F.ntile(4).over(wt).cast("long").alias("ts_quartile"),
+        F.percent_rank().over(wv).alias("value_percent_rank"),
+        F.cume_dist().over(wv).alias("value_cume_dist"),
+        F.lead("value").over(wt).alias("next_value"),
+        F.nth_value("value", 3).over(wcum).alias("third_value"),
+    )
+
+
+FRAMES_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL}),
+    d AS (
+        SELECT date, name,
+               date - DATE '1995-01-01' AS days,
+               CAST(ROUND(atoken_supply * 100) AS BIGINT) AS supply_cents
+        FROM raw_data
+    )
+    SELECT date, name,
+           SUM(supply_cents) OVER (PARTITION BY name ORDER BY date ASC
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               / 100.0 AS supply_7row_sum,
+           SUM(supply_cents) OVER (PARTITION BY name ORDER BY days ASC
+                                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               / 100.0 AS supply_7day_sum,
+           AVG(supply_cents) OVER (PARTITION BY name ORDER BY date ASC
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               / 100.0 AS supply_centered_avg
+    FROM d
+"""
+
+
+@register("window_frames", FRAMES_SQL)
+def q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame, calendar RANGE frame (gap-aware 7-day sum),
+    and a centered frame — exact integer accumulation."""
+    from pyspark.sql import Window
+
+    raw = orders_raw_series(spark, sf_dir)
+    d = raw.select(
+        "date",
+        "name",
+        F.datediff("date", F.lit("1995-01-01").cast("date")).alias("days"),
+        F.round(F.col("atoken_supply") * 100).cast("long").alias("supply_cents"),
+    )
+    wrow = Window.partitionBy("name").orderBy("date").rowsBetween(-6, 0)
+    wrange = Window.partitionBy("name").orderBy("days").rangeBetween(-6, 0)
+    wcenter = Window.partitionBy("name").orderBy("date").rowsBetween(-3, 3)
+    return d.select(
+        "date",
+        "name",
+        (F.sum("supply_cents").over(wrow) / 100.0).alias("supply_7row_sum"),
+        (F.sum("supply_cents").over(wrange) / 100.0).alias("supply_7day_sum"),
+        (F.avg("supply_cents").over(wcenter) / 100.0).alias("supply_centered_avg"),
+    )
+
+
+JSON_SQL = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           length(props) AS props_len
+    FROM events
+"""
+
+
+@register("json_extract", JSON_SQL)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction from a string column."""
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.length("props").cast("long").alias("props_len"),
+    )
