@@ -1485,3 +1485,119 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.length("props").cast("long").alias("props_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Date/string function suites, ROLLUP, sketches
+# --------------------------------------------------------------------------
+
+DATE_PARTS_SQL = """
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q,
+           CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+           CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+           CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9
+"""
+
+
+@register("date_parts", DATE_PARTS_SQL)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction suite (P11/P16 family). Spark dayofweek is
+    1=Sunday..7, DuckDB 0=Sunday..6 — aligned by subtracting 1."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.groupBy(
+        d.alias("d"),
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+STRING_FUNCS_SQL = """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+           regexp_extract(p_brand, '[0-9]+') AS brand_num,
+           CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev_to_11
+    FROM part
+"""
+
+
+@register("string_funcs", STRING_FUNCS_SQL)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite: case, substr, concat, replace, pad,
+    LIKE, regexp extraction, edit distance."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("long").alias("lev_to_11"),
+    )
+
+
+ROLLUP_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("rollup_agg", ROLLUP_SQL)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("hll_distinct_users")
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches per event_type (Datasketches; the
+    shuffle-friendly distinct-count at 100 TB). Engine-specific binary
+    sketch -> rows-only; estimate accuracy is tolerance-tested in
+    tests/test_asof_skew_sources.py via approx_count_distinct."""
+    e = read_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    total = per_type.agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+    )
+    return per_type.select(
+        "event_type", F.hll_sketch_estimate("sketch").alias("approx_users")
+    ).unionByName(total)

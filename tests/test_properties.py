@@ -1,0 +1,117 @@
+"""Property tests (SURVEY.md §5.4): GOTK invariants, TVL telescoping,
+interpolation idempotence, SQL front-end == DataFrame API."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+from defimap_data_pipelines_spark.operators.cleaning import interpolate_linear
+from defimap_data_pipelines_spark.operators.tvl import tvl
+
+
+def _raw_from_series(spark, prices, indices, apys):
+    rows = [
+        (
+            f"2022-01-{i+1:02d}",
+            "s",
+            float(apys[i]),
+            float(indices[i]),
+            float(prices[i]),
+            50.0,
+            1000.0,
+        )
+        for i in range(len(prices))
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "date", "name", "aave_apy", "liquidity_index",
+                "asset_price", "aave_price", "atoken_supply",
+            ],
+        )
+    )
+    return df.withColumn("date", F.col("date").cast("date"))
+
+
+series = st.integers(2, 20).flatmap(
+    lambda n: st.tuples(
+        st.lists(st.floats(0.5, 500.0), min_size=n, max_size=n),
+        st.lists(st.floats(0.0, 0.5), min_size=n, max_size=n),
+        st.lists(st.floats(0.0, 50.0), min_size=n, max_size=n),
+    )
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(series)
+def test_gotk_invariants(spark, data):
+    prices, idx_steps, apys = data
+    indices = [1.0]
+    for s in idx_steps[1:]:
+        indices.append(indices[-1] * (1 + s))  # monotone non-decreasing
+    raw = _raw_from_series(spark, prices, indices, apys)
+    out = growth_of_10k(raw).orderBy("date").collect()
+    # edi > 0 everywhere
+    assert all(r.end_day_investment > 0 for r in out)
+    # pc composes: prod(1+pc) == edi_n / 10000
+    prod = math.prod(1 + r.percent_change for r in out)
+    assert prod == pytest.approx(out[-1].end_day_investment / 10000, rel=1e-9)
+    # start_day = previous end_day
+    for prev, cur in zip(out, out[1:]):
+        assert cur.start_day_investment == pytest.approx(
+            prev.end_day_investment
+        )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(1.0, 1e6), min_size=2, max_size=20))
+def test_tvl_changes_telescope(spark, supplies):
+    prices = [2.0] * len(supplies)
+    rows = [
+        (f"2022-01-{i+1:02d}", "s", 0.0, 1.0, prices[i], 50.0, float(supplies[i]))
+        for i in range(len(supplies))
+    ]
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "date", "name", "aave_apy", "liquidity_index",
+                "asset_price", "aave_price", "atoken_supply",
+            ],
+        )
+    ).withColumn("date", F.col("date").cast("date"))
+    out = tvl(raw).orderBy("date").collect()
+    # sum of changes telescopes to last - first
+    assert sum(r.change_tvl for r in out) == pytest.approx(
+        out[-1].tvl - out[0].tvl, rel=1e-9, abs=1e-6
+    )
+
+
+def test_interpolation_idempotent_on_complete_series(spark, sf_dir):
+    from defimap_data_pipelines_spark.plans.domain import orders_raw_series
+
+    raw = orders_raw_series(spark, sf_dir).select("date", "name", "asset_price")
+    out = interpolate_linear(raw, ["asset_price"])
+    joined = raw.alias("a").join(
+        out.alias("b"), ["date", "name"]
+    ).filter(F.col("a.asset_price") != F.col("b.asset_price"))
+    assert joined.count() == 0
+
+
+def test_sql_frontend_equals_dataframe_api(spark, sf_dir):
+    from defimap_data_pipelines_spark.plans.domain import orders_raw_series
+    from defimap_data_pipelines_spark.sql.frontend import sql_gotk
+
+    via_sql = sql_gotk(spark, sf_dir).toPandas()
+    via_df = growth_of_10k(orders_raw_series(spark, sf_dir)).toPandas()
+    key = ["name", "date"]
+    a = via_sql.sort_values(key).reset_index(drop=True)
+    b = via_df.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[b.columns], b)
