@@ -95,3 +95,21 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     k = F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), k)
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+
+def rolling_hash(col: Column) -> Column:
+    """Order-sensitive rolling hash of the token stream: a left fold
+    chaining each token into the accumulator, h' = xxhash64(token, h).
+
+    Unlike the md5 ``fingerprint`` (content identity on the whole
+    text), the rolling hash is token-order-sensitive and composes
+    incrementally over prefixes. (A classic polynomial hash would need
+    wraparound multiplication, which Spark's ANSI mode rejects on
+    overflow — the chained-hash fold has the same properties without
+    overflow semantics.)
+    """
+    return F.aggregate(
+        ws_tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(t, acc),
+    )

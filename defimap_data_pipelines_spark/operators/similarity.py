@@ -157,3 +157,74 @@ def lsh_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    inverted lists, probe the n_probe nearest lists per query, exact
+    cosine within the probed lists.
+
+    Centroids are the first ``num_centroids`` corpus vectors (a
+    deterministic k-means|| stand-in — swap in trained centroids at
+    scale; the plan shape is identical). The corpus pass assigns each
+    vector to its nearest centroid (one broadcast of num_centroids
+    vectors), so the only shuffle is the per-query top-k window.
+    """
+    cent = (
+        corpus.limit(num_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col).alias("_centv"),
+        )
+    )
+    cent_b = F.broadcast(cent)
+
+    def assign(df: DataFrame, idc: str, out: str, top_n: int) -> DataFrame:
+        sims = (
+            df.crossJoin(cent_b)
+            .select(
+                F.col(idc).alias(out),
+                F.col(vec_col).alias(f"_{out}_v"),
+                "centroid_id",
+                cosine_similarity(F.col(vec_col), F.col("_centv")).alias("_csim"),
+            )
+        )
+        w = Window.partitionBy(out).orderBy(
+            F.col("_csim").desc(), F.col("centroid_id")
+        )
+        return (
+            sims.withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= top_n)
+            .select(out, f"_{out}_v", "centroid_id")
+        )
+
+    c = assign(corpus, id_col, "vec_id", 1)  # each corpus vec -> 1 list
+    q = assign(queries, id_col, "query_id", n_probe)  # probe n lists
+    sim = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("_query_id_v"), F.col("_vec_id_v")).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        sim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1601,3 +1601,24 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select(
         "event_type", F.hll_sketch_estimate("sketch").alias("approx_users")
     ).unionByName(total)
+
+
+@register("ivf_topk")
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate ANN (rows-only; recall vs brute force
+    tested in tests/test_asof_skew_sources.py)."""
+    from defimap_data_pipelines_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("query_id", "vec_id", r(F.col("cosine"), 6).alias("cosine"))
+
+
+@register("rolling_hash_fingerprint")
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive token-stream rolling hash per document
+    (rows-only: xxhash64-based)."""
+    from defimap_data_pipelines_spark.functions.text import rolling_hash
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))

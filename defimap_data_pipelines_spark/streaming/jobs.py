@@ -129,3 +129,69 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_user_activity_state(events: DataFrame, timeout_ms: int | None = None):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running counters (events seen, value total); with ``timeout_ms`` a
+    processing-time timeout emits and clears idle users' state.
+
+    The arbitrary-state API is the escape hatch for operators the
+    built-in windows can't express (the engine's path for bespoke
+    accumulators at scale: state is per-key, partitioned, checkpointed).
+    NB: with a processing-time timeout the query stays alive waiting to
+    fire timeouts even under Trigger.AvailableNow — leave ``timeout_ms``
+    None for drain-and-stop batch-replay runs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("final", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, n, total, True)],
+                columns=["user_id", "n_events", "total_value", "final"],
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [(user_id, n, total, False)],
+            columns=["user_id", "n_events", "total_value", "final"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -104,3 +104,32 @@ def test_csv_bronze_roundtrip(spark, sf_dir, tmp_path):
     a = {str(r.date): r.total_apy for r in bronze.collect()}
     b = {str(r.date): r.total_apy for r in back.collect()}
     assert a == b
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from defimap_data_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {(r.query_id, r.vec_id) for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(q, emb, k=5, num_centroids=8, n_probe=4).collect()
+    }
+    assert len(approx & brute) / len(brute) >= 0.4
+
+
+def test_rolling_hash_order_sensitive(spark):
+    from defimap_data_pipelines_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.h for r in df.select(
+        "doc_id", rolling_hash(F.col("text")).alias("h")).collect()}
+    assert out[1] == out[3]          # identical text -> identical hash
+    assert out[1] != out[2]          # permuted tokens -> different hash

@@ -85,3 +85,36 @@ def test_session_windows_bounded_state(spark, sf_dir, events_dir):
     out = spark.table("sessions")
     assert out.count() > 0
     assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stateful_user_activity(spark, sf_dir, events_dir, tmp_path):
+    """applyInPandasWithState custom operator: per-user running totals
+    match the batch groupBy after draining the stream."""
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        read_events_stream,
+        stream_user_activity_state,
+    )
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+
+    stream = stream_user_activity_state(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.table("user_state").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == batch
