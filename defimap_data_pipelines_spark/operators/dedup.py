@@ -41,6 +41,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, _sh: array<string>) distinct word n-grams per doc."""
+    return docs.select(
+        "doc_id", word_shingles(F.col(text_col), n).alias("_sh")
+    )
+
+
 def shingle_postings(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) postings with distinct shingles per doc."""
     return docs.select(
@@ -53,6 +60,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
 
@@ -66,9 +74,7 @@ def ngram_jaccard_pairs(
     are then verified exactly with array_intersect. Result-identical to
     the naive full inverted-index join.
     """
-    sh = docs.select(
-        "doc_id", word_shingles(F.col(text_col), n).alias("_sh")
-    ).cache()
+    sh = shingles if shingles is not None else doc_shingles(docs, text_col, n).cache()
     post = sh.select("doc_id", F.explode("_sh").alias("shingle"))
     freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
@@ -113,7 +119,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) minhash signatures.
 
@@ -127,7 +137,8 @@ def minhash_signatures(
     # (A per-row transform() formulation looks cheaper but Catalyst's
     # projection collapse re-inlines the shingle array into all 64
     # lambdas — 30x slower in practice.)
-    sh = shingle_postings(docs, text_col, n)
+    src = shingles if shingles is not None else doc_shingles(docs, text_col, n)
+    sh = src.select("doc_id", F.explode("_sh").alias("shingle"))
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -149,6 +160,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH banding, verified with exact
     Jaccard (returns doc_a, doc_b, jaccard >= threshold).
@@ -157,7 +169,7 @@ def minhash_lsh_candidates(
     signature slice matches exactly (hash-join on (band, band_hash)).
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, n, num_hashes)
+    sigs = minhash_signatures(docs, text_col, n, num_hashes, shingles=shingles)
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         "doc_id",
@@ -184,7 +196,7 @@ def minhash_lsh_candidates(
     # verify candidates with exact jaccard: join the two shingle arrays
     # onto each candidate pair and intersect per-row (no re-shuffle of
     # the postings index; candidates are a small fraction of pairs)
-    sh = docs.select("doc_id", word_shingles(F.col(text_col), n).alias("_sh"))
+    sh = shingles if shingles is not None else doc_shingles(docs, text_col, n)
     staged = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b")

@@ -251,13 +251,27 @@ def trailing_sql(ds: str) -> str:
 TRAILING_SQL = trailing_sql(DS)
 
 
+# (session id, sf_dir) -> cached trailing frame; trailing_return,
+# return_1y, and risk all consume it
+_TRAILING_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _trailing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defimap_data_pipelines_spark.operators.trailing import trailing_returns
+
+    key = (id(spark), sf_dir)
+    hit = _TRAILING_CACHE.get(key)
+    if hit is None:
+        hit = trailing_returns(orders_raw_series(spark, sf_dir), DS).cache()
+        _TRAILING_CACHE[key] = hit
+    return hit
+
+
 @register("trailing_return", TRAILING_SQL)
 def q_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-period trailing returns from ONE scan (O3 + W6 rebase;
     aave_transform.py:170-216, SURVEY.md §4 scan-sharing)."""
-    from defimap_data_pipelines_spark.operators.trailing import trailing_returns
-
-    return trailing_returns(orders_raw_series(spark, sf_dir), DS)
+    return _trailing_df(spark, sf_dir)
 
 
 RETURN_1Y_SQL = f"""
@@ -283,12 +297,9 @@ RETURN_1Y_SQL = f"""
 def q_return_1y(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compounded 1y return with ytd fallback (A7+A8;
     aave_transform.py:413-443)."""
-    from defimap_data_pipelines_spark.operators.trailing import (
-        compounded_return,
-        trailing_returns,
-    )
+    from defimap_data_pipelines_spark.operators.trailing import compounded_return
 
-    t = trailing_returns(orders_raw_series(spark, sf_dir), DS)
+    t = _trailing_df(spark, sf_dir)
     c = compounded_return(t).filter(
         (F.col("date") == F.lit(DS).cast("date"))
         & F.col("period").isin("1y", "ytd")
@@ -1224,13 +1235,30 @@ JACCARD_SQL = f"""
 """
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, _sh) frame shared by jaccard + minhash."""
+    from defimap_data_pipelines_spark.operators.dedup import doc_shingles
+
+    key = (id(spark), sf_dir)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is None:
+        hit = doc_shingles(read_table(spark, sf_dir, "documents")).cache()
+        _SHINGLE_CACHE[key] = hit
+    return hit
+
+
 @register("ngram_jaccard_pairs", JACCARD_SQL)
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
     from defimap_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.35
+        read_table(spark, sf_dir, "documents"),
+        threshold=0.35,
+        shingles=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -1305,7 +1333,9 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defimap_data_pipelines_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        read_table(spark, sf_dir, "documents"), threshold=0.35
+        read_table(spark, sf_dir, "documents"),
+        threshold=0.35,
+        shingles=_doc_shingles(spark, sf_dir),
     )
 
 

@@ -1,0 +1,61 @@
+"""Physical-layout guarantees the 100 TB posture depends on:
+bucketed co-located joins (no exchange), partition pruning, filter
+pushdown and column pruning in the scans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.sources.bucketing import write_bucketed
+from defimap_data_pipelines_spark.sources.parquet import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # (spark.sql.warehouse.dir is static; bucketed tables land in the
+    # default ./spark-warehouse, dropped in the finally block)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    write_bucketed(l, "l_bucketed", ["l_orderkey"], 8)
+    write_bucketed(o, "o_bucketed", ["o_orderkey"], 8)
+    try:
+        joined = spark.table("l_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == l.count()
+        # contrast: the unbucketed join must shuffle both sides
+        plain = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS l_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    from defimap_data_pipelines_spark.plans.domain import orders_raw_series
+
+    path = str(tmp_path / "by_name")
+    raw = orders_raw_series(spark, sf_dir)
+    raw.write.mode("overwrite").partitionBy("name").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("name") == "1-URGENT")
+    plan = _plan(pruned)
+    # partition filter reached the scan, and only one partition is read
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    assert pruned.select("name").distinct().count() == 1
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    l = read_table(spark, sf_dir, "lineitem")
+    q = l.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
