@@ -1652,3 +1652,31 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+
+
+APY_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL})
+    SELECT date, name,
+           stake_apy,
+           ROUND(100 * (POWER(1.0 + stake_apy / 100 / 365, 365.0) - 1.0), 9)
+               AS stake_apy_compounded,
+           ROUND(stake_apy, 3) AS stake_apy_rounded
+    FROM raw_data
+"""
+
+
+@register("apy_conversion", APY_SQL)
+def q_apy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: APR->APY periodic compounding + 3dp rounding
+    (aave_extract.py:336-342, 423-431). r9 on the pow output: library
+    pow is not correctly-rounded across engines."""
+    from defimap_data_pipelines_spark.functions.scalar import apr_to_apy
+
+    raw = orders_raw_series(spark, sf_dir)
+    return raw.select(
+        "date",
+        "name",
+        "stake_apy",
+        r(apr_to_apy(F.col("stake_apy")), 9).alias("stake_apy_compounded"),
+        F.round("stake_apy", 3).alias("stake_apy_rounded"),
+    )

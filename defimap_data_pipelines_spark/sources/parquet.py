@@ -40,6 +40,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin wall-clock semantics: date_trunc/hour bucketing on LTZ
+    # timestamps must agree with the oracle's tz-naive arithmetic even
+    # if the calling session's timezone isn't UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     single = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(
         single if os.path.exists(single) else os.path.join(sf_dir, name)
