@@ -1680,3 +1680,72 @@ def q_apy(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(apr_to_apy(F.col("stake_apy")), 9).alias("stake_apy_compounded"),
         F.round("stake_apy", 3).alias("stake_apy_rounded"),
     )
+
+
+WORDCOUNT_SQL = f"""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 50
+"""
+
+
+@register("wordcount_top50", WORDCOUNT_SQL)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + global aggregation + deterministic top-k: the
+    canonical tokenize-and-count pass over the corpus."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+ARRAY_AGG_SQL = """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS event_types,
+           CAST(length(list(DISTINCT event_type)) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@register("array_agg_sorted", ARRAY_AGG_SQL)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + deterministic ordering (array-valued aggregation)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+    )
+
+
+QUANTILES_SQL = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("exact_quantiles", QUANTILES_SQL)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark percentile ==
+    DuckDB quantile_cont; r6 absorbs interpolation-arithmetic ulps)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        r(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        r(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        r(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25_qty"),
+    )
