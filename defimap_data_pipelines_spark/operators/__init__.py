@@ -16,3 +16,26 @@ from defimap_data_pipelines_spark.operators.cleaning import (  # noqa: F401
     fillna_zero,
     interpolate_linear,
 )
+from defimap_data_pipelines_spark.operators.asof import asof_join  # noqa: F401
+from defimap_data_pipelines_spark.operators.skew import salted_agg  # noqa: F401
+from defimap_data_pipelines_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from defimap_data_pipelines_spark.operators.similarity import (  # noqa: F401
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from defimap_data_pipelines_spark.operators.textops import (  # noqa: F401
+    lang_id,
+    quality_score,
+    text_stats,
+)
+from defimap_data_pipelines_spark.operators.multimodal import (  # noqa: F401
+    decode_media,
+    frame_sample,
+)

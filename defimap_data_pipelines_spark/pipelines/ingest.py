@@ -47,8 +47,14 @@ def with_retries(fn: Callable, tries: int = 13, sleep=time.sleep):
 
 
 def synthetic_sampler(name: str, date_iso: str) -> dict:
-    """Deterministic fake chain state (tests / this container)."""
-    seed = hash((name, date_iso)) & 0xFFFF
+    """Deterministic fake chain state (tests / this container).
+
+    NB: uses zlib.crc32, not Python hash() — str hashing is randomized
+    per process, which would make the synthetic bronze irreproducible.
+    """
+    import zlib
+
+    seed = zlib.crc32(f"{name}|{date_iso}".encode()) & 0xFFFF
     return {
         "stake_apy": round(0.5 + (seed % 750) / 100.0, 3),
         "aave_apy": round((seed % 300) / 100.0, 3),

@@ -1749,3 +1749,36 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
         r(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25_qty"),
     )
+
+
+Q6_SQL = """
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+               / 100.0 AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", Q6_SQL)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+sum: every predicate pushes to the parquet scan
+    (the pushdown showcase; see tools/explain_audit.py)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
