@@ -188,3 +188,38 @@ def test_risk_regression_matches_numpy(spark, sf_dir):
         assert got[name].beta == pytest.approx(theta[0], rel=1e-6)
         assert got[name].alpha == pytest.approx(theta[1], rel=1e-6, abs=1e-12)
         assert got[name].r_square == pytest.approx(r2, rel=1e-6)
+
+
+def test_return_1y_ytd_fallback(spark):
+    """A8 (aave_transform.py:428-443): when the compounded 1y return is
+    exactly 0.0 the ytd value is used instead."""
+    import pandas as pd
+    from defimap_data_pipelines_spark.pipelines.transform import (
+        return_1y_with_fallback,
+    )
+
+    rows = [
+        # 1y arm: +10% then reversal to exactly 0 compounded
+        ("2023-06-29", "1y", "s", 0.1),
+        ("2023-06-30", "1y", "s", (1 / 1.1) - 1),
+        # ytd arm: +5%
+        ("2023-06-29", "ytd", "s", 0.05),
+        ("2023-06-30", "ytd", "s", 0.0),
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["date", "period", "name", "percent_change"])
+    ).withColumn("date", F.col("date").cast("date"))
+    out = return_1y_with_fallback(t, "2023-06-30").collect()
+    assert len(out) == 1
+    # 1y compounds to ~0 (float-rounded); fallback only fires on exact 0.0,
+    # so force the exact-zero case separately:
+    rows0 = [
+        ("2023-06-30", "1y", "s", 0.0),
+        ("2023-06-29", "ytd", "s", 0.05),
+        ("2023-06-30", "ytd", "s", 0.0),
+    ]
+    t0 = spark.createDataFrame(
+        pd.DataFrame(rows0, columns=["date", "period", "name", "percent_change"])
+    ).withColumn("date", F.col("date").cast("date"))
+    out0 = return_1y_with_fallback(t0, "2023-06-30").collect()[0]
+    assert out0.return_1y == pytest.approx(0.05, rel=1e-9)
