@@ -1782,3 +1782,43 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+CHAR_JACCARD_SQL = f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS nt FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(length(nt) - 4, 1) + 1),
+                   i -> substr(nt, i, 5)))) AS shingle
+        FROM norm
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@register("char_jaccard_pairs", CHAR_JACCARD_SQL)
+def q_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs — same prefix-filtered
+    machinery as the word-gram variant, different shingle source."""
+    from defimap_data_pipelines_spark.functions.text import char_shingles
+    from defimap_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", char_shingles(F.col("text"), 5).alias("_sh")
+    ).cache()
+    return ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh)
