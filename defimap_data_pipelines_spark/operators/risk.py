@@ -215,3 +215,90 @@ def risk_metrics(
         "valley_date",
         "duration",
     )
+
+
+def risk_metrics_pandas_replica(
+    gotk: DataFrame, benchmark: DataFrame, day_period: int = 365
+) -> DataFrame:
+    """Literal pandas replica of the reference risk math, run per
+    strategy group via applyInPandas (SURVEY.md §2.8: the bit-exact
+    fallback path the native implementation is validated against;
+    mirrors aave_transform.py:349-464).
+
+    Scale shape: one group per strategy, each a few hundred rows — the
+    Arrow exchange is tiny and groups parallelize; the native window
+    implementation (risk_metrics) remains the default path.
+    """
+    import math
+    import statistics
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("sd", T.DoubleType()),
+            T.StructField("annual_return", T.DoubleType()),
+            T.StructField("sharpe", T.DoubleType()),
+            T.StructField("alpha", T.DoubleType()),
+            T.StructField("beta", T.DoubleType()),
+            T.StructField("r_square", T.DoubleType()),
+            T.StructField("max_drawdown", T.DoubleType()),
+            T.StructField("peak_date", T.DateType()),
+            T.StructField("valley_date", T.DateType()),
+            T.StructField("duration", T.LongType()),
+        ]
+    )
+    bench_pdf = benchmark.select("date", "percent_change").toPandas()
+    bench_pdf = bench_pdf.sort_values("date").reset_index(drop=True)
+
+    def per_strategy(pdf: pd.DataFrame) -> pd.DataFrame:
+        df_gotk = pdf.sort_values("date").reset_index(drop=True)
+        name = df_gotk["name"].iloc[0]
+
+        # find_sd (aave_transform.py:349-353)
+        data = df_gotk["percent_change"].tail(day_period)
+        sd = statistics.stdev(data) * math.sqrt(365)
+        # find_average_t_return (:355-358)
+        day_return = df_gotk["percent_change"].tail(day_period).mean()
+        annual_return = ((day_return + 1) ** day_period) - 1
+        sharpe = annual_return / sd
+
+        # get_alpha_beta_r2 (:363-382) — positional tail alignment
+        dp = day_period
+        if len(bench_pdf.index) < dp or len(df_gotk.index) < dp:
+            dp = min(len(bench_pdf.index), len(df_gotk.index))
+        x = bench_pdf["percent_change"].tail(dp).reset_index(drop=True)
+        y = df_gotk["percent_change"].tail(dp).reset_index(drop=True)
+        theta = np.polyfit(x, y, 1)
+        pred = theta[1] + theta[0] * x
+        r_squared = 1 - (((pred - y) ** 2).sum() / ((y - y.mean()) ** 2).sum())
+
+        # find_max_drawdown (:384-403)
+        d = df_gotk.tail(day_period).reset_index(drop=True)
+        d["returns"] = d["end_day_investment"] - d["start_day_investment"]
+        d["cumulative_returns"] = d["returns"].cumsum()
+        d["running_max"] = d["cumulative_returns"].cummax()
+        d["drawdown"] = d["cumulative_returns"] - d["running_max"]
+        trough_date = d["date"][d["drawdown"].idxmin()]
+        sub = d[d["date"] <= trough_date]
+        peak_date = sub["date"][sub["cumulative_returns"].idxmax()]
+        mdd = d["drawdown"].min()
+        idx = int(d.index[d["date"] == peak_date].tolist()[0])
+        mm = mdd / d["end_day_investment"][idx]
+        duration = (trough_date - peak_date).days
+
+        return pd.DataFrame(
+            [
+                (
+                    name, sd, annual_return, sharpe,
+                    float(theta[1]), float(theta[0]), float(r_squared),
+                    mm, peak_date, trough_date, duration,
+                )
+            ],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return gotk.groupBy("name").applyInPandas(per_strategy, out_schema)

@@ -1822,3 +1822,56 @@ def q_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", char_shingles(F.col("text"), 5).alias("_sh")
     ).cache()
     return ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh)
+
+
+ABOVE_AVG_SQL = """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+               / COUNT(*) / 100.0
+        FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+"""
+
+
+@register("above_nation_avg", ABOVE_AVG_SQL)
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics, expressed as aggregate +
+    equi-join (the distributed formulation of the correlated filter)."""
+    c = read_table(spark, sf_dir, "customer")
+    avg_bal = c.groupBy(F.col("c_nationkey").alias("_nk")).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("_avg")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), c.c_nationkey == avg_bal._nk)
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+UNPIVOT_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL})
+    SELECT date, name, 'stake_apy' AS metric, stake_apy AS value FROM raw_data
+    UNION ALL
+    SELECT date, name, 'aave_apy' AS metric, aave_apy AS value FROM raw_data
+    UNION ALL
+    SELECT date, name, 'total_apy' AS metric, total_apy AS value FROM raw_data
+"""
+
+
+@register("unpivot_metrics", UNPIVOT_SQL)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot of the APY metric columns."""
+    raw = orders_raw_series(spark, sf_dir)
+    return raw.unpivot(
+        ["date", "name"],
+        ["stake_apy", "aave_apy", "total_apy"],
+        "metric",
+        "value",
+    )

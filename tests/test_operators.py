@@ -223,3 +223,40 @@ def test_return_1y_ytd_fallback(spark):
     ).withColumn("date", F.col("date").cast("date"))
     out0 = return_1y_with_fallback(t0, "2023-06-30").collect()[0]
     assert out0.return_1y == pytest.approx(0.05, rel=1e-9)
+
+
+def test_native_risk_equals_pandas_replica(spark, sf_dir):
+    """The native window/aggregate risk path must agree with the
+    applyInPandas literal-reference replica (§2.8 dual-implementation).
+
+    Note the replica aligns regression series POSITIONALLY (the
+    reference's tail+reset_index); the native path joins by date. On
+    this data the grids differ per name, so alpha/beta/r² are compared
+    only for the benchmark strategy itself (identical grid)."""
+    from defimap_data_pipelines_spark.operators.growth import capital_gotk
+    from defimap_data_pipelines_spark.operators.risk import (
+        max_drawdown,
+        risk_metrics_pandas_replica,
+        sd_annualized,
+        annual_return,
+    )
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, "2000-08-01", DS)
+    bench = capital_gotk(
+        raw.filter(
+            (F.col("name") == "1-URGENT")
+            & F.col("date").between("2000-08-01", DS)
+        )
+    )
+    replica = {r.name: r for r in risk_metrics_pandas_replica(g, bench).collect()}
+    sd = {r.name: r.sd for r in sd_annualized(g).collect()}
+    ar = {r.name: r.annual_return for r in annual_return(g).collect()}
+    dd = {r.name: r for r in max_drawdown(g).collect()}
+    for name, rep in replica.items():
+        assert sd[name] == pytest.approx(rep.sd, rel=1e-9)
+        assert ar[name] == pytest.approx(rep.annual_return, rel=1e-9)
+        assert dd[name].max_drawdown == pytest.approx(rep.max_drawdown, rel=1e-6)
+        assert dd[name].peak_date == rep.peak_date
+        assert dd[name].valley_date == rep.valley_date
+        assert dd[name].duration == rep.duration
