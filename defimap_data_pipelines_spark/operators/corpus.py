@@ -1,0 +1,109 @@
+"""Corpus curation compositions: the end-to-end training-data cleaning
+pass (quality filter -> exact dedup -> near-dup removal) and
+connected-components clustering of near-dup pairs.
+
+At 100 TB this is the pipeline the LLM-data operators exist for: a
+corpus scan computes quality + fingerprints, the dedup joins produce
+pair/cluster structure, and the final filter keeps one canonical
+document per cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs (doc_a, doc_b) ->
+    (doc_id, cluster_id) with cluster_id = min doc_id in the component.
+
+    Iterative label propagation (hash-join per round): each node adopts
+    the minimum label among itself and its neighbors until fixpoint —
+    the standard large-graph CC formulation; rounds are O(diameter),
+    which is tiny for near-dup clusters. Deterministic by construction.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    # localCheckpoint each round: iterative algorithms must break
+    # lineage or the plan (and its re-evaluation for the convergence
+    # check) grows exponentially with iterations
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    use_minhash: bool = True,
+) -> DataFrame:
+    """Quality-filter + dedup pass: returns surviving documents.
+
+    1. drop docs with quality_score < min_quality;
+    2. exact dedup on the normalized fingerprint (keep min doc_id);
+    3. near-dup removal: cluster jaccard>=t pairs (MinHash-LSH at
+       scale, exact inverted index otherwise) and keep each cluster's
+       canonical (min doc_id).
+    """
+    from defimap_data_pipelines_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from defimap_data_pipelines_spark.operators.textops import quality_score
+
+    q = quality_score(docs, text_col).filter(
+        F.col("quality_score") >= min_quality
+    )
+    docs_q = docs.join(q.select("doc_id"), "doc_id")
+
+    canon = exact_dedup(docs_q, text_col).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    docs_e = docs_q.join(canon, "doc_id")
+
+    pair_fn = minhash_lsh_candidates if use_minhash else ngram_jaccard_pairs
+    pairs = pair_fn(docs_e, text_col, threshold=jaccard_threshold)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs_e.join(losers, "doc_id", "left_anti")

@@ -1875,3 +1875,19 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register("clean_corpus")
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality filter -> exact dedup ->
+    near-dup cluster removal (rows-only; invariants + union-find
+    equivalence tested in tests/test_corpus.py)."""
+    from defimap_data_pipelines_spark.operators.corpus import clean_corpus
+
+    out = clean_corpus(
+        read_table(spark, sf_dir, "documents"),
+        min_quality=0.3,
+        jaccard_threshold=0.35,
+        use_minhash=True,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
