@@ -132,3 +132,47 @@ def incremental_gotk_step(
     # reset a strategy's series)
     untouched = state.join(new_raw.select("name"), "name", "left_anti")
     return gotk_rows, updated.unionByName(untouched)
+
+
+def initial_tvl_state(raw_history: DataFrame) -> DataFrame:
+    """(name, prev_tvl, last_date) from the latest history row."""
+    from pyspark.sql import Window
+
+    last = Window.partitionBy("name").orderBy(F.col("date").desc())
+    return (
+        raw_history.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "name",
+            (F.col("atoken_supply") * F.col("asset_price")).alias("prev_tvl"),
+            F.col("date").alias("last_date"),
+        )
+    )
+
+
+def incremental_tvl_step(
+    state: DataFrame, new_raw: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Advance TVL one day (W5 self-defaulting lag carried as state)."""
+    joined = new_raw.join(F.broadcast(state), "name", "left")
+    tvl = F.col("atoken_supply") * F.col("asset_price")
+    prev = F.coalesce(F.col("prev_tvl"), tvl)
+    change = tvl - prev
+    pct = (
+        F.coalesce(
+            change / F.when(tvl == 0, F.lit(None)).otherwise(tvl), F.lit(0.0)
+        )
+        * 100
+    )
+    rows = joined.select(
+        "date",
+        "name",
+        tvl.alias("tvl"),
+        change.alias("change_tvl"),
+        pct.alias("percent_change"),
+    )
+    new_state = joined.select(
+        "name", tvl.alias("prev_tvl"), F.col("date").alias("last_date")
+    )
+    untouched = state.join(new_raw.select("name"), "name", "left_anti")
+    return rows, new_state.unionByName(untouched)

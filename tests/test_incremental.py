@@ -51,3 +51,38 @@ def test_incremental_equals_batch(spark, sf_dir):
         ), (r.name, r.date)
         assert r.start_day_investment == b.start_day_investment
         assert r.percent_change == b.percent_change
+
+
+def test_incremental_tvl_equals_batch(spark, sf_dir):
+    from defimap_data_pipelines_spark.operators.tvl import tvl
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        incremental_tvl_step,
+        initial_tvl_state,
+    )
+
+    raw = orders_raw_series(spark, sf_dir).filter(
+        F.col("date").between("2001-07-01", "2001-07-31")
+    ).cache()
+    split = "2001-07-25"
+    state = initial_tvl_state(raw.filter(F.col("date") <= split))
+    future_dates = sorted(
+        r.date for r in raw.filter(F.col("date") > split)
+        .select("date").distinct().collect()
+    )
+    got = []
+    for d in future_dates:
+        rows, state = incremental_tvl_step(
+            state, raw.filter(F.col("date") == F.lit(str(d)))
+        )
+        got.extend(rows.collect())
+        state = spark.createDataFrame(state.collect(), state.schema)
+
+    batch = {
+        (r.name, str(r.date)): r
+        for r in tvl(raw).filter(F.col("date") > split).collect()
+    }
+    assert len(got) == len(batch)
+    for r in got:
+        b = batch[(r.name, str(r.date))]
+        assert r.tvl == b.tvl and r.change_tvl == b.change_tvl
+        assert r.percent_change == b.percent_change
