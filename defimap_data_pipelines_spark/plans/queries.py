@@ -1891,3 +1891,115 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_minhash=True,
     )
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+BOOL_AGGS_SQL = """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@register("bool_aggs", BOOL_AGGS_SQL)
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + filtered count."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )
+
+
+STATS_MOMENTS_SQL = """
+    SELECT l_returnflag,
+           ROUND(stddev_pop(l_extendedprice), 9) AS sd_pop,
+           ROUND(var_samp(l_extendedprice), 6) AS var_s,
+           ROUND(corr(l_extendedprice, l_quantity), 9) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_discount), 9) AS price_disc_cov,
+           ROUND(covar_pop(l_quantity, l_tax), 9) AS qty_tax_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("stats_moments", STATS_MOMENTS_SQL)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-family aggregates (r9/r6: engine-internal accumulation
+    order differs; var_samp is ~1e9-scale so 6dp)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        r(F.stddev_pop("l_extendedprice"), 9).alias("sd_pop"),
+        r(F.var_samp("l_extendedprice"), 6).alias("var_s"),
+        r(F.corr("l_extendedprice", "l_quantity"), 9).alias("price_qty_corr"),
+        r(F.covar_samp("l_extendedprice", "l_discount"), 9).alias("price_disc_cov"),
+        r(F.covar_pop("l_quantity", "l_tax"), 9).alias("qty_tax_cov"),
+    )
+
+
+DATE_ARITH_SQL = """
+    SELECT d,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_month,
+           CAST(d - INTERVAL 7 DAY AS DATE) AS minus_week,
+           CAST(date_trunc('week', d) AS DATE) AS week_start,
+           CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
+           CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since_epoch
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+"""
+
+
+@register("date_arith", DATE_ARITH_SQL)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: add_months (end-of-month clamped identically in
+    both engines), date_sub, week/quarter truncation, day diffs."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("d")
+    return (
+        o.select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .select(
+            "d",
+            F.add_months(d, 1).alias("plus_month"),
+            F.date_sub(d, 7).alias("minus_week"),
+            F.date_trunc("week", d).cast("date").alias("week_start"),
+            F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+            F.datediff(d, F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_epoch"),
+        )
+    )
+
+
+MINMAX_BY_SQL = """
+    SELECT o_orderpriority,
+           MAX(o_totalprice) AS max_price,
+           MAX(CASE WHEN o_totalprice = mp THEN o_orderkey END) AS max_price_key,
+           MIN(CASE WHEN o_totalprice = np THEN o_orderkey END) AS min_price_key
+    FROM (
+        SELECT *,
+               MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mp,
+               MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS np
+        FROM orders
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("minmax_by", MINMAX_BY_SQL)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by with deterministic tie-breaks (struct ordering in
+    Spark == window-CASE formulation in the oracle)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.max_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("max_price_key"),
+        F.min_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("min_price_key"),
+    )
