@@ -98,8 +98,23 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     staged = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b")
+        cand.join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+            ),
+            "doc_b",
+        )
+        # size-ratio prefilter: jaccard>=t implies t*max(|a|,|b|) <= min
+        .filter(
+            (F.size("_sa") >= F.lit(threshold) * F.size("_sb"))
+            & (F.size("_sb") >= F.lit(threshold) * F.size("_sa"))
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -198,8 +213,18 @@ def minhash_lsh_candidates(
     # the postings index; candidates are a small fraction of pairs)
     sh = shingles if shingles is not None else doc_shingles(docs, text_col, n)
     staged = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b")
+        cand.join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",

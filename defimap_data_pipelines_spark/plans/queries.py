@@ -2003,3 +2003,119 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.struct("o_totalprice", "o_orderkey")
         ).alias("min_price_key"),
     )
+
+
+Q12_SQL = """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_qty_count,
+           CAST(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_qty_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("q12_priority_split", Q12_SQL)
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counting across a fact-fact join (TPC-H Q12 shape)."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0))
+            .cast("long")
+            .alias("high_qty_count"),
+            F.sum(F.when(F.col("l_quantity") < 25, 1).otherwise(0))
+            .cast("long")
+            .alias("low_qty_count"),
+        )
+    )
+
+
+Q14_SQL = """
+    SELECT 100.0
+           * SUM(CAST(ROUND(CASE WHEN p_type LIKE 'small%'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END * 100) AS BIGINT))
+           / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
+"""
+
+
+@register("q14_promo_revenue", Q14_SQL)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-conditional-sums across a broadcast dim join (TPC-H Q14
+    shape; exact-integer numerator and denominator)."""
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("small%"), rev).otherwise(F.lit(0))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        (
+            100.0
+            * F.sum(F.round(promo * 100).cast("long"))
+            / F.sum(F.round(rev * 100).cast("long"))
+        ).alias("promo_revenue_pct")
+    )
+
+
+NULLS_ORDER_SQL = """
+    SELECT doc_id, x
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE CAST(n_chars AS DOUBLE) END AS x
+        FROM documents
+    )
+    ORDER BY x ASC NULLS LAST, doc_id ASC
+    LIMIT 20
+"""
+
+
+@register("nulls_ordering", NULLS_ORDER_SQL)
+def q_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST control (Spark defaults NULLS FIRST asc,
+    DuckDB NULLS LAST — always pin it in ordered output)."""
+    d = read_table(spark, sf_dir, "documents")
+    x = F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("n_chars").cast("double")
+    )
+    return (
+        d.select("doc_id", x.alias("x"))
+        .orderBy(F.col("x").asc_nulls_last(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+LIMIT_OFFSET_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25 OFFSET 50
+"""
+
+
+@register("limit_offset", LIMIT_OFFSET_SQL)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: total order + offset + limit."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(50)
+        .limit(25)
+    )
