@@ -20,7 +20,7 @@ LLM-training-data pipeline, 100 TB posture).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from defimap_data_pipelines_spark.functions.text import fingerprint, word_shingles
@@ -48,6 +48,24 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     )
 
 
+def hashed_shingles(shingles: DataFrame) -> DataFrame:
+    """(doc_id, _hh: array<bigint>) xxhash64 of each distinct shingle,
+    sorted ascending.
+
+    The hashed form is the workhorse for set-similarity: 64-bit
+    integer arrays intersect ~5x faster than string arrays, and the
+    hash order doubles as the global shingle order for prefix
+    filtering — computable per-row at scan time, with no
+    document-frequency table and no window sort (both of which are
+    extra shuffles). Collisions (~|shingles|^2 / 2^64) are negligible
+    and the string-based oracle in CI would catch one.
+    """
+    return shingles.select(
+        "doc_id",
+        F.sort_array(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_hh"),
+    )
+
+
 def shingle_postings(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) postings with distinct shingles per doc."""
     return docs.select(
@@ -61,59 +79,123 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    hashed: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct word n-grams.
 
-    Candidate generation uses PREFIX FILTERING (Chaudhuri et al. /
-    PPJoin family): order each doc's shingles by global document
-    frequency ascending; two docs with jaccard >= t MUST collide within
-    their first |d| - ceil(t*|d|) + 1 shingles. Joining only the
-    prefixes removes the frequent-shingle quadratic blowup; candidates
-    are then verified exactly with array_intersect. Result-identical to
-    the naive full inverted-index join.
-    """
-    sh = shingles if shingles is not None else doc_shingles(docs, text_col, n).cache()
-    post = sh.select("doc_id", F.explode("_sh").alias("shingle"))
-    freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    Two physical strategies over the same hashed-shingle frame, both
+    result-identical to the naive formulation (modulo 64-bit shingle
+    hash collisions, probability ~|shingles|^2/2^64; the string-based
+    oracle in CI would catch one):
 
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    prefix_len = F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")) + 1
-    prefix = (
-        post.join(freq, "shingle")
-        .join(F.broadcast(sizes), "doc_id")
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= prefix_len)
-        .select("doc_id", "shingle")
+    - ``"index"``: inverted-index self-join on shingle hash, counting
+      the intersection directly with a map-side-combining groupBy —
+      a single shuffle round, no second verification pass. Fastest
+      when the prefix filter prunes weakly (low thresholds: at t the
+      prefix is ~(1-t) of each doc, so t=0.35 prunes only ~40% of
+      co-occurring pairs but pays a whole extra pass for it).
+    - ``"prefix"``: PREFIX FILTERING (Chaudhuri et al. / PPJoin
+      family). Under ANY global total order of shingles, two docs
+      with jaccard >= t MUST collide within their first
+      |d| - ceil(t*|d|) + 1 shingles. We order by xxhash64(shingle),
+      so each doc's prefix is a per-row slice of its sorted hash
+      array — computed at scan time with NO document-frequency table
+      and no window sort (the df-ascending variant costs two extra
+      shuffles and measured ~1.6x slower end-to-end despite ~30%
+      fewer candidates). Candidates are then verified with bigint
+      array_intersect. This is the 100 TB path for high thresholds:
+      join volume shrinks ~quadratically in (1-t) and the
+      frequent-shingle blowup of the full index join never
+      materializes.
+
+    ``"auto"`` picks index below t=0.5 and prefix at or above.
+    """
+    sh = shingles if shingles is not None else doc_shingles(docs, text_col, n)
+    hs = hashed if hashed is not None else hashed_shingles(sh)
+    if strategy == "auto":
+        strategy = "prefix" if threshold >= 0.5 else "index"
+    if strategy == "index":
+        post = hs.select(
+            "doc_id", F.size("_hh").alias("nsh"), F.explode("_hh").alias("h")
+        )
+        a = post.select(
+            F.col("doc_id").alias("doc_a"), F.col("nsh").alias("_na"), "h"
+        )
+        b = post.select(
+            F.col("doc_id").alias("doc_b"), F.col("nsh").alias("_nb"), "h"
+        )
+        inter = (
+            a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            # size-ratio filter: jaccard>=t implies t*max(|a|,|b|) <= min
+            .filter(
+                (F.col("_na") >= F.lit(threshold) * F.col("_nb"))
+                & (F.col("_nb") >= F.lit(threshold) * F.col("_na"))
+            )
+            .groupBy("doc_a", "doc_b", "_na", "_nb")
+            .agg(F.count(F.lit(1)).alias("_ni"))
+        )
+        jac = inter.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_ni")
+                / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double")
+            ).alias("jaccard"),
+        )
+        return jac.filter(F.col("jaccard") >= threshold)
+    nsh = F.size("_hh")
+    plen = (nsh - F.ceil(F.lit(threshold) * nsh) + 1).cast("int")
+    prefix = hs.select(
+        "doc_id", nsh.alias("nsh"), F.explode(F.slice("_hh", 1, plen)).alias("h")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("nsh").alias("_pna")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("nsh").alias("_pnb")
     )
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size-ratio filter: jaccard>=t implies t*max(|a|,|b|) <= min
+        .filter(
+            (F.col("_pna") >= F.lit(threshold) * F.col("_pnb"))
+            & (F.col("_pnb") >= F.lit(threshold) * F.col("_pna"))
         )
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    return _verify_jaccard(cand, hs, threshold)
+
+
+def _verify_jaccard(
+    cand: DataFrame, hs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs
+    against sorted hashed-shingle arrays.
+
+    The broadcast is right for the bench SFs; on a 100 TB corpus the
+    doc-id joins fall back to shuffle hash joins automatically once
+    ``hs`` exceeds the broadcast threshold (the hint degrades to a
+    plain join when Spark can't satisfy it) — candidates stay a tiny
+    fraction of the cross product either way.
+    """
     staged = (
         cand.join(
             F.broadcast(
-                sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+                hs.select(F.col("doc_id").alias("doc_a"), F.col("_hh").alias("_sa"))
             ),
             "doc_a",
         )
         .join(
             F.broadcast(
-                sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+                hs.select(F.col("doc_id").alias("doc_b"), F.col("_hh").alias("_sb"))
             ),
             "doc_b",
-        )
-        # size-ratio prefilter: jaccard>=t implies t*max(|a|,|b|) <= min
-        .filter(
-            (F.size("_sa") >= F.lit(threshold) * F.size("_sb"))
-            & (F.size("_sb") >= F.lit(threshold) * F.size("_sa"))
         )
         .select(
             "doc_a",
@@ -176,6 +258,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH banding, verified with exact
     Jaccard (returns doc_a, doc_b, jaccard >= threshold).
@@ -208,39 +291,13 @@ def minhash_lsh_candidates(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify candidates with exact jaccard: join the two shingle arrays
-    # onto each candidate pair and intersect per-row (no re-shuffle of
-    # the postings index; candidates are a small fraction of pairs)
+    # verify candidates with exact jaccard: join the two hashed shingle
+    # arrays onto each candidate pair and intersect per-row (no
+    # re-shuffle of the postings index; candidates are a small fraction
+    # of pairs, and bigint intersects beat string intersects ~5x)
     sh = shingles if shingles is not None else doc_shingles(docs, text_col, n)
-    staged = (
-        cand.join(
-            F.broadcast(
-                sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("_sa", "_sb")).alias("_ni"),
-            F.size("_sa").alias("_na"),
-            F.size("_sb").alias("_nb"),
-        )
-    )
-    verified = staged.select(
-        "doc_a",
-        "doc_b",
-        (
-            F.col("_ni") / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double")
-        ).alias("jaccard"),
-    )
-    return verified.filter(F.col("jaccard") >= threshold)
+    hs = hashed if hashed is not None else hashed_shingles(sh)
+    return _verify_jaccard(cand, hs, threshold)
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:

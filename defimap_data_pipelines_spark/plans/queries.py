@@ -1236,6 +1236,7 @@ JACCARD_SQL = f"""
 
 
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_HASHED_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,6 +1251,19 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+def _hashed_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, _hh) sorted-hash frame shared by jaccard-family
+    candidate generation and verification."""
+    from defimap_data_pipelines_spark.operators.dedup import hashed_shingles
+
+    key = (id(spark), sf_dir)
+    hit = _HASHED_SHINGLE_CACHE.get(key)
+    if hit is None:
+        hit = hashed_shingles(_doc_shingles(spark, sf_dir)).cache()
+        _HASHED_SHINGLE_CACHE[key] = hit
+    return hit
+
+
 @register("ngram_jaccard_pairs", JACCARD_SQL)
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
@@ -1259,6 +1273,7 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents"),
         threshold=0.35,
         shingles=_doc_shingles(spark, sf_dir),
+        hashed=_hashed_doc_shingles(spark, sf_dir),
     )
 
 
@@ -1336,6 +1351,7 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents"),
         threshold=0.35,
         shingles=_doc_shingles(spark, sf_dir),
+        hashed=_hashed_doc_shingles(spark, sf_dir),
     )
 
 
