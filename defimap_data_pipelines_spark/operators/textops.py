@@ -15,10 +15,8 @@ from pyspark.sql import functions as F
 from defimap_data_pipelines_spark.functions.text import (
     STOPWORDS,
     bpe_ish_token_count,
-    fingerprint,
     normalize_text,
     punct_ratio,
-    ws_token_count,
     ws_tokens,
 )
 
@@ -28,28 +26,72 @@ def _hits(text_col: Column, words: list[str]) -> Column:
     return F.size(F.filter(ws_tokens(text_col), lambda t: t.isin(*words)))
 
 
+def _tok_hits(toks: Column, words: list[str]) -> Column:
+    """# elements (with duplicates) of a token array in ``words``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _staged_tokens(
+    docs: DataFrame, text_col: str, extra: list[Column] | None = None
+) -> DataFrame:
+    """(doc_id, _norm, _toks, *extra): normalize and split ONCE.
+
+    The staged select keeps one regexp_replace and one split in the
+    physical plan no matter how many downstream metrics consume them —
+    Spark's CollapseProject guard (it refuses to inline a non-cheap
+    alias referenced more than once) preserves the staging; the naive
+    one-select formulation evaluates normalize/split per metric
+    (5 regexp_replace + 3 split in the text_stats plan, ~25% slower).
+    """
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        normalize_text(c).alias("_norm"),
+        *(extra or []),
+    ).select("*", F.split("_norm", " ").alias("_toks"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats: char/token counts, punctuation and stopword
     ratios, deterministic fingerprint."""
     c = F.col(text_col)
-    en_hits = _hits(c, STOPWORDS["en"])
-    n_ws = ws_token_count(c)
-    return docs.select(
+    staged = _staged_tokens(
+        docs,
+        text_col,
+        extra=[
+            F.length(c).alias("n_chars"),
+            bpe_ish_token_count(c).alias("n_bpe_tokens"),
+            punct_ratio(c).alias("punct_ratio"),
+        ],
+    )
+    n_ws = F.size("_toks")
+    return staged.select(
         "doc_id",
-        F.length(c).alias("n_chars"),
+        "n_chars",
         n_ws.alias("n_ws_tokens"),
-        bpe_ish_token_count(c).alias("n_bpe_tokens"),
-        punct_ratio(c).alias("punct_ratio"),
-        (en_hits / n_ws.cast("double")).alias("stopword_ratio"),
-        fingerprint(c).alias("fingerprint"),
+        "n_bpe_tokens",
+        "punct_ratio",
+        (
+            _tok_hits(F.col("_toks"), STOPWORDS["en"]) / n_ws.cast("double")
+        ).alias("stopword_ratio"),
+        F.md5("_norm").alias("fingerprint"),
     )
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: stopword-hit score per language, argmax
     with a fixed tie-break order (en > de > fr > es > it)."""
-    c = F.col(text_col)
-    scores = {lang: _hits(c, words) for lang, words in STOPWORDS.items()}
+    staged = _staged_tokens(docs, text_col)
+    # score each language from the SAME token array (one split total),
+    # staging the scores so the argmax cascade references cheap columns
+    scored = staged.select(
+        "doc_id",
+        *[
+            _tok_hits(F.col("_toks"), words).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    scores = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
     langs = list(STOPWORDS)  # tie-break order
     expr = None
     for lang in langs:
@@ -67,24 +109,22 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         expr = (
             F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
         )
-    out_cols = [F.col("doc_id")] + [
-        scores[lang].alias(f"score_{lang}") for lang in langs
-    ]
-    return docs.select(*out_cols, expr.otherwise(F.lit(langs[0])).alias("lang_pred"))
+    out_cols = [F.col("doc_id")] + [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return scored.select(*out_cols, expr.otherwise(F.lit(langs[0])).alias("lang_pred"))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite [0,1] quality score: token-count saturation, low
     punctuation, healthy stopword density, sane mean word length."""
     c = F.col(text_col)
-    n_ws = ws_token_count(c)
-    sw = _hits(c, STOPWORDS["en"]) / n_ws.cast("double")
-    pr = punct_ratio(c)
-    mean_wl = F.length(normalize_text(c)).cast("double") / n_ws.cast("double")
+    staged = _staged_tokens(docs, text_col, extra=[punct_ratio(c).alias("_pr")])
+    n_ws = F.size("_toks")
+    sw = _tok_hits(F.col("_toks"), STOPWORDS["en"]) / n_ws.cast("double")
+    mean_wl = F.length("_norm").cast("double") / n_ws.cast("double")
     score = (
         0.4 * F.least(F.lit(1.0), n_ws.cast("double") / 100.0)
-        + 0.3 * (1.0 - F.least(F.lit(1.0), pr * 5.0))
+        + 0.3 * (1.0 - F.least(F.lit(1.0), F.col("_pr") * 5.0))
         + 0.2 * F.least(F.lit(1.0), sw * 10.0)
         + 0.1 * F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.0)
     )
-    return docs.select("doc_id", score.alias("quality_score"))
+    return staged.select("doc_id", score.alias("quality_score"))
