@@ -195,3 +195,65 @@ def stream_user_activity_state(events: DataFrame, timeout_ms: int | None = None)
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_user_activity_tws(events: DataFrame):
+    """The same per-user running counters as
+    ``stream_user_activity_state``, on Spark 4's transformWithState API
+    (StatefulProcessor + typed state variables).
+
+    transformWithState supersedes applyInPandasWithState for new
+    stateful operators: state is named and typed per variable (value/
+    list/map) instead of one monolithic tuple, timers are first-class
+    (vs the single timeout), TTL is built in, and the state store can
+    be queried offline via the state data source. Kept alongside the
+    applyInPandasWithState twin so both arbitrary-state surfaces stay
+    exercised.
+
+    Requires the RocksDB state store provider (the default HDFS-backed
+    one does not support transformWithState) — set
+    spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider on the session before starting the query.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class UserCounters(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counters = handle.getValueState(
+                "counters", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, total = (
+                self._counters.get() if self._counters.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._counters.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserCounters(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
