@@ -16,14 +16,21 @@ from defimap_data_pipelines_spark.plans.queries import QUERIES
 
 def summarize(name: str, spark, sf_dir: str) -> str:
     df = QUERIES[name](spark, sf_dir)
+    # execute first: AQE's pre-execution plan string has no codegen
+    # spans and no final shuffle decisions (isFinalPlan=false)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # keep only the final adaptive plan — the trailing "Initial Plan"
+    # section would double-count exchanges/joins
+    plan = plan.split("== Initial Plan ==")[0]
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     widths = ",".join(str(len(s.split(","))) for s in scans) or "-"
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
     return (
         f"{name:28s} exchanges={plan.count('Exchange'):2d} "
         f"bhj={plan.count('BroadcastHashJoin')} "
         f"smj={plan.count('SortMergeJoin')} "
-        f"codegen={plan.count('WholeStageCodegen')} "
+        f"codegen={len(codegen_ids)} "
         f"scan_widths={widths}"
     )
 
