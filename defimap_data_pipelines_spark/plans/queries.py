@@ -1635,9 +1635,13 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch -> rows-only; estimate accuracy is tolerance-tested in
     tests/test_asof_skew_sources.py via approx_count_distinct."""
     e = read_table(spark, sf_dir, "events")
+    # cache: the ALL arm reuses the per-type sketches; without it the
+    # union's two branches each re-scan events (branches don't share
+    # subplans). The cached frame is #event_types rows of ~1.5 KB
+    # sketches — negligible at any scale.
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch")
-    )
+    ).cache()
     total = per_type.agg(
         F.hll_union_agg("sketch").alias("sketch")
     ).select(
