@@ -2093,6 +2093,117 @@ def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND CAST(l_shipdate AS DATE)
+                > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("q4_priority_exists", Q4_SQL)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a correlated-EXISTS semi join (TPC-H Q4 shape;
+    late-shipment predicate adapted to the available columns — the
+    testdata lineitem has no commit/receipt dates)."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == l.l_orderkey) & (
+        F.to_date(l.l_shipdate) > F.date_add(F.to_date(o.o_orderdate), 60)
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q10_SQL = """
+    SELECT c_custkey, c_name,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               / 100.0 AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+@register("q10_returned_revenue", Q10_SQL)
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way join + grouped revenue + deterministic top-k (TPC-H Q10
+    shape): fact-fact shuffle join with two broadcast dims."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum(F.round(rev * 100).cast("long")) / 100.0).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("grouping_sets_id", GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping flags (Spark 4
+    DataFrame.groupingSets; complements the rollup/cube entries).
+    Per-column GROUPING() flags instead of grouping_id() — the two
+    engines agree on the flag, not on the packed id's bit order."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 NULLS_ORDER_SQL = """
     SELECT doc_id, x
     FROM (
