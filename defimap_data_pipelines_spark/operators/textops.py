@@ -128,3 +128,48 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.1 * F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.0)
     )
     return staged.select("doc_id", score.alias("quality_score"))
+
+
+def sentences_udtf():
+    """Python UDTF (Spark 4) splitting a document into indexed
+    sentences — the chunking primitive of a training-data pipeline
+    expressed as a table function (SURVEY.md §2.8: the engine's UDTF
+    surface; the reference has none).
+
+    UDTFs run row-at-a-time in Python workers — the slow path, right
+    only when one input row genuinely fans out to a variable number of
+    structured rows AND the logic doesn't fit explode(split(...)).
+    This sentence splitter COULD be pure-JVM (posexplode of the
+    dot-split, trimmed, empties dropped) — the differential test in
+    tests/test_operators.py pins exactly that equivalence; keep the
+    UDTF for the API surface and as the template for real segmenters
+    (model-based boundaries, markdown/code-block awareness) that
+    cannot be a regex.
+
+    Returns the decorated class; register with
+    ``spark.udtf.register("sentences", sentences_udtf())`` or call it
+    directly in a lateral join.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            idx = 0
+            for raw in text.split("."):
+                s = raw.strip()
+                if s:
+                    yield idx, s
+                    idx += 1
+
+    return SplitSentences
+
+
+def explode_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, idx, sentence) via the sentences UDTF in a lateral join."""
+    fn = sentences_udtf()
+    return docs.lateralJoin(fn(F.col(text_col).outer())).select(
+        "doc_id", "idx", "sentence"
+    )

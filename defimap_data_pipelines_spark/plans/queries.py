@@ -2093,6 +2093,36 @@ def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SENTENCES_SQL = """
+    WITH segs AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, '.'),
+                                          s -> trim(s)),
+                           s -> s != '') AS ss
+        FROM documents
+    )
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(ss) + 1),
+                                 i -> CAST(i - 1 AS BIGINT))) AS idx,
+           unnest(ss) AS sentence
+    FROM segs
+"""
+
+
+@register("sentence_split_udtf", SENTENCES_SQL)
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking through the Python UDTF surface (lateral join
+    of a table function) — even the row-at-a-time escape hatch is
+    oracle-verified. The JVM twin is posexplode of the filtered split;
+    their equivalence is pinned in tests/test_operators.py."""
+    from defimap_data_pipelines_spark.operators.textops import explode_sentences
+
+    out = explode_sentences(read_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("idx").cast("long").alias("idx"), "sentence"
+    )
+
+
 Q4_SQL = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders

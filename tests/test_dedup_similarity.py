@@ -101,3 +101,28 @@ def test_multimodal_decode_plumbing(spark, docs):
     # strict mode surfaces the stub
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_media(media, strict=True).collect()
+
+
+def test_cosine_topk_pandas_matches_jvm(spark, sf_dir):
+    """The Arrow-batched pandas_udf cosine twin returns the same top-k
+    ids as the JVM expression path; cosines agree to 1e-9 (numpy sums
+    in a different order than the JVM fold)."""
+    from defimap_data_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    jvm = {
+        (r.query_id, r.vec_id): r.cosine for r in cosine_topk(q, emb, k=5).collect()
+    }
+    pnd = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk_pandas(q, emb, k=5).collect()
+    }
+    assert set(jvm) == set(pnd) and len(jvm) == 25
+    for key, v in jvm.items():
+        assert abs(v - pnd[key]) < 1e-9

@@ -260,3 +260,25 @@ def test_native_risk_equals_pandas_replica(spark, sf_dir):
         assert dd[name].peak_date == rep.peak_date
         assert dd[name].valley_date == rep.valley_date
         assert dd[name].duration == rep.duration
+
+
+def test_udtf_sentences_match_jvm_split(spark, sf_dir):
+    """The sentences UDTF (Python table function) produces exactly the
+    rows of the JVM posexplode-of-filtered-split formulation."""
+    from defimap_data_pipelines_spark.operators.textops import explode_sentences
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    got = sorted(
+        (r.doc_id, r.idx, r.sentence) for r in explode_sentences(docs).collect()
+    )
+    segs = F.filter(
+        F.transform(F.split("text", r"\."), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    jvm = docs.select(
+        "doc_id", F.posexplode(segs).alias("idx", "sentence")
+    )
+    want = sorted((r.doc_id, r.idx, r.sentence) for r in jvm.collect())
+    assert got == want and len(got) > 0
