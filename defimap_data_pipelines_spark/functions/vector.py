@@ -28,3 +28,13 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """cos(a,b) = dot/(||a||*||b||); NULL if either norm is zero."""
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def cosine_from_norms(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """cosine with pre-staged norms — bit-identical to
+    ``cosine_similarity`` (same fold over the same array, evaluated
+    once per VECTOR instead of once per PAIR). Array folds are
+    interpreted, not codegen'd, so staging norms below a join cuts the
+    per-pair fold count from three to one — the dominant cost of every
+    cross/bucket-join similarity operator."""
+    return F.try_divide(dot(a, b), a_norm * b_norm)

@@ -18,7 +18,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from defimap_data_pipelines_spark.functions.vector import cosine_similarity
+from defimap_data_pipelines_spark.functions.vector import (
+    cosine_from_norms,
+    l2_norm,
+)
 
 
 def cosine_topk(
@@ -34,16 +37,24 @@ def cosine_topk(
     (ties broken by vec_id).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     sim = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+            cosine_from_norms(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -63,11 +74,23 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact near-duplicate pairs (id_a < id_b, cosine >= threshold)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     sim = pairs.select(
-        "id_a", "id_b", cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine")
+        "id_a",
+        "id_b",
+        cosine_from_norms(
+            F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+        ).alias("cosine"),
     )
     return sim.filter(F.col("cosine") >= threshold)
 
@@ -135,21 +158,30 @@ def lsh_topk(
         return df.select(
             F.col(idc).alias(out_id),
             F.col(vc).alias(f"_{out_id}_v"),
+            l2_norm(F.col(vc)).alias(f"_{out_id}_n"),
             F.explode(buckets).alias("tb"),
-        ).select(out_id, f"_{out_id}_v", "tb.table", "tb.bucket")
+        ).select(out_id, f"_{out_id}_v", f"_{out_id}_n", "tb.table", "tb.bucket")
 
     c = bucketed(corpus, id_col, vec_col, "vec_id")
     q = bucketed(queries, id_col, vec_col, "query_id")
     cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "_query_id_v", "_vec_id_v")
+        .select(
+            "query_id", "vec_id", "_query_id_v", "_vec_id_v",
+            "_query_id_n", "_vec_id_n",
+        )
         .dropDuplicates(["query_id", "vec_id"])
     )
     sim = cand.select(
         "query_id",
         "vec_id",
-        cosine_similarity(F.col("_query_id_v"), F.col("_vec_id_v")).alias("cosine"),
+        cosine_from_norms(
+            F.col("_query_id_v"),
+            F.col("_vec_id_v"),
+            F.col("_query_id_n"),
+            F.col("_vec_id_n"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -185,18 +217,30 @@ def ivf_topk(
         .select(
             F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
             F.col(vec_col).alias("_centv"),
+            l2_norm(F.col(vec_col)).alias("_centn"),
         )
     )
     cent_b = F.broadcast(cent)
 
     def assign(df: DataFrame, idc: str, out: str, top_n: int) -> DataFrame:
+        staged = df.select(
+            F.col(idc).alias(out),
+            F.col(vec_col).alias(f"_{out}_v"),
+            l2_norm(F.col(vec_col)).alias(f"_{out}_n"),
+        )
         sims = (
-            df.crossJoin(cent_b)
+            staged.crossJoin(cent_b)
             .select(
-                F.col(idc).alias(out),
-                F.col(vec_col).alias(f"_{out}_v"),
+                out,
+                f"_{out}_v",
+                f"_{out}_n",
                 "centroid_id",
-                cosine_similarity(F.col(vec_col), F.col("_centv")).alias("_csim"),
+                cosine_from_norms(
+                    F.col(f"_{out}_v"),
+                    F.col("_centv"),
+                    F.col(f"_{out}_n"),
+                    F.col("_centn"),
+                ).alias("_csim"),
             )
         )
         w = Window.partitionBy(out).orderBy(
@@ -205,7 +249,7 @@ def ivf_topk(
         return (
             sims.withColumn("_crn", F.row_number().over(w))
             .filter(F.col("_crn") <= top_n)
-            .select(out, f"_{out}_v", "centroid_id")
+            .select(out, f"_{out}_v", f"_{out}_n", "centroid_id")
         )
 
     c = assign(corpus, id_col, "vec_id", 1)  # each corpus vec -> 1 list
@@ -216,7 +260,12 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            cosine_similarity(F.col("_query_id_v"), F.col("_vec_id_v")).alias(
+            cosine_from_norms(
+                F.col("_query_id_v"),
+                F.col("_vec_id_v"),
+                F.col("_query_id_n"),
+                F.col("_vec_id_n"),
+            ).alias(
                 "cosine"
             ),
         )
