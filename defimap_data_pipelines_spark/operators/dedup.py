@@ -274,18 +274,28 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(
         docs, text_col, n, num_hashes, shingles=shingles, hashed=hashed
     )
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    # bucket = xxhash64 of the band's r signature longs + the band id,
+    # hashed directly (no string materialization — concat_ws of longs
+    # costs more than the hash itself). Equal slices still collide
+    # identically, so recall is unchanged; false collisions differ but
+    # are removed by exact verification either way.
     banded = sigs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                band_ids,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)), b
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * r + i)
+                                for i in range(1, r + 1)
+                            ],
+                            F.lit(b),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
