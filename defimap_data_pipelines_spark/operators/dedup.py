@@ -320,32 +320,33 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from whitespace-token xxhash64s.
 
     bit_j(sig) = 1 iff sum over tokens of sign(bit_j(h(token))) > 0.
-    Stays JVM-side: explode tokens -> per-bit +-1 contributions via
-    bit arithmetic -> groupBy sum -> reassemble.
+    One token explode, then 64 map-side-combined sum aggregates (one
+    per bit) in a single groupBy — the earlier per-bit posexplode
+    multiplied the shuffle by 64 (tokens x 64 rows through two
+    groupBys) for the same integer sums.
     """
     from defimap_data_pipelines_spark.functions.text import ws_tokens
 
     toks = docs.select(
         "doc_id", F.explode(ws_tokens(F.col(text_col))).alias("tok")
-    )
-    h = F.xxhash64("tok")
-    # literal 64-expr array: shift amounts must be Python ints
-    bit_contribs = F.array(
-        *[
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for j in range(64)
-        ]
-    )
-    exploded = toks.select("doc_id", F.posexplode(bit_contribs).alias("j", "c"))
-    bits = exploded.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
-    return bits.groupBy("doc_id").agg(
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    h = F.col("h")
+    aggs = [
         F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(64)
+    ]
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    # disjoint bit literals: addition == bitwise OR; 1<<63 is
+    # Long.MIN_VALUE in two's complement (matches JVM shiftleft)
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        bit = (1 << j) if j < 63 else -(1 << 63)
+        sim = sim + F.when(F.col(f"_s{j}") > 0, F.lit(bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bits.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(
