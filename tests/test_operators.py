@@ -282,3 +282,44 @@ def test_udtf_sentences_match_jvm_split(spark, sf_dir):
     )
     want = sorted((r.doc_id, r.idx, r.sentence) for r in jvm.collect())
     assert got == want and len(got) > 0
+
+
+def test_degenerate_inputs(spark):
+    """Operators behave on empty frames, all-NULL columns, single-row
+    partitions, and sub-n-token documents."""
+    import pandas as pd
+    from defimap_data_pipelines_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from defimap_data_pipelines_spark.operators.textops import text_stats
+
+    # empty documents frame -> empty outputs, schemas intact
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert exact_dedup(empty).count() == 0
+    assert text_stats(empty).count() == 0
+    for strat in ("index", "prefix"):
+        assert ngram_jaccard_pairs(empty, strategy=strat).count() == 0
+
+    # documents shorter than the shingle width still produce one shingle
+    tiny = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "unrelated text here")],
+        "doc_id bigint, text string",
+    )
+    for strat in ("index", "prefix"):
+        pairs = ngram_jaccard_pairs(tiny, threshold=0.5, strategy=strat).collect()
+        assert [(r.doc_a, r.doc_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+
+    # all-NULL interpolation column stays NULL; single-row partition keeps
+    # its value
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("2022-01-01", "a", None), ("2022-01-02", "a", None),
+             ("2022-01-01", "b", 7.0)],
+            columns=["date", "name", "x"],
+        )
+    ).withColumn("date", F.col("date").cast("date"))
+    out = {(r.name, str(r.date)): r.x for r in interpolate_linear(df, ["x"]).collect()}
+    assert out[("a", "2022-01-01")] is None
+    assert out[("a", "2022-01-02")] is None
+    assert out[("b", "2022-01-01")] == 7.0
