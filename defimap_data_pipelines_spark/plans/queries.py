@@ -1905,11 +1905,72 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("clean_corpus")
+def _clean_corpus_sql() -> str:
+    """Full curation oracle: quality filter -> exact dedup -> near-dup
+    connected components via WITH RECURSIVE transitive closure ->
+    drop non-canonical cluster members. The Spark side's MinHash-LSH
+    stage is exact-verified, so (at 100% testdata recall, asserted in
+    tests) the pipeline equals this exact formulation."""
+    quality = QUALITY_SQL.strip()
+    return f"""
+        WITH RECURSIVE
+        q AS ({quality}),
+        docs_q AS (
+            SELECT d.* FROM documents d JOIN q USING (doc_id)
+            WHERE q.quality_score >= 0.3
+        ),
+        canon AS (SELECT MIN(doc_id) AS doc_id FROM docs_q GROUP BY md5({_NORM})),
+        docs_e AS (SELECT d.* FROM docs_q d JOIN canon USING (doc_id)),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM docs_e),
+        shingles AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(length(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS ns FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) >= 0.35
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        clusters AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        losers AS (SELECT doc_id FROM clusters WHERE cluster_id != doc_id)
+        SELECT doc_id, lang, source, n_chars
+        FROM docs_e
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+@register("clean_corpus", _clean_corpus_sql())
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: quality filter -> exact dedup ->
-    near-dup cluster removal (rows-only; invariants + union-find
-    equivalence tested in tests/test_corpus.py)."""
+    near-dup cluster removal. Oracle: the exact SQL pipeline with a
+    recursive-CTE transitive closure for the clustering step (see
+    _clean_corpus_sql; union-find equivalence also tested in
+    tests/test_corpus.py)."""
     from defimap_data_pipelines_spark.operators.corpus import clean_corpus
 
     out = clean_corpus(
