@@ -1661,10 +1661,52 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(total)
 
 
-@register("ivf_topk")
+IVF_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, e AS ce
+        FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+    ),
+    cassign AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cosine_sql('v.e', 'cent.ce')} DESC,
+                                               cent.centroid_id) AS rn
+            FROM v, cent
+        ) WHERE rn <= 1
+    ),
+    qassign AS (
+        SELECT vec_id AS query_id, e AS qe, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cosine_sql('v.e', 'cent.ce')} DESC,
+                                               cent.centroid_id) AS rn
+            FROM v, cent
+            WHERE v.vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    sims AS (
+        SELECT DISTINCT q.query_id, c.vec_id, {_cosine_sql('q.qe', 'c.e')} AS cosine
+        FROM qassign q JOIN cassign c USING (centroid_id)
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM sims)
+    WHERE rn <= 5
+"""
+
+
+@register("ivf_topk", IVF_SQL)
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate ANN (rows-only; recall vs brute force
-    tested in tests/test_asof_skew_sources.py)."""
+    """IVF-bucketed approximate ANN. The deterministic centroid choice
+    (first 16 by vec_id) makes the whole algorithm SQL-expressible, so
+    even the approximate path is value-hash-checked: the oracle
+    replicates assignment, n_probe=4 probing, and in-list exact cosine
+    (recall vs brute force additionally tested in
+    tests/test_asof_skew_sources.py)."""
     from defimap_data_pipelines_spark.operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
