@@ -257,3 +257,52 @@ def stream_user_activity_tws(events: DataFrame):
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_click_to_purchase(
+    events: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases attributed to
+    the same user's clicks within ``max_gap`` — the remaining streaming
+    operator class (windowed aggs and arbitrary state are covered by
+    the other jobs).
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time to [click, click + gap], so each side's state is dropped once
+    the watermark passes the bound — state stays proportional to the
+    in-flight window at any stream length.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -196,3 +196,47 @@ def test_transform_with_state_user_activity(spark, sf_dir, events_dir, tmp_path)
         .collect()
     }
     assert got == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Watermarked stream-stream join == the batch interval join over
+    the same drained input."""
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        read_events_stream,
+        stream_click_to_purchase,
+    )
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+
+    stream = stream_click_to_purchase(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("click_purchase")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("click_purchase").collect()
+    }
+    e = read_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
