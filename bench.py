@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "window_frames",
     "wordcount_top50",
     "exact_quantiles",
+    "q4_priority_exists",
+    "q10_returned_revenue",
+    "grouping_sets_id",
+    "sentence_split_udtf",
 ]
 
 
