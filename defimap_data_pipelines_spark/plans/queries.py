@@ -2391,3 +2391,346 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H join/subquery shapes, batch 3: nation-pair theta joins, outer-join
+# count distributions, correlated scalar subqueries, disjunctive predicate
+# pushdown, and global-scalar anti joins. Shapes adapted to the reduced
+# testdata schema (no partsupp / commit dates); money sums exact-integer.
+# --------------------------------------------------------------------------
+
+Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           SUM(CAST(ROUND(volume * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS BIGINT)
+                   AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                           AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", Q7_SQL)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair trade flow (TPC-H Q7 shape): two broadcast joins of the
+    SAME dim under different roles + a disjunctive cross-dim predicate
+    that only becomes checkable after both joins."""
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("long").alias("l_year"),
+        )
+        .agg((F.sum(F.round(vol * 100).cast("long")) / 100.0).alias("revenue"))
+    )
+
+
+Q8_SQL = """
+    SELECT l_year,
+           SUM(CAST(ROUND(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                               ELSE 0 END * 100) AS BIGINT))
+           * 1.0
+           / SUM(CAST(ROUND(volume * 100) AS BIGINT)) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                            AND DATE '1997-12-31'
+    ) all_nations
+    GROUP BY l_year
+"""
+
+
+@register("q8_market_share", Q8_SQL)
+def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): conditional-sum / total-sum
+    ratio per year, both sides exact-integer so the ratio is
+    order-independent."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("n_name") == "NATION_5", vol).otherwise(F.lit(0))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).cast("long").alias("l_year"))
+        .agg(
+            (
+                F.sum(F.round(national * 100).cast("long"))
+                * 1.0
+                / F.sum(F.round(vol * 100).cast("long"))
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                         AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_count_distribution", Q13_SQL)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram (TPC-H Q13 shape): LEFT OUTER join
+    with an extra non-key join predicate, COUNT(col) null-skipping over
+    the unmatched side, then a second aggregation of the first."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q17_SQL = """
+    SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
+               AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+"""
+
+
+@register("q17_small_quantity", Q17_SQL)
+def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): correlated scalar
+    AVG subquery per part, decorrelated into an aggregate + re-join.
+    The per-part AVG is exact (integral quantities / exact fp sum), so
+    the 0.2*avg threshold compares identically in both engines."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    l = read_table(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 120
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+             o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+"""
+
+
+@register("q18_large_orders", Q18_SQL)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): IN-subquery over a grouped
+    HAVING (semi join against an aggregate), then a three-way join and
+    re-aggregation. Quantities are integral => exact sums."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 120)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        l.join(big, F.col("big_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q19_SQL = """
+    SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               / 100.0 AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive_join", Q19_SQL)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under three OR'd brand/size/quantity bands
+    (TPC-H Q19 shape): the disjunction spans both join sides, so only
+    the key equality drives the hash join; each disjunct's single-side
+    conjuncts still prune the scans."""
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem")
+    band = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg((F.sum(F.round(rev * 100).cast("long")) / 100.0).alias("revenue"))
+    )
+
+
+Q22_SQL = """
+    SELECT seg, COUNT(*) AS numcust,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM (
+        SELECT c_mktsegment AS seg, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
+                   / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT'
+              AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+        )
+    ) wealthy_inactive
+    GROUP BY seg
+"""
+
+
+@register("q22_inactive_customers", Q22_SQL)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wealthy-but-inactive customers (TPC-H Q22 shape): uncorrelated
+    scalar subquery (global mean of positive balances, exact-cents so
+    the > threshold agrees cross-engine) + NOT EXISTS anti join with
+    extra non-key predicates + grouped rollup. Mkt segment stands in
+    for the phone prefix; "inactive" = no urgent 1998+ orders (a plain
+    no-orders anti join is vacuous in this testdata)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.to_date("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_row = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(cents) / 100.0 / F.count(F.lit(1))).alias("a"))
+        .collect()
+    )
+    threshold = avg_row[0]["a"]
+    return (
+        c.filter(F.col("c_acctbal") > threshold)
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents) / 100.0).alias("totacctbal"),
+        )
+    )
