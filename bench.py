@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "q10_returned_revenue",
     "grouping_sets_id",
     "sentence_split_udtf",
+    "q7_volume_shipping",
+    "q13_count_distribution",
+    "q18_large_orders",
+    "dataset_split",
 ]
 
 

@@ -1,0 +1,140 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+A 100 TB corpus job cannot use ``df.sample()`` for anything that must be
+reproducible across reruns, engines, or partition layouts: Spark's
+sampler is seeded per-partition, so adding one input file reshuffles
+every assignment. Everything here derives from a *content-keyed* hash
+(md5 of a stable key column), so a row's split/sample membership is a
+pure function of the row — stable under repartitioning, incremental
+appends, and even engine migration (md5 is engine-neutral, unlike
+xxhash64/murmur which only Spark exposes).
+
+Reference parity: the reference pipelines have no sampling operators
+(SURVEY.md §2.6 — no TABLESAMPLE); this module is part of the
+training-data extension surface. The hash-mod idiom is the standard
+deterministic-holdout trick from public data-pipeline practice.
+
+Scale notes: the bucket expression is a pure per-row projection —
+no shuffle, fully whole-stage-codegen'd, and it pushes nothing *less*
+down (filters on ``split``/membership sit on top of the scan). A
+stratified variant that needed exact per-stratum counts would require a
+window/shuffle; we keep the fraction-based form precisely to stay
+shuffle-free at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Number of hash buckets the unit interval is quantized into. 10_000
+#: gives 0.01% granularity for split weights while staying far below
+#: 2^32 (we parse 8 hex chars = 32 bits of md5).
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+    """Stable bucket in ``[0, buckets)`` from md5 of ``key``'s string form.
+
+    Parses the first 8 hex chars of md5 — ``conv(..., 16, 10)`` on the
+    Spark side; the DuckDB oracle twin is
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT % buckets``.
+    """
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).alias("bucket")
+
+
+def bucket_sql(key_expr: str, buckets: int = BUCKETS) -> str:
+    """DuckDB-dialect twin of :func:`hash_bucket` (for oracle SQL)."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+def split_column(
+    key: Column, weights: dict[str, float], buckets: int = BUCKETS
+) -> Column:
+    """CASE expression assigning each row a split label from ``weights``.
+
+    ``weights`` maps label -> fraction; fractions must sum to 1. Labels
+    are assigned in iteration order over contiguous bucket ranges, so
+    e.g. ``{"train": .8, "val": .1, "test": .1}`` puts buckets
+    [0, 8000) in train, [8000, 9000) in val, the rest in test.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(key, buckets)
+    expr: Column | None = None
+    edge = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        edge += weights[label]
+        cond = b < int(round(edge * buckets))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_case_sql(
+    key_expr: str, weights: dict[str, float], buckets: int = BUCKETS
+) -> str:
+    """DuckDB twin of :func:`split_column`."""
+    b = bucket_sql(key_expr, buckets)
+    edge = 0.0
+    arms = []
+    labels = list(weights)
+    for label in labels[:-1]:
+        edge += weights[label]
+        arms.append(f"WHEN {b} < {int(round(edge * buckets))} THEN '{label}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{labels[-1]}' END"
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Stamp a deterministic train/val/test label on every row."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn(out_col, split_column(F.col(key), weights))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, buckets: int = BUCKETS
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows, chosen by content hash.
+
+    Unlike ``df.sample``, re-running on a superset of the data keeps
+    every previously-sampled row (append-stable holdouts).
+    """
+    return df.filter(
+        hash_bucket(F.col(key), buckets) < int(round(fraction * buckets))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` made stable).
+
+    ``fractions`` maps a stratum value to its keep-fraction; strata not
+    listed fall back to ``default``. Still a pure per-row filter — the
+    stratum threshold comes from a CASE over ``strata``, not a join or
+    window, so the 100 TB plan is scan → filter with zero shuffles.
+    """
+    thr: Column = F.lit(int(round(default * buckets)))
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata) == value
+        t = int(round(frac * buckets))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = thr if expr is None else expr.otherwise(thr)
+    return df.filter(hash_bucket(F.col(key), buckets) < thr)

@@ -2734,3 +2734,82 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / 100.0).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / dataset-splitting surface (training-data
+# pipelines). Membership is a pure function of md5(key), so Spark and
+# the DuckDB oracle agree bucket-for-bucket — no RNG in sight.
+# --------------------------------------------------------------------------
+
+from defimap_data_pipelines_spark.operators.sampling import (  # noqa: E402
+    bucket_sql,
+    deterministic_sample,
+    split_case_sql,
+    stratified_sample,
+    train_val_test_split,
+)
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+DATASET_SPLIT_SQL = f"""
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM (
+        SELECT {split_case_sql('doc_id', _SPLIT_WEIGHTS)} AS split,
+               n_chars, lang
+        FROM documents
+    )
+    GROUP BY split
+"""
+
+
+@register("dataset_split", DATASET_SPLIT_SQL)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus keyed
+    on md5(doc_id): content-hash membership survives repartitioning and
+    incremental appends, unlike df.sample's per-partition RNG. Pure
+    per-row projection — zero shuffles beyond the final tiny agg."""
+    d = train_val_test_split(
+        read_table(spark, sf_dir, "documents"), "doc_id", _SPLIT_WEIGHTS
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+_STRATA_FRACTIONS = {"en": 0.05, "de": 0.2, "fr": 0.5}
+
+STRATIFIED_SAMPLE_SQL = f"""
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE {bucket_sql('doc_id')} <
+          CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 2000
+                    WHEN 'fr' THEN 5000 ELSE 0 END
+    GROUP BY lang
+"""
+
+
+@register("stratified_sample", STRATIFIED_SAMPLE_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing: per-language deterministic keep-fractions
+    (downsample dominant 'en', keep more of the rare langs) — sampleBy
+    semantics but append-stable and engine-reproducible. The threshold
+    is a CASE over the stratum, so the plan stays scan→filter→agg with
+    no per-stratum join or window."""
+    d = stratified_sample(
+        read_table(spark, sf_dir, "documents"),
+        strata="lang",
+        key="doc_id",
+        fractions=_STRATA_FRACTIONS,
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("total_chars"),
+    )

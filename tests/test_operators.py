@@ -323,3 +323,42 @@ def test_degenerate_inputs(spark):
     assert out[("a", "2022-01-01")] is None
     assert out[("a", "2022-01-02")] is None
     assert out[("b", "2022-01-01")] == 7.0
+
+
+# ---- deterministic sampling / splitting ---------------------------------
+
+
+def test_split_is_total_and_append_stable(spark, sf_dir):
+    from defimap_data_pipelines_spark.operators.sampling import (
+        deterministic_sample,
+        train_val_test_split,
+    )
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+
+    split = train_val_test_split(docs, "doc_id")
+    by = {r["split"]: r["n"] for r in
+          split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every row gets exactly one label; shares near the 80/10/10 weights
+    assert sum(by.values()) == n
+    assert set(by) == {"train", "val", "test"}
+    assert abs(by["train"] / n - 0.8) < 0.05
+
+    # membership is a pure function of the row: sampling half the corpus
+    # then the whole corpus yields a strict subset, row-for-row.
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    s_half = {r["doc_id"] for r in
+              deterministic_sample(half, "doc_id", 0.1).select("doc_id").collect()}
+    s_full = {r["doc_id"] for r in
+              deterministic_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert s_half <= s_full
+    assert s_half == {d for d in s_full if d % 2 == 0}
+
+
+def test_split_weights_validated(spark):
+    from defimap_data_pipelines_spark.operators.sampling import split_column
+
+    with pytest.raises(ValueError):
+        split_column(F.lit(1), {"train": 0.5, "val": 0.1})
