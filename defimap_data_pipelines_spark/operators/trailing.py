@@ -51,15 +51,23 @@ def period_starts(ds: str) -> list[tuple[str, str, bool]]:
     return out
 
 
-def gotk_base(raw: DataFrame, start_date: str, end_date: str) -> DataFrame:
+def gotk_base(
+    raw: DataFrame, start_date: str | None = None, end_date: str | None = None
+) -> DataFrame:
     """Shared GOTK machinery from a common base date.
 
     Returns (date, name, cap, ap, q, Q): capital from the base start,
     aave_price, quantized reward contribution and its running total.
+    With no dates, covers the full history (the incremental-mode
+    substrate — pipelines/incremental.py persists this frame).
     """
     w = Window.partitionBy("name").orderBy("date")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df = raw.filter(F.col("date").between(F.lit(start_date), F.lit(end_date)))
+    df = raw
+    if start_date is not None and end_date is not None:
+        df = df.filter(F.col("date").between(F.lit(start_date), F.lit(end_date)))
+    elif end_date is not None:
+        df = df.filter(F.col("date") <= F.lit(end_date))
     capital = (
         F.lit(INITIAL_PRINCIPAL)
         / F.first("asset_price").over(wcum)

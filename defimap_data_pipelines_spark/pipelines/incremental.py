@@ -73,16 +73,12 @@ def initial_gotk_state(raw_history: DataFrame) -> DataFrame:
     )
 
 
-def incremental_gotk_step(
-    state: DataFrame, new_raw: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Advance one day: (state, day's raw rows) -> (gotk rows, state').
+def _gotk_advance(joined: DataFrame) -> DataFrame:
+    """One-day GOTK advance over a state-joined day frame.
 
-    ``new_raw`` holds exactly one row per name (the new date). Names
-    unseen in the state start a fresh series (p0/li0 from their first
-    row, prev_edi = INITIAL_PRINCIPAL).
+    Shared by the GOTK-rows and cum-series step functions. Emits every
+    intermediate (cap/ap/q/cumq) so callers project what they persist.
     """
-    joined = new_raw.join(F.broadcast(state), "name", "left")
     p0 = F.coalesce(F.col("p0"), F.col("asset_price"))
     li0 = F.coalesce(F.col("li0"), F.col("liquidity_index"))
     cumq_prev = F.coalesce(F.col("cumq"), F.lit(0).cast("long"))
@@ -102,15 +98,30 @@ def incremental_gotk_step(
     cumq = cumq_prev + q
     edi = cumq / float(QUANT_SCALE) * F.col("aave_price") + cap
 
-    step = joined.select(
+    return joined.select(
         "date",
         "name",
         p0.alias("p0"),
         li0.alias("li0"),
+        cap.alias("cap"),
+        F.col("aave_price").alias("ap"),
+        q.alias("q"),
         cumq.alias("cumq"),
         prev_edi.alias("start_day_investment"),
         edi.alias("end_day_investment"),
     )
+
+
+def incremental_gotk_step(
+    state: DataFrame, new_raw: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Advance one day: (state, day's raw rows) -> (gotk rows, state').
+
+    ``new_raw`` holds exactly one row per name (the new date). Names
+    unseen in the state start a fresh series (p0/li0 from their first
+    row, prev_edi = INITIAL_PRINCIPAL).
+    """
+    step = _gotk_advance(new_raw.join(F.broadcast(state), "name", "left"))
     gotk_rows = step.select(
         "date",
         "name",
@@ -176,3 +187,112 @@ def incremental_tvl_step(
     )
     untouched = state.join(new_raw.select("name"), "name", "left_anti")
     return rows, new_state.unionByName(untouched)
+
+
+# ---- incremental trailing returns --------------------------------------
+#
+# The trailing table (date, period, name, pc) is a per-ds SNAPSHOT — its
+# window starts move with ds, so it cannot be append-maintained. But the
+# datamart only consumes the compounded scalar at date=ds per period
+# (aave_transform.py:422-427, aave_load.py:93-106), and that scalar
+# telescopes: prod(1+pc) over a rebased arm == edi_arm(ds)/P, which is
+# O(1) arithmetic over the persisted base cum series
+#
+#     value(period) = ((C(ds) - C(s) + q(s))/SCALE * ap_ds + cap_ds)
+#                     / cap_s  -  1
+#
+# where s is the window's first available row. So the daily job is:
+# advance the cum series one day (incremental_cum_step, O(1) state), then
+# compute all six period scalars from the trailing ≤1y slice — no
+# O(history) recompute and, unlike the batch EXP(SUM(LOG)) form, no
+# undefined log when a pc <= -1.
+
+
+def initial_trailing_cum(raw_history: DataFrame) -> DataFrame:
+    """Bootstrap the persisted base cum series (date,name,cap,ap,q,cumq)
+    from history — one batch pass of the shared GOTK machinery."""
+    from defimap_data_pipelines_spark.operators.trailing import gotk_base
+
+    return gotk_base(raw_history)
+
+
+def incremental_cum_step(
+    state: DataFrame, new_raw: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Advance the base cum series one day: -> (day's cum rows, state').
+
+    Same state schema as :func:`incremental_gotk_step` (prev_edi rides
+    along unused), so one state table can serve both consumers.
+    """
+    step = _gotk_advance(new_raw.join(F.broadcast(state), "name", "left"))
+    cum_rows = step.select("date", "name", "cap", "ap", "q", "cumq")
+    updated = step.select(
+        "name",
+        "p0",
+        "li0",
+        "cumq",
+        F.col("end_day_investment").alias("prev_edi"),
+        F.col("date").alias("last_date"),
+    )
+    untouched = state.join(new_raw.select("name"), "name", "left_anti")
+    return cum_rows, updated.unionByName(untouched)
+
+
+def trailing_scalars_from_cum(cum: DataFrame, ds: str) -> DataFrame:
+    """(period, name, value): compounded trailing return at ``ds`` for
+    every period arm, from the persisted cum series alone.
+
+    Each arm is one groupBy over its ≤1y date slice: min_by/max_by pick
+    the boundary rows, the telescoped formula does the rest. The
+    coverage rule (aave_transform.py:192-194) nulls a period whose
+    window isn't fully covered — matching the batch path, where the
+    all-NULL pc arm sums to a NULL compounded value."""
+    from defimap_data_pipelines_spark.operators.trailing import period_starts
+
+    arms = []
+    for period, start, rule in period_starts(ds):
+        sliced = cum.filter(F.col("date").between(F.lit(start), F.lit(ds)))
+        g = (
+            sliced.groupBy("name")
+            .agg(
+                F.min("date").alias("first_date"),
+                F.max("date").alias("last_date"),
+                F.min_by(F.struct("cap", "cumq", "q"), F.col("date")).alias("s"),
+                F.max_by(F.struct("cap", "cumq", "ap"), F.col("date")).alias("e"),
+            )
+            .filter(F.col("last_date") == F.lit(ds).cast("date"))
+        )
+        value = (
+            (F.col("e.cumq") - F.col("s.cumq") + F.col("s.q"))
+            / float(QUANT_SCALE)
+            * F.col("e.ap")
+            + F.col("e.cap")
+        ) / F.col("s.cap") - 1
+        if rule:
+            value = F.when(
+                F.col("first_date") == F.lit(start).cast("date"), value
+            )
+        arms.append(
+            g.select(
+                F.lit(period).alias("period"), "name", value.alias("value")
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def incremental_return_1y(cum: DataFrame, ds: str) -> DataFrame:
+    """(name, return_1y) with the ytd fallback (A8) — the datamart
+    scalar, incrementally. Agrees with the batch return_1y query to the
+    reward-quantization grid (~1e-7 abs; the bases differ, see the
+    section comment), not bit-for-bit."""
+    scal = trailing_scalars_from_cum(cum, ds).filter(
+        F.col("period").isin("1y", "ytd")
+    )
+    v1y = F.max(F.when(F.col("period") == "1y", F.col("value")))
+    vytd = F.max(F.when(F.col("period") == "ytd", F.col("value")))
+    return scal.groupBy("name").agg(
+        F.round(F.when(v1y == 0.0, vytd).otherwise(v1y), 9).alias("return_1y")
+    )

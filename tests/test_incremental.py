@@ -86,3 +86,113 @@ def test_incremental_tvl_equals_batch(spark, sf_dir):
         b = batch[(r.name, str(r.date))]
         assert r.tvl == b.tvl and r.change_tvl == b.change_tvl
         assert r.percent_change == b.percent_change
+
+
+def test_incremental_cum_equals_batch(spark, sf_dir):
+    """Advancing the persisted cum series day-by-day reproduces the
+    full-history batch pass bit-for-bit (integer cumq; identical cap
+    expression tree)."""
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        incremental_cum_step,
+        initial_gotk_state,
+        initial_trailing_cum,
+    )
+
+    raw = orders_raw_series(spark, sf_dir).filter(
+        F.col("date").between("2001-06-01", "2001-07-31")
+    ).cache()
+    split = "2001-07-25"
+    state = initial_gotk_state(raw.filter(F.col("date") <= split))
+    future_dates = sorted(
+        r.date for r in raw.filter(F.col("date") > split)
+        .select("date").distinct().collect()
+    )
+    got = []
+    for d in future_dates:
+        rows, state = incremental_cum_step(
+            state, raw.filter(F.col("date") == F.lit(str(d)))
+        )
+        got.extend(rows.collect())
+        state = spark.createDataFrame(state.collect(), state.schema)
+
+    batch = {
+        (r.name, str(r.date)): r
+        for r in initial_trailing_cum(raw)
+        .filter(F.col("date") > split).collect()
+    }
+    assert len(got) == len(batch) > 0
+    for r in got:
+        b = batch[(r.name, str(r.date))]
+        assert r.cumq == b.cumq, (r.name, r.date)
+        assert r.cap == b.cap
+        assert r.ap == b.ap
+        assert r.q == b.q
+
+
+def test_trailing_scalars_match_batch_compounded(spark, sf_dir):
+    """The telescoped per-period scalars equal the batch
+    EXP(SUM(LOG(1+pc))) compounded values at ds, including the
+    coverage-rule NULLs. Tolerance 1e-7/1e-6, same class as
+    rebase-vs-naive: the batch base series quantizes rewards on the
+    DS-365 capital rebase, the incremental cum series on the
+    full-history rebase — one micro-unit of grid noise per row."""
+    from defimap_data_pipelines_spark.operators.trailing import (
+        compounded_return,
+        trailing_returns,
+    )
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        initial_trailing_cum,
+        trailing_scalars_from_cum,
+    )
+    from defimap_data_pipelines_spark.plans.queries import DS
+
+    raw = orders_raw_series(spark, sf_dir).cache()
+    inc = {
+        (r.period, r.name): r.value
+        for r in trailing_scalars_from_cum(
+            initial_trailing_cum(raw), DS
+        ).collect()
+    }
+    batch = {
+        (r.period, r.name): r.value
+        for r in compounded_return(trailing_returns(raw, DS))
+        .filter(F.col("date") == F.lit(DS).cast("date"))
+        .select("period", "name", "value")
+        .collect()
+    }
+    assert set(inc) == set(batch) and len(inc) > 0
+    nulls = 0
+    for k, v in batch.items():
+        if v is None:
+            assert inc[k] is None, k
+            nulls += 1
+        else:
+            assert inc[k] == pytest.approx(v, rel=1e-6, abs=1e-7), k
+    # both sides must exercise the coverage-rule NULL path
+    assert any(v is not None for v in batch.values())
+
+
+def test_incremental_return_1y_equals_query(spark, sf_dir):
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        incremental_return_1y,
+        initial_trailing_cum,
+    )
+    from defimap_data_pipelines_spark.plans.queries import DS, QUERIES
+
+    raw = orders_raw_series(spark, sf_dir)
+    inc = {
+        r.name: r.return_1y
+        for r in incremental_return_1y(initial_trailing_cum(raw), DS).collect()
+    }
+    batch = {
+        r.name: r.return_1y
+        for r in QUERIES["return_1y"](spark, sf_dir).collect()
+    }
+    assert set(inc) == set(batch) and len(inc) > 0
+    for k, v in batch.items():
+        if v is None:
+            assert inc[k] is None, k
+        else:
+            # same grid-noise tolerance as the scalars test; the query's
+            # round-9 output can flip its last digit across bases
+            assert inc[k] == pytest.approx(v, rel=1e-6, abs=1e-7), k

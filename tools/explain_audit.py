@@ -23,7 +23,9 @@ def summarize(name: str, spark, sf_dir: str) -> str:
     # keep only the final adaptive plan — the trailing "Initial Plan"
     # section would double-count exchanges/joins
     plan = plan.split("== Initial Plan ==")[0]
-    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # match within one line only: Spark truncates long plan lines, which
+    # can swallow the closing '>' and make a greedy match overrun
+    scans = re.findall(r"ReadSchema: struct<([^\n>]*)", plan)
     widths = ",".join(str(len(s.split(","))) for s in scans) or "-"
     codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
     return (
