@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "q13_count_distribution",
     "q18_large_orders",
     "dataset_split",
+    "token_shards",
+    "doc_repetition",
 ]
 
 

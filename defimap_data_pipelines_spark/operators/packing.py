@@ -1,0 +1,95 @@
+"""Token-offset sharding for training-data assembly.
+
+Assembling LLM training shards needs a GLOBAL running token offset over
+a deterministic document order — and a global-order window
+(``Window.orderBy(...)`` with no partition) funnels 100 TB through one
+task. :func:`global_cumsum` is the scalable replacement: the classic
+two-pass parallel prefix sum expressed in DataFrame ops —
+
+1. range-partition by the order column (so partition i holds a
+   contiguous key range, every row in partition i+1 sorts after every
+   row in partition i),
+2. per-partition window cumsum (parallel across partitions),
+3. per-partition totals → exclusive prefix on the driver (one tiny
+   collect of numPartitions longs) → broadcast-joined back as offsets.
+
+The result depends only on the global order column, not on where the
+range partitioner happens to cut — integer sums are associative, so
+the value is exact and layout-independent (the oracle is a plain
+window cumsum).
+
+The reference has no packing/sharding surface (it is a per-strategy
+daily pipeline); this module belongs to the training-data extension,
+alongside operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global cumulative sum of ``value_col`` in ``order_col``
+    order, without a single-task global window.
+
+    ``order_col`` must be globally unique (it defines the order); the
+    sum column should be integral for exact, layout-independent results.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+    # numPartitions longs — the only driver-side data in the operator
+    totals = {
+        r["_pid"]: r["t"]
+        for r in within.groupBy("_pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off = df.sparkSession.createDataFrame(
+        offsets, "`_pid` INT, `_offset` BIGINT"
+    )
+    return (
+        within.join(F.broadcast(off), "_pid")
+        .withColumn(out, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
+def assign_token_shards(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    out: str = "shard",
+) -> DataFrame:
+    """Assign each document to a training shard of ~``budget`` tokens.
+
+    A document lands in the shard its START offset falls into
+    (``floor(exclusive_cum / budget)``): shards are contiguous in the
+    global order, every shard except the last holds ≥ budget - max_doc
+    tokens, and the assignment is append-stable for a fixed order key.
+    """
+    cum = global_cumsum(docs, order_col, token_col, out="_cum")
+    start = F.col("_cum") - F.col(token_col)
+    return cum.withColumn(
+        out, F.floor(start / F.lit(budget)).cast("long")
+    ).drop("_cum")

@@ -2813,3 +2813,181 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-shard assembly + corpus hygiene (packing, repetition,
+# redaction). All-integer outputs: exact parity with no quantization.
+# --------------------------------------------------------------------------
+
+TOKEN_SHARDS_SQL = """
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT CAST(FLOOR((cum - n_tok) / 4096.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1
+"""
+
+
+@register("token_shards", TOKEN_SHARDS_SQL)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment by global token offset. The oracle is a
+    global-order window cumsum; the engine path is the two-pass parallel
+    prefix sum (operators/packing.py) — range-partition, local cumsum,
+    driver-side exclusive totals — because a single-task global window
+    is the one thing a 100 TB corpus job must never do. Integer sums
+    make the two layouts bit-identical."""
+    from defimap_data_pipelines_spark.operators.packing import (
+        assign_token_shards,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    return (
+        assign_token_shards(d, "n_tok", budget=4096)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        FROM toks
+    ),
+    bigmax AS (
+        SELECT doc_id, MAX(c) AS max_bigram FROM (
+            SELECT doc_id, COUNT(*) AS c FROM big GROUP BY doc_id, bg
+        ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(max_bigram, 0) AS BIGINT) AS max_bigram_count
+    FROM toks t LEFT JOIN bigmax m ON t.doc_id = m.doc_id
+"""
+
+
+@register("doc_repetition", DOC_REPETITION_SQL)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats (boilerplate detection):
+    distinct-token count + the most-repeated bigram per doc. The doc's
+    max bigram multiplicity is a PER-ROW computation, so instead of the
+    oracle's explode → two-shuffle re-aggregation (2M intermediate rows
+    at sf0.1, unbounded at 100 TB), the engine sorts the bigram array
+    and takes the longest equal-run via a higher-order aggregate —
+    zero shuffles, stays in whole-stage codegen."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    bgs = F.expr(
+        "array_sort(transform(slice(ts, 1, size(ts) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(ts, i + 2))))"
+    )
+    run_max = F.expr(
+        "aggregate("
+        "  _bgs,"
+        "  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best),"
+        "  (acc, x) -> struct("
+        "      x AS prev,"
+        "      IF(x = acc.prev, acc.run + 1, 1) AS run,"
+        "      GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1)) AS best),"
+        "  acc -> acc.best)"
+    )
+    return d.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).cast("long").alias("n_distinct"),
+        bgs.alias("_bgs"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        run_max.cast("long").alias("max_bigram_count"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d{1,2} \d{3}-\d{3}-\d{4}"
+
+PII_REDACTION_SQL = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example or +1 415-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' today' AS text2
+        FROM documents
+    )
+    SELECT doc_id % 10 AS bucket,
+           SUM(len(regexp_extract_all(text2, '{_EMAIL_RE}'))) AS n_emails,
+           SUM(len(regexp_extract_all(text2, '{_PHONE_RE}'))) AS n_phones,
+           SUM(CAST(length(regexp_replace(regexp_replace(text2,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)) AS redacted_chars
+    FROM aug
+    GROUP BY 1
+"""
+
+
+@register("pii_redaction", PII_REDACTION_SQL)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/phone redaction) over the corpus. The
+    testdata text is synthetic word-salad, so deterministic PII is
+    spliced in from doc_id before redacting — the operator under test
+    is the regex scrub, verified by match counts and redacted lengths.
+    Patterns stay in the RE2 ∩ Java-regex dialect (no backrefs or
+    lookaround) so both engines compile them identically."""
+    d = read_table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example or +1 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" today"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(text2, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return (
+        d.select(
+            (F.col("doc_id") % 10).alias("bucket"),
+            F.size(F.regexp_extract_all(text2, F.lit(_EMAIL_RE), 0)).alias("_e"),
+            F.size(F.regexp_extract_all(text2, F.lit(_PHONE_RE), 0)).alias("_p"),
+            F.length(redacted).cast("long").alias("_rc"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("_e").alias("n_emails"),
+            F.sum("_p").alias("n_phones"),
+            F.sum("_rc").alias("redacted_chars"),
+        )
+    )

@@ -362,3 +362,26 @@ def test_split_weights_validated(spark):
 
     with pytest.raises(ValueError):
         split_column(F.lit(1), {"train": 0.5, "val": 0.1})
+
+
+def test_global_cumsum_layout_independent(spark):
+    """The two-pass prefix sum gives the exact global-window answer for
+    any partition count, including negative values and n=1."""
+    import pandas as pd
+
+    from defimap_data_pipelines_spark.operators.packing import global_cumsum
+
+    pdf = pd.DataFrame(
+        {"k": range(100), "v": [((-1) ** i) * (i % 7) for i in range(100)]}
+    )
+    df = spark.createDataFrame(pdf)
+    expect = pdf.sort_values("k")["v"].cumsum().tolist()
+    for n in (1, 3, 32):
+        got = (
+            global_cumsum(df, "k", "v", num_partitions=n)
+            .orderBy("k")
+            .select("cum")
+            .toPandas()["cum"]
+            .tolist()
+        )
+        assert got == expect, f"partitions={n}"
