@@ -2991,3 +2991,115 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_rc").alias("redacted_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series utilities: calendar resampling and gap densification —
+# the downsample/upsample pair every series store needs.
+# --------------------------------------------------------------------------
+
+WEEKLY_OHLC_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL})
+    SELECT name,
+           date_trunc('week', date) AS week,
+           min_by(asset_price, date) AS open,
+           MAX(asset_price) AS high,
+           MIN(asset_price) AS low,
+           max_by(asset_price, date) AS close,
+           COUNT(*) AS n_days
+    FROM raw_data
+    GROUP BY name, date_trunc('week', date)
+"""
+
+
+@register("resample_weekly_ohlc", WEEKLY_OHLC_SQL)
+def q_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampling: daily series -> ISO-week OHLC bars. One shuffle on
+    (name, week); open/close picked by min_by/max_by on the date (exact
+    — dates are unique within a group), so no window pass is needed."""
+    raw = orders_raw_series(spark, sf_dir)
+    return raw.groupBy(
+        "name", F.date_trunc("week", "date").cast("date").alias("week")
+    ).agg(
+        F.min_by("asset_price", "date").alias("open"),
+        F.max("asset_price").alias("high"),
+        F.min("asset_price").alias("low"),
+        F.max_by("asset_price", "date").alias("close"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+DATE_SPINE_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL}),
+    bounds AS (
+        SELECT name, MIN(date) AS mind, MAX(date) AS maxd
+        FROM raw_data GROUP BY name
+    ),
+    spine AS (
+        SELECT name,
+               CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY))
+                    AS DATE) AS date
+        FROM bounds
+    ),
+    filled AS (
+        SELECT s.name, s.date,
+               r.asset_price IS NOT NULL AS observed,
+               last_value(r.asset_price IGNORE NULLS)
+                   OVER (PARTITION BY s.name ORDER BY s.date
+                         ROWS UNBOUNDED PRECEDING) AS price
+        FROM spine s LEFT JOIN raw_data r
+          ON s.name = r.name AND s.date = r.date
+    )
+    SELECT name,
+           COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_observed,
+           SUM(CAST(ROUND(price * 100) AS BIGINT)) AS price_checksum
+    FROM filled
+    GROUP BY name
+"""
+
+
+@register("date_spine_ffill", DATE_SPINE_SQL)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling / gap densification: per-name daily calendar spine
+    (sequence + explode — generated distributed, never on the driver),
+    left join of observations, forward-fill via last(ignorenulls) over
+    the cumulative frame. The checksum aggregates the filled series
+    exactly (integer cents) to prove every gap day carries the right
+    carried-forward price."""
+    from pyspark.sql import Window
+
+    raw = orders_raw_series(spark, sf_dir)
+    spine = (
+        raw.groupBy("name")
+        .agg(F.min("date").alias("mind"), F.max("date").alias("maxd"))
+        .select(
+            "name",
+            F.explode(
+                F.sequence("mind", "maxd", F.expr("INTERVAL 1 DAY"))
+            ).alias("date"),
+        )
+    )
+    w = (
+        Window.partitionBy("name")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(
+        raw.select("name", "date", "asset_price"), ["name", "date"], "left"
+    ).select(
+        "name",
+        "date",
+        F.col("asset_price").isNotNull().alias("observed"),
+        F.last("asset_price", ignorenulls=True).over(w).alias("price"),
+    )
+    return filled.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_observed"),
+        F.sum(F.round(F.col("price") * 100).cast("long")).alias(
+            "price_checksum"
+        ),
+    )
