@@ -306,3 +306,52 @@ def stream_click_to_purchase(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_gotk_incremental(
+    raw_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821
+    """GOTK as a streaming pipeline: foreachBatch + the O(1) state step.
+
+    The reference reruns the full-history transform daily
+    (WRITE_TRUNCATE, aave_transform.py:227-239); here each microbatch
+    of newly-arrived raw days advances the persisted state table via
+    pipelines/incremental.py and appends only the new GOTK rows —
+    exactly the engine's batch numbers (test_streaming.py), with
+    Trigger.AvailableNow giving the daily-batch cadence and a
+    continuous trigger giving intraday freshness for free.
+
+    foreachBatch (not transformWithState) because the step is already
+    a pure DataFrame join against a tiny state dimension — per-key
+    python state would deoptimize a JVM-only plan. Days inside one
+    microbatch are applied in date order (the recurrence is
+    sequential across days, parallel across names).
+    """
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        incremental_gotk_step,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        days = [r.date for r in batch.select("date").distinct().collect()]
+        if not days:
+            return
+        state = spark.read.parquet(state_dir)
+        for d in sorted(days):
+            rows, state = incremental_gotk_step(
+                state, batch.filter(F.col("date") == F.lit(str(d)))
+            )
+            rows.write.mode("append").parquet(out_dir)
+            # pin the advanced state before the next day consumes it
+            state = spark.createDataFrame(state.collect(), state.schema)
+        state.write.mode("overwrite").parquet(state_dir)
+
+    return (
+        raw_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -240,3 +240,58 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir, tm
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_gotk_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch GOTK pipeline (state table + append sink) yields
+    the engine's batch rows exactly for the streamed-in days."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        initial_gotk_state,
+    )
+    from defimap_data_pipelines_spark.plans.domain import orders_raw_series
+    from defimap_data_pipelines_spark.schemas import RAW_SCHEMA
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        stream_gotk_incremental,
+    )
+
+    raw = orders_raw_series(spark, sf_dir).filter(
+        F.col("date").between("2001-06-01", "2001-07-31")
+    ).cache()
+    split = "2001-07-25"
+    state_dir = str(tmp_path / "state")
+    arrivals = str(tmp_path / "arrivals")
+    out = str(tmp_path / "gotk_out")
+    initial_gotk_state(raw.filter(F.col("date") <= split)).write.parquet(
+        state_dir
+    )
+    # "arriving" raw days land as files; the stream discovers them
+    future = raw.filter(F.col("date") > split)
+    future.select([f.name for f in RAW_SCHEMA.fields]).write.parquet(arrivals)
+
+    stream = spark.readStream.schema(RAW_SCHEMA).parquet(arrivals)
+    q = stream_gotk_incremental(
+        stream, state_dir, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.name, str(r.date)): r for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.name, str(r.date)): r
+        for r in growth_of_10k(raw).filter(F.col("date") > split).collect()
+    }
+    assert set(got) == set(batch) and len(got) > 0
+    for k, r in got.items():
+        b = batch[k]
+        assert r.end_day_investment == b.end_day_investment, k
+        assert r.start_day_investment == b.start_day_investment, k
+    # the persisted state advanced to each name's own last observed day
+    # (series are sparse: a gap day must not touch a name's state)
+    expect_last = {
+        r.name: str(r.d)
+        for r in raw.groupBy("name").agg(F.max("date").alias("d")).collect()
+    }
+    st = spark.read.parquet(state_dir)
+    assert {r.name: str(r.last_date) for r in st.collect()} == expect_last
