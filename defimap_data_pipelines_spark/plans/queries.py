@@ -3103,3 +3103,110 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_checksum"
         ),
     )
+
+
+FUNNEL_SQL = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(t1) AS t1, MIN(us) AS t2
+        FROM e JOIN s1 ON e.user_id = s1.user_id
+        WHERE event_type = 'click' AND us > t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(t1) AS t1, MIN(us) AS t3
+        FROM e JOIN s2 ON e.user_id = s2.user_id
+        WHERE event_type = 'purchase' AND us > t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+           (SELECT COALESCE(SUM(t3 - t1), 0) FROM s3) AS total_convert_us
+"""
+
+
+@register("event_funnel", FUNNEL_SQL)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase): each stage
+    is the MIN event time strictly after the previous stage's time —
+    MATCH_RECOGNIZE semantics decomposed into per-user conditional
+    aggregations and broadcast joins (the stage tables are one row per
+    converting user, tiny at any corpus scale). All comparisons run on
+    epoch micros so both engines truncate the ns timestamps alike."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("us").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            s3.agg(
+                F.count(F.lit(1)).alias("n_full_funnel"),
+                F.coalesce(F.sum(F.col("t3") - F.col("t1")), F.lit(0)).alias(
+                    "total_convert_us"
+                ),
+            )
+        )
+    )
+
+
+HISTOGRAM_SQL = """
+    SELECT LEAST(30, GREATEST(1,
+               CAST(FLOOR((o_totalprice - 0.0) / 20000.0) AS BIGINT) + 1))
+               AS bucket,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+               AS total_price
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@register("price_histogram", HISTOGRAM_SQL)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket semantics spelled out
+    arithmetically so both dialects share one expression tree):
+    30 buckets of 20k with clamped tails. Single map-side-combinable
+    aggregation — the at-scale shape for any distribution profile."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(30),
+        F.greatest(
+            F.lit(1),
+            F.floor((F.col("o_totalprice") - 0.0) / 20000.0).cast("long") + 1,
+        ),
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+            "total_price"
+        ),
+    )
