@@ -1,0 +1,119 @@
+"""Deterministic mini-batchless KMeans over embedding columns.
+
+Lloyd's algorithm as pure DataFrame ops — the iterative-algorithm
+pattern (like the connected-components pass in operators/corpus.py)
+applied to vector data: assign = broadcast the K centroids and take the
+argmin distance per row; update = explode dimensions and average per
+(cluster, dim) with exact integer-quantized sums.
+
+Determinism contract (so a DuckDB oracle can replay it exactly):
+- init centroids = the embeddings of the K smallest vec_ids (no RNG);
+- distances are rounded to 1e-9 before the argmin, with the cluster id
+  as tiebreak — cross-engine fp drift in a 64-term dot product sits at
+  ~1e-15, far under the grid;
+- centroid updates quantize each summand to 1e-9 (exact bigint sums,
+  order-independent) before dividing by the member count.
+
+Scale: assignment is a broadcast nested-loop over K centroids — a
+projection, no shuffle; the update shuffles K*dim grouped sums (tiny).
+Iterations materialize via localCheckpoint to cut lineage growth, the
+same trap corpus.py documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Quantization grid for distance comparison and centroid sums.
+GRID = 1_000_000_000  # 1e-9
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """(id, cluster, dist) — nearest centroid per row.
+
+    ``centroids`` is (cluster, c) with c a double array; it is collected
+    into an array literal and evaluated as a projection (K is small), so
+    the assignment needs no join or shuffle at all.
+    """
+    cents = sorted(
+        (r["cluster"], list(r["c"])) for r in centroids.collect()
+    )
+    # struct array literal: [(cluster, dist), ...] -> array_min picks the
+    # (rounded) nearest with the cluster id as tiebreak
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _sq_dist(F.col(vec_col), F.array(*[F.lit(x) for x in c])),
+                    9,
+                ).alias("dist"),
+                F.lit(k).alias("cluster"),
+            )
+            for k, c in cents
+        ]
+    )
+    best = F.array_min(pairs)
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cluster"].alias("cluster"),
+        best["dist"].alias("dist"),
+    )
+
+
+def update_centroids(assigned: DataFrame, vec_col: str = "e") -> DataFrame:
+    """(cluster, c): per-cluster mean vector with exact quantized sums."""
+    dims = assigned.select(
+        "cluster", F.posexplode(vec_col).alias("pos", "val")
+    )
+    per_dim = dims.groupBy("cluster", "pos").agg(
+        (
+            F.sum(F.round(F.col("val") * GRID).cast("long"))
+            / float(GRID)
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "m"))
+        ).getField("m").alias("c")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; returns the final assignment
+    (id, cluster, dist)."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    centroids = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
+            F.col("e").alias("c"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_clusters(v, centroids).localCheckpoint()
+        centroids = update_centroids(assigned)
+    return assigned.select("vec_id", "cluster", "dist")

@@ -3210,3 +3210,69 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+_SQDIST = "list_sum(list_transform(range(1, 65), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+
+
+def _kmeans_assign_sql(src: str, cents: str) -> str:
+    d = _SQDIST.format(a=f"{src}.e", b=f"{cents}.c")
+    return f"""
+        SELECT vec_id, e, cluster, dist FROM (
+            SELECT {src}.vec_id, {src}.e, {cents}.cluster,
+                   ROUND({d}, 9) AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+                                      ORDER BY ROUND({d}, 9), {cents}.cluster)
+                       AS rn
+            FROM {src}, {cents}
+        ) WHERE rn = 1
+    """
+
+
+KMEANS_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, e AS c
+        FROM v ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS ({_kmeans_assign_sql('v', 'init')}),
+    cent1 AS (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM (
+            SELECT cluster, i AS pos,
+                   SUM(CAST(ROUND(e[i] * 1000000000) AS BIGINT))
+                       / 1000000000.0 / COUNT(*) AS m
+            FROM a1, range(1, 65) t(i)
+            GROUP BY cluster, i
+        ) GROUP BY cluster
+    ),
+    a2 AS ({_kmeans_assign_sql('v', 'cent1')})
+    SELECT cluster,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(dist * 1000000) AS BIGINT)) / 1000000.0
+               AS inertia
+    FROM a2
+    GROUP BY cluster
+"""
+
+
+@register("kmeans_clusters", KMEANS_SQL)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of deterministic KMeans (k=8, seeded by the 8
+    smallest vec_ids) over the embedding table — the iterative-
+    algorithm pattern on vector data, oracle-replayed by unrolling both
+    iterations in SQL. Assignment is a shuffle-free projection against
+    broadcast centroid literals; distances are grid-rounded before the
+    argmin so both engines break ties identically (see
+    operators/clustering.py for the full determinism contract)."""
+    from defimap_data_pipelines_spark.operators.clustering import kmeans_fit
+
+    assigned = kmeans_fit(
+        read_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("dist") * 1000000).cast("long")) / 1000000.0
+        ).alias("inertia"),
+    )
