@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "dataset_split",
     "token_shards",
     "doc_repetition",
+    "kmeans_clusters",
+    "interval_count_join",
 ]
 
 

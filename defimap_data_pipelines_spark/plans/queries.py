@@ -3276,3 +3276,58 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("dist") * 1000000).cast("long")) / 1000000.0
         ).alias("inertia"),
     )
+
+
+INTERVAL_JOIN_SQL = """
+    WITH err AS (
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+        FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS p_us, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT err.event_id, err.user_id,
+           CAST(COUNT(p_us) AS BIGINT) AS n_nearby_purchases,
+           COALESCE(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)), 0)
+               / 1000000.0 AS nearby_value
+    FROM err LEFT JOIN pur
+      ON p_us BETWEEN e_us - 900000000 AND e_us + 900000000
+    GROUP BY err.event_id, err.user_id
+"""
+
+
+@register("interval_count_join", INTERVAL_JOIN_SQL)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-correlation range join: purchases within ±15 min of each
+    error event. The oracle states the theta join; the engine runs the
+    binned equi-join (operators/rangejoin.py) — explode to ≤2 time
+    buckets, hash-join on the bucket, re-check the range — because the
+    literal BETWEEN join is a BroadcastNestedLoopJoin that cannot scale.
+    Unmatched errors survive via the count-table re-join."""
+    from defimap_data_pipelines_spark.operators.rangejoin import (
+        interval_join_binned,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("e_us")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("p_us"), "value"
+    )
+    w = 900_000_000
+    matched = interval_join_binned(err, pur, "e_us", "p_us", -w, w)
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias("v"),
+    )
+    return err.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+            "n_nearby_purchases"
+        ),
+        (F.coalesce(F.col("v"), F.lit(0)) / 1000000.0).alias("nearby_value"),
+    )

@@ -385,3 +385,36 @@ def test_global_cumsum_layout_independent(spark):
             .tolist()
         )
         assert got == expect, f"partitions={n}"
+
+
+def test_interval_join_binned_matches_naive(spark):
+    """Binned range join == literal theta join on synthetic intervals,
+    across bin sizes (boundary inclusivity + multi-bucket fan-out)."""
+    import pandas as pd
+
+    from defimap_data_pipelines_spark.operators.rangejoin import (
+        interval_join_binned,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"lid": range(40), "lts": [i * 37 for i in range(40)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"rid": range(60), "rts": [i * 23 for i in range(60)]})
+    )
+    naive = left.join(
+        right,
+        F.col("rts").between(F.col("lts") - 50, F.col("lts") + 100),
+    )
+    expect = sorted(
+        (r.lid, r.rid) for r in naive.select("lid", "rid").collect()
+    )
+    assert len(expect) > 0
+    for b in (None, 1, 7, 1000):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_join_binned(
+                left, right, "lts", "rts", -50, 100, bin_size=b
+            ).select("lid", "rid").collect()
+        )
+        assert got == expect, f"bin_size={b}"
