@@ -37,3 +37,31 @@ def salted_agg(
     if count_alias:
         final_aggs.append(F.sum("_p_cnt").alias(count_alias))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, replicate the small side.
+
+    AQE's skew splitting only kicks in post-shuffle and only for
+    sort-merge joins; when one key holds a double-digit share of the
+    fact table, pre-salting guarantees the hot key spreads over
+    ``buckets`` tasks regardless of strategy. The big side gets a
+    deterministic per-row salt; the small side is exploded ``buckets``×
+    (fine — it is the small side) so every (key, salt) pair finds its
+    match. Inner-join semantics on ``key``.
+    """
+    # pmod, not %: Spark's % keeps the sign of xxhash64, and a negative
+    # salt would never meet the replicated side's 0..buckets-1 range
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), buckets)
+    )
+    replicated = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),
+    )
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")

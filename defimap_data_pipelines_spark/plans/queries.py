@@ -3331,3 +3331,104 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.coalesce(F.col("v"), F.lit(0)) / 1000000.0).alias("nearby_value"),
     )
+
+
+DQ_SQL = """
+    SELECT 'unique(event_id)' AS check, 'events' AS "table",
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS violations
+    FROM events
+    UNION ALL
+    SELECT 'unique(l_orderkey, l_linenumber)', 'lineitem',
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'not_null(text)', 'documents',
+           CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'range(l_discount in [0.0, 1.0])', 'lineitem',
+           CAST(COALESCE(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'fk(o_custkey -> c_custkey)', 'orders', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'fk(l_orderkey -> o_orderkey)', 'lineitem',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+@register("dq_checks", DQ_SQL)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation suite (operators/dq.py): uniqueness,
+    null-freedom, value ranges, referential integrity — each a single
+    aggregation or anti join, unioned into one report job. The testdata
+    genuinely violates the lineitem compound key, so the report carries
+    a non-zero row."""
+    from defimap_data_pipelines_spark.operators.dq import (
+        check_in_range,
+        check_not_null,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    docs = read_table(spark, sf_dir, "documents")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return run_checks(
+        [
+            check_unique(events, ["event_id"], "events"),
+            check_unique(lineitem, ["l_orderkey", "l_linenumber"], "lineitem"),
+            check_not_null(docs, "text", "documents"),
+            check_in_range(lineitem, "l_discount", 0.0, 1.0, "lineitem"),
+            check_referential(orders, customer, "o_custkey", "c_custkey", "orders"),
+            check_referential(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem"),
+        ]
+    )
+
+
+SALTED_JOIN_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+@register("salted_join_agg", SALTED_JOIN_SQL)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof join path (operators/skew.py::salted_join): the
+    fact side carries a deterministic 16-way salt, the other side is
+    replicated per salt, and the join key becomes (key, salt) — the
+    hot-key mitigation when AQE's post-shuffle splitting isn't enough.
+    The oracle is the plain join: salting must not change results."""
+    from defimap_data_pipelines_spark.operators.skew import salted_join
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        salted_join(l, o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(F.round(rev * 100).cast("long")) / 100.0).alias("revenue"),
+        )
+    )
