@@ -3432,3 +3432,62 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(rev * 100).cast("long")) / 100.0).alias("revenue"),
         )
     )
+
+
+QUANTIZE_SQL = """
+    WITH q AS (
+        SELECT label,
+               CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    err AS (
+        SELECT label,
+               list_max(list_transform(e,
+                   x -> abs(x - round(x / scale) * scale))) AS max_err
+        FROM q
+        WHERE scale > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(MAX(max_err), 9) AS worst_err,
+           SUM(CAST(ROUND(max_err * 1000000000) AS BIGINT))
+               / 1000000000.0 / COUNT(*) AS mean_err
+    FROM err
+    GROUP BY label
+"""
+
+
+@register("embedding_quantize_int8", QUANTIZE_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the storage
+    4x for vector indexes at scale): per-vector absmax scale, round to
+    the 127 grid, report reconstruction error per label. Pure
+    projection + one aggregation — the quantized array itself stays
+    distributed; only error stats leave the executors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / 127.0
+    staged = emb.select("label", e.alias("e"), scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    max_err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(x - F.round(x / F.col("scale")) * F.col("scale")),
+        )
+    )
+    return (
+        staged.select("label", max_err.alias("max_err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.max("max_err"), 9).alias("worst_err"),
+            (
+                F.sum(F.round(F.col("max_err") * 1000000000).cast("long"))
+                / 1000000000.0
+                / F.count(F.lit(1))
+            ).alias("mean_err"),
+        )
+    )
