@@ -3491,3 +3491,70 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_err"),
         )
     )
+
+
+SCD2_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS date, o_orderpriority AS name,
+               CASE WHEN SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         / COUNT(*) >= 15000000 THEN 'high' ELSE 'low' END
+                   AS tier
+        FROM orders GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT date, name, tier,
+               CASE WHEN tier IS DISTINCT FROM
+                         LAG(tier) OVER (PARTITION BY name ORDER BY date)
+                    THEN 1 ELSE 0 END AS chg
+        FROM daily
+    ),
+    grp AS (
+        SELECT date, name, tier,
+               SUM(chg) OVER (PARTITION BY name ORDER BY date
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM flagged
+    )
+    SELECT name, CAST(version AS BIGINT) AS version, tier,
+           MIN(date) AS valid_from,
+           MAX(date) AS last_observed,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM grp
+    GROUP BY name, version, tier
+"""
+
+
+@register("scd2_intervals", SCD2_SQL)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a daily attribute
+    snapshot into validity intervals. Change detection is
+    lag-compare-cumsum (the gaps-and-islands idiom sessionize also
+    uses), then one groupBy per (entity, version). The daily tier comes
+    from exact-cents average order value, so the change points are
+    bit-identical across engines."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("date"),
+        F.col("o_orderpriority").alias("name"),
+    ).agg(
+        F.when(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / F.count(F.lit(1))
+            >= 15000000,
+            "high",
+        )
+        .otherwise("low")
+        .alias("tier")
+    )
+    w = Window.partitionBy("name").orderBy("date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = F.when(
+        ~F.col("tier").eqNullSafe(F.lag("tier").over(w)), 1
+    ).otherwise(0)
+    grp = daily.withColumn("version", F.sum(chg).over(wcum).cast("long"))
+    return grp.groupBy("name", "version", "tier").agg(
+        F.min("date").alias("valid_from"),
+        F.max("date").alias("last_observed"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
