@@ -3558,3 +3558,53 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("date").alias("last_observed"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
+
+
+REVENUE_SHARE_SQL = """
+    WITH nat AS (
+        SELECT n_name,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name,
+           cents / 100.0 AS revenue,
+           cents * 1.0 / SUM(cents) OVER () AS share,
+           CAST(RANK() OVER (ORDER BY cents DESC, n_name) AS BIGINT)
+               AS revenue_rank
+    FROM nat
+"""
+
+
+@register("revenue_share", REVENUE_SHARE_SQL)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report) + rank over a pre-aggregated
+    dimension rollup. The unpartitioned window runs AFTER reduction to
+    |nations| rows, so the single-partition window is over 25 rows, not
+    the fact table — the only safe place for a global window. Exact
+    integer cents make the share division deterministic."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(F.col("cents").desc(), F.col("n_name"))
+    return nat.select(
+        "n_name",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.col("cents") * 1.0 / F.sum("cents").over(wall)).alias("share"),
+        F.rank().over(wrank).cast("long").alias("revenue_rank"),
+    )
