@@ -3608,3 +3608,15 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") * 1.0 / F.sum("cents").over(wall)).alias("share"),
         F.rank().over(wrank).cast("long").alias("revenue_rank"),
     )
+
+
+@register("gotk_sql", GOTK_SQL)
+def q_gotk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S5 surface (SURVEY.md §2.1): the flagship transform reaching
+    the engine through ``spark.sql`` over a registered view instead of
+    the DataFrame API — same Catalyst plan, same oracle. Proves a
+    SQL-dialect user of the reference can migrate without the Python
+    API (tests/test_properties.py pins SQL == DataFrame rows)."""
+    from defimap_data_pipelines_spark.sql.frontend import sql_gotk
+
+    return sql_gotk(spark, sf_dir)
