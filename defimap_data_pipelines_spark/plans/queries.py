@@ -3620,3 +3620,55 @@ def q_gotk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defimap_data_pipelines_spark.sql.frontend import sql_gotk
 
     return sql_gotk(spark, sf_dir)
+
+
+Q9_SQL = """
+    SELECT nation, o_year,
+           SUM(CAST(ROUND(amount * 100) AS BIGINT)) / 100.0 AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - p_retailprice * 0.01 * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", Q9_SQL)
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by supplier nation and year (TPC-H Q9 shape;
+    the cost term uses p_retailprice since the testdata has no
+    partsupp/ps_supplycost). Substring LIKE filter pushes to the part
+    scan; the profit expression spans two join sides so it evaluates
+    post-join, cents-quantized for the exact grouped sum."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.01 * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"),
+        )
+        .agg(
+            (F.sum(F.round(amount * 100).cast("long")) / 100.0).alias(
+                "sum_profit"
+            )
+        )
+    )
