@@ -1371,10 +1371,35 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(read_table(spark, sf_dir, "documents"))
 
 
-@register("multimodal_decode")
+MULTIMODAL_SQL = """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'video' WHEN 1 THEN 'image'
+                    ELSE 'audio' END AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    )
+    SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, sha256,
+           CAST(16 + ('0x' || substr(sha256, 1, 2))::BIGINT % 240
+                AS INTEGER) AS width,
+           CAST(16 + ('0x' || substr(sha256, 3, 2))::BIGINT % 240
+                AS INTEGER) AS height,
+           CAST(CASE WHEN kind = 'video'
+                     THEN 1 + ('0x' || substr(sha256, 5, 2))::BIGINT % 32
+                     ELSE 1 END AS INTEGER) AS n_frames
+    FROM m
+"""
+
+
+@register("multimodal_decode", MULTIMODAL_SQL)
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: Arrow-batched mapInPandas decode
-    (stubbed codec; rows-only)."""
+    over the opaque payload column. The codec is a deterministic
+    sha256-derived stand-in (no image/audio libs in this container), so
+    even the Python decode path is fully oracle-checked — DuckDB
+    replays the digest-derived metadata from the same utf-8 bytes."""
     from defimap_data_pipelines_spark.operators.multimodal import (
         decode_media,
         docs_as_media,
