@@ -391,3 +391,86 @@ def simhash_near_pairs(
     return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_md5(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """Engine-neutral SimHash twin of :func:`simhash64`.
+
+    Token hashes come from the first 15 hex chars of md5 (60 bits) so a
+    SQL oracle can replay the signature bit-for-bit — xxhash64 exists
+    only inside Spark. Same aggregate structure: one token explode, 60
+    map-side-combined sign sums in a single groupBy. The production
+    path stays on :func:`simhash64` (xxhash64 is ~3x cheaper per
+    token); this twin puts the ALGORITHM under the value-hash gate.
+    """
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    grouped = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(
+            F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return grouped.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_md5_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs on the md5 SimHash, 15-bit chunk blocking.
+
+    Pigeonhole-exact: distance <= 3 pairs agree on at least one of the
+    four 15-bit chunks, so the blocked join has full recall and the
+    bit_count verify makes the result identical to all-pairs.
+    """
+    sigs = simhash_md5(docs, text_col)
+    blocked = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("chunk"),
+                        F.shiftright(F.col("simhash"), k * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "chunk",
+        "key",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "chunk",
+        "key",
+    )
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

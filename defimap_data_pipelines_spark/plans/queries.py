@@ -3697,3 +3697,48 @@ def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _simhash_md5_sql(bits: int = 60) -> str:
+    tok_hash = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    bit_aggs = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+            FROM documents
+        ),
+        h AS (SELECT doc_id, {tok_hash} AS h FROM toks),
+        bits AS (
+            SELECT doc_id,
+               {bit_aggs}
+            FROM h GROUP BY doc_id
+        ),
+        sigs AS (SELECT doc_id, CAST({fp} AS BIGINT) AS sig FROM bits)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a, sigs b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.sig, b.sig)) <= 3
+    """
+
+
+SIMHASH_MD5_SQL = _simhash_md5_sql()
+
+
+@register("simhash_md5_pairs", SIMHASH_MD5_SQL)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection under the full value-hash gate: the
+    md5-derived 60-bit twin of the xxhash64 production path. The oracle
+    recomputes every signature from the same token bytes and compares
+    ALL pairs; the engine's 15-bit chunk blocking must therefore have
+    exactly full recall (pigeonhole over 4 chunks at distance <= 3) —
+    the blocking strategy itself is what's being verified."""
+    from defimap_data_pipelines_spark.operators.dedup import simhash_md5_pairs
+
+    return simhash_md5_pairs(read_table(spark, sf_dir, "documents"))
