@@ -3742,3 +3742,33 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defimap_data_pipelines_spark.operators.dedup import simhash_md5_pairs
 
     return simhash_md5_pairs(read_table(spark, sf_dir, "documents"))
+
+
+ROLLING_MD5_SQL = f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend('', string_split({_NORM}, ' ')),
+               (acc, x) -> substr(md5(acc || x), 1, 16)
+           ) AS fingerprint
+    FROM documents
+"""
+
+
+@register("rolling_md5_fingerprint", ROLLING_MD5_SQL)
+def q_rolling_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint as a chained md5 fold over
+    the token array — the oracle-checkable twin of the xxhash64 rolling
+    hash (rolling_hash_fingerprint stays rows-only). Both engines run
+    the identical fold (Spark higher-order aggregate == DuckDB
+    list_reduce), a per-row reduction with no shuffle; token order
+    matters, so unlike a bag-of-words hash it distinguishes permuted
+    documents."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        ws_tokens(F.col("text")),
+        F.lit(""),
+        lambda acc, x: F.substring(F.md5(F.concat(acc, x)), 1, 16),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
