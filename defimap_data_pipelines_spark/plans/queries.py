@@ -3772,3 +3772,49 @@ def q_rolling_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.substring(F.md5(F.concat(acc, x)), 1, 16),
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS total_cents
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_cents / 100.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", Q15_SQL)
+def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): a derived
+    aggregate reused twice — once as the join input, once reduced to a
+    scalar MAX for the equality filter. The revenue CTE is cached so
+    the two consumers share one computation; exact integer cents make
+    the MAX equality safe (a float max would be ulp-fragile)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.round(rev * 100).cast("long")).alias("total_cents"))
+        .cache()
+    )
+    max_cents = revenue.agg(F.max("total_cents")).collect()[0][0]
+    return (
+        s.join(F.broadcast(revenue), s.s_suppkey == F.col("supplier_no"))
+        .filter(F.col("total_cents") == max_cents)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_cents") / 100.0).alias("total_revenue"),
+        )
+    )
