@@ -3818,3 +3818,72 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_cents") / 100.0).alias("total_revenue"),
         )
     )
+
+
+Q21_SQL = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND CAST(l1.l_shipdate AS DATE)
+          > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3, orders o3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND o3.o_orderkey = l3.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND CAST(l3.l_shipdate AS DATE)
+                > CAST(o3.o_orderdate AS DATE) + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@register("q21_waiting_supplier", Q21_SQL)
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who alone shipped late in multi-supplier orders (TPC-H
+    Q21 shape; lateness = shipped >90 days after the order date, since
+    the testdata has no commit/receipt dates). The oracle keeps the
+    literal EXISTS / NOT EXISTS pair; the engine decorrelates both into
+    ONE order-level aggregate — distinct suppliers and distinct late
+    suppliers per order — because two correlated semi/anti passes over
+    the fact table would scan lineitem three times at 100 TB where the
+    rewrite scans it once reduced."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    lo = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), 90)
+        ).alias("late"),
+    )
+    facts = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_lines = lo.filter(F.col("late"))
+    qualifying = (
+        late_lines.join(facts, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qualifying.join(
+            F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
