@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "kmeans_clusters",
     "interval_count_join",
+    "training_dataset",
 ]
 
 

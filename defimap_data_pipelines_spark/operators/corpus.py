@@ -76,6 +76,7 @@ def clean_corpus(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.5,
     use_minhash: bool = True,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-filter + dedup pass: returns surviving documents.
 
@@ -84,6 +85,12 @@ def clean_corpus(
     3. near-dup removal: cluster jaccard>=t pairs (MinHash-LSH at
        scale, exact inverted index otherwise) and keep each cluster's
        canonical (min doc_id).
+
+    ``hashed``: optional precomputed full-corpus hashed-shingle frame
+    (dedup.hashed_shingles); it is narrowed to the surviving docs
+    before pairing. Signatures and pair candidates are per-doc, so
+    restricting a full-corpus frame yields exactly the survivor-only
+    pairs — the persisted-shingle-table reuse pattern at scale.
     """
     from defimap_data_pipelines_spark.operators.dedup import (
         exact_dedup,
@@ -103,7 +110,17 @@ def clean_corpus(
     docs_e = docs_q.join(canon, "doc_id")
 
     pair_fn = minhash_lsh_candidates if use_minhash else ngram_jaccard_pairs
-    pairs = pair_fn(docs_e, text_col, threshold=jaccard_threshold)
+    # cache: the narrowed frame feeds both the signature pass and the
+    # exact-Jaccard verify pass; uncached, each consumer would redo the
+    # survivor join against the full-corpus frame
+    hashed_e = (
+        hashed.join(docs_e.select("doc_id"), "doc_id").cache()
+        if hashed is not None
+        else None
+    )
+    pairs = pair_fn(
+        docs_e, text_col, threshold=jaccard_threshold, hashed=hashed_e
+    )
     clusters = dedup_clusters(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs_e.join(losers, "doc_id", "left_anti")

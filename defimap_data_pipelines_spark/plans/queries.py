@@ -3887,3 +3887,74 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+def _training_dataset_sql() -> str:
+    """Curation -> split -> shard, one statement: the clean-corpus
+    recursive-CTE oracle nested as a subquery, the md5 split CASE, and
+    a window-cumsum shard assignment over the train split."""
+    split_case = split_case_sql("doc_id", _SPLIT_WEIGHTS)
+    return f"""
+        WITH clean AS ({_clean_corpus_sql().replace("SELECT doc_id, lang, source, n_chars", "SELECT doc_id, text, lang, source, n_chars", 1)}),
+        tagged AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                   {split_case} AS split
+            FROM clean
+        ),
+        train_shards AS (
+            SELECT doc_id,
+                   CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                                                ROWS UNBOUNDED PRECEDING)
+                               - n_tok) / 4096.0) AS BIGINT) AS shard
+            FROM tagged WHERE split = 'train'
+        )
+        SELECT split,
+               COALESCE(shard, -1) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(n_tok) AS total_tokens
+        FROM tagged LEFT JOIN train_shards USING (doc_id)
+        GROUP BY split, COALESCE(shard, -1)
+    """
+
+
+@register("training_dataset", _training_dataset_sql())
+def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data assembly in one plan: corpus curation
+    (quality filter -> exact dedup -> near-dup cluster removal) ->
+    deterministic train/val/test split -> token-budget shard assignment
+    for the train split. Every stage is individually oracle-checked
+    elsewhere (clean_corpus, dataset_split, token_shards); this entry
+    proves they COMPOSE — one DuckDB statement with the recursive-CTE
+    closure nested inside replays the whole pipeline."""
+    from defimap_data_pipelines_spark.operators.corpus import clean_corpus
+    from defimap_data_pipelines_spark.operators.packing import (
+        assign_token_shards,
+    )
+    from defimap_data_pipelines_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    survivors = clean_corpus(
+        read_table(spark, sf_dir, "documents"),
+        min_quality=0.3,
+        jaccard_threshold=0.35,
+        use_minhash=True,
+    )
+    tagged = train_val_test_split(survivors, "doc_id", _SPLIT_WEIGHTS).select(
+        "doc_id",
+        "split",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    shards = assign_token_shards(
+        tagged.filter(F.col("split") == "train"), "n_tok", budget=4096
+    ).select("doc_id", "shard")
+    return (
+        tagged.join(shards, "doc_id", "left")
+        .groupBy(
+            "split", F.coalesce(F.col("shard"), F.lit(-1)).alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )

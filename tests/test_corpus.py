@@ -70,3 +70,33 @@ def test_clean_corpus_invariants(spark, sf_dir):
         out, min_quality=0.3, jaccard_threshold=0.35, use_minhash=False
     )
     assert again.count() == n_out
+
+
+def test_clean_corpus_with_injected_shingles_identical(spark, sf_dir):
+    """Narrowing a full-corpus hashed-shingle frame to the survivors
+    yields exactly the survivor-only pairs: clean_corpus(hashed=...)
+    must return the same surviving doc set as the self-computed path."""
+    from defimap_data_pipelines_spark.operators.corpus import clean_corpus
+    from defimap_data_pipelines_spark.operators.dedup import (
+        doc_shingles,
+        hashed_shingles,
+    )
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = {
+        r.doc_id
+        for r in clean_corpus(
+            docs, min_quality=0.3, jaccard_threshold=0.35
+        ).select("doc_id").collect()
+    }
+    injected = {
+        r.doc_id
+        for r in clean_corpus(
+            docs,
+            min_quality=0.3,
+            jaccard_threshold=0.35,
+            hashed=hashed_shingles(doc_shingles(docs)),
+        ).select("doc_id").collect()
+    }
+    assert base == injected and len(base) > 0
