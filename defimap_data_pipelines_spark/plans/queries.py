@@ -3958,3 +3958,67 @@ def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+STREAM_TUMBLING_SQL = """
+    SELECT epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                         AS TIMESTAMP)) AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) / 1000000.0
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+_STREAM_SINK_SEQ = iter(range(1, 1 << 30))
+
+
+@register("stream_tumbling_exec", STREAM_TUMBLING_SQL)
+def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming EXECUTION under the exact-value gate: the
+    tumbling-hourly aggregation runs as a real streaming query
+    (readStream -> window agg -> complete-mode memory sink,
+    Trigger.AvailableNow) and must reproduce the batch oracle
+    bit-for-bit — quantized sums make the answer independent of
+    microbatch boundaries and arrival order. Complete mode (no
+    watermark) because a bounded replay must emit its final windows."""
+    import os
+
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    # FileStreamSource wants a directory; expose the single parquet
+    # file through a symlink dir (testdata itself is read-only)
+    link_dir = f"/tmp/spark_stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(link_dir, exist_ok=True)
+    link = f"{link_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    ev = read_events_stream(spark, link_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias(
+                "_sv"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            (F.col("_sv") / 1000000.0).alias("sum_value"),
+        )
+    )
+    name = f"_stream_tumbling_exec_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
