@@ -4022,3 +4022,88 @@ def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+STREAM_SESSIONS_SQL = """
+    WITH e AS (
+        SELECT user_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, value, us,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                            ORDER BY us) > 1800000000
+                    OR LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    grp AS (
+        SELECT user_id, value, us,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) / 1000000.0
+               AS sum_value
+    FROM grp
+    GROUP BY user_id, seq
+"""
+
+
+@register("stream_sessions_exec", STREAM_SESSIONS_SQL)
+def q_stream_sessions_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window executed as a real streaming query vs the
+    gaps-and-islands oracle: Spark's session end is last event + gap,
+    so the SQL replays MAX(us) + 30min. Proves the built-in streaming
+    session operator and the batch idiom define the SAME islands —
+    the semantic bridge between §2.7's streaming surface and the batch
+    sessionize query."""
+    import os
+
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    link_dir = f"/tmp/spark_stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(link_dir, exist_ok=True)
+    link = f"{link_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    ev = read_events_stream(spark, link_dir)
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias(
+                "_sv"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            (F.col("_sv") / 1000000.0).alias("sum_value"),
+        )
+    )
+    name = f"_stream_sessions_exec_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start_us", "session_end_us", "n_events",
+        "sum_value",
+    )
