@@ -16,6 +16,7 @@ driver sorts columns by name before hashing.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -4106,4 +4107,72 @@ def q_stream_sessions_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "session_start_us", "session_end_us", "n_events",
         "sum_value",
+    )
+
+
+_BUCKETED_MEMO: set[tuple[int, str]] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem/orders as bucketed tables once per (session, sf) —
+    the co-located-layout investment a warehouse makes at ingest so
+    every later fact-fact join is exchange-free."""
+    from defimap_data_pipelines_spark.sources.bucketing import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl_l, tbl_o = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED_MEMO:
+        write_bucketed(
+            read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+            ),
+            tbl_l,
+            ["l_orderkey"],
+            16,
+            sort_cols=["l_orderkey"],
+        )
+        write_bucketed(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            tbl_o,
+            ["o_orderkey"],
+            16,
+            sort_cols=["o_orderkey"],
+        )
+        _BUCKETED_MEMO.add(key)
+    return tbl_l, tbl_o
+
+
+BUCKETED_JOIN_SQL = """
+    SELECT o_orderpriority,
+           SUM(l_quantity) AS total_qty,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+@register("bucketed_join_agg", BUCKETED_JOIN_SQL)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join layout in the gate: both fact tables are
+    bucketed by the join key at write time, so the join zips buckets
+    with NO exchange on either side (plan asserted in
+    tests/test_scale_layout.py) — at 100 TB this converts every
+    recurring fact-fact join from a full shuffle into a local merge.
+    Results must equal the plain parquet join, which is the oracle."""
+    tbl_l, tbl_o = _bucketed_tables(spark, sf_dir)
+    l, o = spark.table(tbl_l), spark.table(tbl_o)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            (F.sum(F.round(rev * 100).cast("long")) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
     )
