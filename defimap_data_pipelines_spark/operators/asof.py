@@ -26,13 +26,21 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right ``value_cols`` with
-    right.ts <= left.ts (inclusive), per ``on`` key.
+    """For each left row, attach the nearest right ``value_cols`` —
+    latest with right.ts <= left.ts (``direction="backward"``, the
+    point-in-time read) or earliest with right.ts >= left.ts
+    (``"forward"``, the what-happened-next probe) — per ``on`` key.
 
     Right rows sort before left rows at equal timestamps (marker 0 < 1),
-    so an exactly-simultaneous state is visible to the probe.
+    so an exactly-simultaneous state is visible to the probe in either
+    direction. Forward is the same union-and-carry scan over a
+    descending timestamp order. Ties on the boundary timestamp resolve
+    to the max value (last in value-ascending carry order) both ways.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = [c for c in left.columns]
     l = left.select(
         *lcols,
@@ -49,10 +57,13 @@ def asof_join(
         if c not in on and c != ts_col:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = l.unionByName(r, allowMissingColumns=False)
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(
-            F.col(ts_col).asc(),
+            ts_order,
             F.col("_marker").asc(),
             *[F.col(f"_v_{c}").asc_nulls_first() for c in value_cols],
         )

@@ -4176,3 +4176,61 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
+
+
+ASOF_NEXT_SQL = """
+    WITH err AS (
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+        FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT err.event_id, err.user_id, err.e_us, pur.p_us, pur.value,
+               ROW_NUMBER() OVER (PARTITION BY err.event_id
+                                  ORDER BY pur.p_us ASC, pur.value DESC)
+                   AS rn
+        FROM err LEFT JOIN pur
+          ON pur.user_id = err.user_id AND pur.p_us >= err.e_us
+    )
+    SELECT event_id, user_id,
+           p_us AS next_purchase_us,
+           ROUND(value, 6) AS next_purchase_value
+    FROM ranked WHERE rn = 1 OR p_us IS NULL
+"""
+
+
+@register("asof_next_purchase", ASOF_NEXT_SQL)
+def q_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each error event, the user's NEXT
+    purchase (earliest ts >= error ts) — the what-happened-next probe,
+    same union-and-carry scan as the backward join over a descending
+    timestamp order (no range-join explosion). Oracle decorrelates to a
+    ranked theta join."""
+    from defimap_data_pipelines_spark.operators.asof import asof_join
+
+    e = read_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("e_us")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("e_us"), "value"
+    )
+    out = asof_join(
+        err,
+        pur,
+        on=["user_id"],
+        ts_col="e_us",
+        value_cols=["e_us", "value"],
+        suffix="_next",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("e_us_next").alias("next_purchase_us"),
+        F.round(F.col("value_next"), 6).alias("next_purchase_value"),
+    )
