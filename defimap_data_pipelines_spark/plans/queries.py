@@ -3961,6 +3961,17 @@ def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_dir(sf_dir: str) -> str:
+    """FileStreamSource wants a directory; expose the single read-only
+    parquet file through a /tmp symlink dir, once per sf."""
+    link_dir = f"/tmp/spark_stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(link_dir, exist_ok=True)
+    link = f"{link_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return link_dir
+
+
 STREAM_TUMBLING_SQL = """
     SELECT epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
                          AS TIMESTAMP)) AS window_start_us,
@@ -3984,20 +3995,11 @@ def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit — quantized sums make the answer independent of
     microbatch boundaries and arrival order. Complete mode (no
     watermark) because a bounded replay must emit its final windows."""
-    import os
-
     from defimap_data_pipelines_spark.streaming.jobs import (
         read_events_stream,
     )
 
-    # FileStreamSource wants a directory; expose the single parquet
-    # file through a symlink dir (testdata itself is read-only)
-    link_dir = f"/tmp/spark_stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
-    os.makedirs(link_dir, exist_ok=True)
-    link = f"{link_dir}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    ev = read_events_stream(spark, link_dir)
+    ev = read_events_stream(spark, _events_stream_dir(sf_dir))
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -4065,18 +4067,11 @@ def q_stream_sessions_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     session operator and the batch idiom define the SAME islands —
     the semantic bridge between §2.7's streaming surface and the batch
     sessionize query."""
-    import os
-
     from defimap_data_pipelines_spark.streaming.jobs import (
         read_events_stream,
     )
 
-    link_dir = f"/tmp/spark_stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
-    os.makedirs(link_dir, exist_ok=True)
-    link = f"{link_dir}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    ev = read_events_stream(spark, link_dir)
+    ev = read_events_stream(spark, _events_stream_dir(sf_dir))
     agg = (
         ev.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
