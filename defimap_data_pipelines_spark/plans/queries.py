@@ -4118,6 +4118,17 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tbl_l, tbl_o = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     key = (id(spark), sf_dir)
     if key not in _BUCKETED_MEMO:
+        # a previous PROCESS may have left the managed-table directory
+        # behind without this session's catalog knowing the table —
+        # saveAsTable then refuses the location; clear stale dirs first
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for tbl in (tbl_l, tbl_o):
+            if not spark.catalog.tableExists(tbl):
+                shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
         write_bucketed(
             read_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
