@@ -295,3 +295,60 @@ def test_stream_gotk_incremental_equals_batch(spark, sf_dir, tmp_path):
     }
     st = spark.read.parquet(state_dir)
     assert {r.name: str(r.last_date) for r in st.collect()} == expect_last
+
+
+def test_stream_gotk_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Durability: stop the GOTK stream, land more raw days, restart
+    with the SAME checkpoint — the new days process exactly once and
+    the combined output equals the batch recompute (no dupes, no gaps)."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        initial_gotk_state,
+    )
+    from defimap_data_pipelines_spark.plans.domain import orders_raw_series
+    from defimap_data_pipelines_spark.schemas import RAW_SCHEMA
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        stream_gotk_incremental,
+    )
+
+    raw = orders_raw_series(spark, sf_dir).filter(
+        F.col("date").between("2001-06-01", "2001-07-31")
+    ).cache()
+    split, mid = "2001-07-25", "2001-07-28"
+    state_dir = str(tmp_path / "state")
+    arrivals = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cols = [f.name for f in RAW_SCHEMA.fields]
+    initial_gotk_state(raw.filter(F.col("date") <= split)).write.parquet(
+        state_dir
+    )
+
+    # wave 1: days (split, mid]
+    raw.filter(
+        (F.col("date") > split) & (F.col("date") <= mid)
+    ).select(cols).write.mode("append").parquet(arrivals)
+    stream = spark.readStream.schema(RAW_SCHEMA).parquet(arrivals)
+    q = stream_gotk_incremental(stream, state_dir, out, ckpt)
+    q.awaitTermination()
+
+    # wave 2: remaining days land AFTER the first run stopped
+    raw.filter(F.col("date") > mid).select(cols).write.mode(
+        "append"
+    ).parquet(arrivals)
+    stream2 = spark.readStream.schema(RAW_SCHEMA).parquet(arrivals)
+    q2 = stream_gotk_incremental(stream2, state_dir, out, ckpt)
+    q2.awaitTermination()
+
+    got = [
+        ((r.name, str(r.date)), r.end_day_investment)
+        for r in spark.read.parquet(out).collect()
+    ]
+    batch = {
+        (r.name, str(r.date)): r.end_day_investment
+        for r in growth_of_10k(raw).filter(F.col("date") > split).collect()
+    }
+    # exactly-once: no key appears twice, and the set equals the batch
+    assert len(got) == len(set(k for k, _ in got)) == len(batch)
+    for k, v in got:
+        assert v == batch[k], k
