@@ -201,25 +201,32 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     inverted lists, probe the n_probe nearest lists per query, exact
     cosine within the probed lists.
 
-    Centroids are the first ``num_centroids`` corpus vectors (a
-    deterministic k-means|| stand-in — swap in trained centroids at
-    scale; the plan shape is identical). The corpus pass assigns each
-    vector to its nearest centroid (one broadcast of num_centroids
-    vectors), so the only shuffle is the per-query top-k window.
+    ``centroids``: optional trained codebook as a (cluster, c) frame
+    (operators/clustering.py::kmeans/update_centroids output). Default
+    is the first ``num_centroids`` corpus vectors (a deterministic
+    k-means|| stand-in); the plan shape is identical either way. The
+    corpus pass assigns each vector to its nearest centroid (one
+    broadcast of num_centroids vectors), so the only shuffle is the
+    per-query top-k window.
     """
-    cent = (
-        corpus.limit(num_centroids)
-        .select(
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cluster").alias("centroid_id"),
+            F.col("c").alias("_centv"),
+            l2_norm(F.col("c")).alias("_centn"),
+        )
+    else:
+        cent = corpus.limit(num_centroids).select(
             F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
             F.col(vec_col).alias("_centv"),
             l2_norm(F.col(vec_col)).alias("_centn"),
         )
-    )
     cent_b = F.broadcast(cent)
 
     def assign(df: DataFrame, idc: str, out: str, top_n: int) -> DataFrame:

@@ -126,3 +126,47 @@ def test_cosine_topk_pandas_matches_jvm(spark, sf_dir):
     assert set(jvm) == set(pnd) and len(jvm) == 25
     for key, v in jvm.items():
         assert abs(v - pnd[key]) < 1e-9
+
+
+def test_ivf_with_trained_centroids(spark, sf_dir):
+    """The trained-codebook hook: IVF over kmeans centroids returns
+    valid per-query top-k with recall comparable to brute force.
+    (On these synthetic unclustered gaussian embeddings a trained
+    codebook cannot beat the first-k stand-in — recall 0.84 vs 0.85 at
+    sf0.01 — the hook's value shows on clustered real data; this pins
+    the plumbing and a recall floor.)"""
+    from defimap_data_pipelines_spark.operators.clustering import kmeans_fit
+    from defimap_data_pipelines_spark.operators.clustering import (
+        update_centroids,
+        assign_clusters,
+    )
+    from defimap_data_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    init = v.orderBy("vec_id").limit(16).select(
+        F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
+        F.col("e").alias("c"),
+    )
+    cents = update_centroids(assign_clusters(v, init))
+    cents = update_centroids(assign_clusters(v, cents))
+
+    truth = {
+        (r.query_id, r.vec_id) for r in cosine_topk(qs, emb, k=5).collect()
+    }
+    got = ivf_topk(qs, emb, k=5, n_probe=4, centroids=cents)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(len(v) == 5 for v in by_q.values()) and len(by_q) == 20
+    hits = {(r.query_id, r.vec_id) for r in rows}
+    assert len(hits & truth) / len(truth) >= 0.7
