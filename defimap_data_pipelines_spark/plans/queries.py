@@ -3890,6 +3890,261 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q2_SQL = """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem
+        WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ), regional AS (
+        SELECT l_partkey, supply_cost, s_acctbal, s_name, n_name
+        FROM cost
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_retailprice
+    FROM regional
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+      AND supply_cost = (
+          SELECT MIN(r2.supply_cost) FROM regional r2
+          WHERE r2.l_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", Q2_SQL)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part in a region (TPC-H Q2 shape,
+    adapted: the testdata has no partsupp table, so the supply cost is
+    derived from shipped facts — MIN(l_extendedprice / l_quantity) per
+    (part, supplier) pair). The correlated MIN subquery is decorrelated
+    into a per-part window MIN over the already-aggregated regional
+    frame: after the (partkey, suppkey) groupBy the data is a few rows
+    per part, so the window re-shuffle is over the *reduced* frame, not
+    the fact table. Dims (supplier x nation x region, filtered part) are
+    broadcast so lineitem shuffles exactly once, on the groupBy key.
+    MIN over identical IEEE division results is engine-deterministic,
+    so the equality join against the regional minimum is exact."""
+    from pyspark.sql import Window
+
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    rg = read_table(spark, sf_dir, "region")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    eur_supp = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            rg.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cost = (
+        l.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supply_cost"
+            )
+        )
+    )
+    regional = cost.join(
+        F.broadcast(eur_supp), F.col("s_suppkey") == F.col("l_suppkey")
+    ).join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_retailprice")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q11_SQL = """
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS cval
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_7', 'NATION_8')
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, cval / 100.0 AS part_value
+    FROM v
+    WHERE cval > 1.5e0 * (SELECT AVG(cval) FROM v)
+    ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q11_important_value", Q11_SQL)
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important part values for a nation group (TPC-H Q11 shape,
+    adapted: no partsupp, so per-part 'stock value' = shipped revenue
+    from the nation group's suppliers). The correlated fraction-of-total
+    HAVING becomes: aggregate once, take the group mean as a broadcast
+    scalar (cross join of a 1-row frame), filter. Unlike TPC-H's fixed
+    FRACTION (which the spec scales by 1/SF), the 1.5x-mean threshold
+    is scale-invariant, so the query returns rows at every SF. Revenue
+    is quantized to integer cents so both engines sum exactly; the
+    threshold literal is forced to a double on the DuckDB side (1.5e0)
+    because a plain decimal literal would otherwise compare in exact
+    DECIMAL arithmetic where Spark compares in binary doubles. The
+    grand total stays within long range up to ~sf10k (6e12 cents at
+    sf0.1)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    grp_supp = (
+        s.join(
+            F.broadcast(
+                n.filter(F.col("n_name").isin("NATION_7", "NATION_8"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    v = (
+        l.join(F.broadcast(grp_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("cval"))
+    )
+    mean = v.agg(F.avg("cval").alias("mean_cval"))
+    return (
+        v.crossJoin(F.broadcast(mean))
+        .filter(F.col("cval") > F.lit(1.5) * F.col("mean_cval"))
+        .select(
+            "l_partkey", (F.col("cval") / 100.0).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_cnt", Q16_SQL)
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count histogram per part attribute (TPC-H Q16 shape,
+    adapted: supplier-part relationships come from lineitem, and the
+    'customer complaints' exclusion becomes negative account balance).
+    The NOT IN becomes a broadcast left-anti join (the excluded set is
+    tiny); the part attribute filter is a broadcast join pruning the
+    fact scan before the distinct aggregation."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(
+            F.broadcast(bad_supp),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q20_SQL = """
+    WITH red AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sp_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+        SELECT l_partkey, SUM(sp_qty) AS part_qty FROM red GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN red ON l_suppkey = s_suppkey
+    JOIN tot ON tot.l_partkey = red.l_partkey
+    WHERE red.sp_qty > 0.5 * tot.part_qty
+    ORDER BY s_name
+"""
+
+
+@register("q20_dominant_supplier", Q20_SQL)
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant suppliers of red parts in 1997 (TPC-H Q20 shape,
+    adapted: no partsupp availqty, so 'excess stock' becomes 'shipped
+    more than half of a part's 1997 volume'). The nested correlated
+    subqueries decorrelate into one (part, supplier) aggregate plus a
+    per-part window total over the reduced frame — the fact table is
+    filtered by the broadcast name-pattern part dim and the date range
+    before its single shuffle. Quantities are integral doubles, so both
+    sums and the 0.5 threshold compare exactly."""
+    from pyspark.sql import Window
+
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    red = (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    sn = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    return (
+        red.withColumn("part_qty", F.sum("sp_qty").over(w))
+        .filter(F.col("sp_qty") > 0.5 * F.col("part_qty"))
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
 def _training_dataset_sql() -> str:
     """Curation -> split -> shard, one statement: the clean-corpus
     recursive-CTE oracle nested as a subquery, the md5 split CASE, and
