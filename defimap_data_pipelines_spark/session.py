@@ -41,6 +41,10 @@ def get_spark(
         # deterministic timestamp semantics regardless of host tz
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # parquet written with isAdjustedToUTC=false would otherwise read as
+        # TIMESTAMP_NTZ (Spark 4 inference), breaking unix_micros/window ops;
+        # with a UTC session the instant semantics are identical either way.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         # local mode: driver memory is the only memory knob
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
