@@ -52,6 +52,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The testdata's timestamps are parquet micros with isAdjustedToUTC=false,
+    # which a default Spark 4 session reads as TIMESTAMP_NTZ (the calling
+    # session may not share our inferTimestampNTZ=false override). Our
+    # operators and the DuckDB oracle both treat the wall clock as UTC, so
+    # cast NTZ -> TIMESTAMP here; with the session tz pinned to UTC above
+    # this maps each wall-clock value to the identical instant.
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

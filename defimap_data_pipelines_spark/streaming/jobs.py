@@ -60,14 +60,50 @@ def stream_bronze_to_silver(
     )
 
 
+def _events_ts_unit(path: str) -> str:
+    """Sniff the parquet footer for the events ``ts`` physical unit
+    ("ns" | "us" | other). FileStreamSource needs a user schema, and the
+    right one depends on how the files were written."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path if os.path.isfile(path) else sorted(glob.glob(f"{path}/*.parquet"))[0]
+    typ = pq.ParquetFile(f).schema_arrow.field("ts").type
+    return getattr(typ, "unit", str(typ))
+
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """events parquet as a stream; ns timestamps arrive as long via the
-    nanosAsLong conf (sources/parquet.py) and convert exactly."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events parquet as a stream, normalized to TimestampType under a
+    UTC session clock regardless of how the files encode ``ts``:
+
+    - nanosecond files: no timestamp schema can read them in Spark 4, so
+      read as long (legacy nanosAsLong) and convert with exact integer
+      floor division (matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast);
+    - microsecond isAdjustedToUTC=false files: read as TIMESTAMP_NTZ and
+      cast — with the session tz pinned to UTC the wall clock maps to
+      the identical instant the batch reader and the oracle use.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if _events_ts_unit(path) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        raw = spark.readStream.schema(schema).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -75,7 +111,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         ]
     )
     raw = spark.readStream.schema(schema).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_counts(

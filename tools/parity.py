@@ -75,10 +75,34 @@ def compare(name: str, spark, con, sf_dir: str) -> bool:
     return ok
 
 
+def vanilla_spark():
+    """A driver-like session: default configs, no engine overrides.
+
+    The driver runs queries() under its own plain SparkSession, so any
+    behavior that depends on get_spark()'s config tuning (e.g. parquet
+    TIMESTAMP_NTZ inference) passes locally but fails the gate. Running
+    parity with --vanilla replicates the driver's environment.
+    """
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return (
+        SparkSession.builder.appName("parity-vanilla")
+        .master(f"local[{cpus}]")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(QUERIES)
-    spark = get_spark("parity")
+    argv = list(sys.argv[1:])
+    use_vanilla = "--vanilla" in argv
+    if use_vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    names = argv[1:] or list(QUERIES)
+    spark = vanilla_spark() if use_vanilla else get_spark("parity")
     con = duck_connect(sf_dir)
     fails = [n for n in names if not compare(n, spark, con, sf_dir)]
     print(f"\n{len(names) - len(fails)}/{len(names)} queries match at {sf_dir}")
