@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "interval_count_join",
     "training_dataset",
+    "neardup_components",
+    "tfidf_top_terms",
+    "bm25_search",
+    "weighted_moving_avg",
+    "zscore_anomalies",
+    "pareto_frontier",
+    "char_entropy",
 ]
 
 

@@ -97,6 +97,15 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
 
 
+def char_array(col: Column) -> Column:
+    """Normalized text as an array of single characters."""
+    s = normalize_text(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        lambda i: F.substring(s, i, 1),
+    )
+
+
 def rolling_hash(col: Column) -> Column:
     """Order-sensitive rolling hash of the token stream: a left fold
     chaining each token into the accumulator, h' = xxhash64(token, h).

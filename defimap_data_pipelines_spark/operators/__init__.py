@@ -39,3 +39,16 @@ from defimap_data_pipelines_spark.operators.multimodal import (  # noqa: F401
     decode_media,
     frame_sample,
 )
+from defimap_data_pipelines_spark.operators.graph import (  # noqa: F401
+    component_sizes,
+    connected_components,
+)
+from defimap_data_pipelines_spark.operators.ranking import (  # noqa: F401
+    bm25_scores,
+    tfidf_top_terms,
+)
+from defimap_data_pipelines_spark.operators.rolling import (  # noqa: F401
+    pareto_frontier,
+    rolling_zscore_anomalies,
+    weighted_moving_avg,
+)

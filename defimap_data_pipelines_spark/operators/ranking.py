@@ -1,0 +1,143 @@
+"""Relevance-ranking operators over the documents corpus (engine
+extension: training-data curation needs per-document term salience for
+topic filtering and retrieval-style quality checks).
+
+Both operators stay entirely in built-in JVM expressions: tokenize with
+split, one explode to postings, map-side-combined counts, broadcast
+joins for the tiny term-statistics dimensions. No Python in the hot
+path; document-frequency tables are O(vocabulary) and broadcast.
+
+Determinism: scores are doubles built from integer counts via identical
+expression trees in Spark and the DuckDB oracle (ln over int ratios),
+so per-row values reproduce bit-for-bit; ranking ties break on the
+term/doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.functions.text import ws_tokens
+
+
+def _postings(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, token) one row per token OCCURRENCE (not distinct)."""
+    return docs.select(
+        "doc_id", F.explode(ws_tokens(F.col(text_col))).alias("token")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf-idf.
+
+    tf = raw occurrence count in the doc; idf = ln((N+1)/(df+1)) + 1
+    (smoothed — never zero, so rare-term docs still rank). Returns
+    (doc_id, term, tfidf, rank) with rank 1..k per doc, ties broken by
+    term ascending.
+
+    One explode + two count aggregations; df and N are corpus-bounded
+    (vocabulary-sized / scalar) and broadcast onto the tf frame, so the
+    only full-data shuffle is the (doc_id, token) count.
+    """
+    post = _postings(docs, text_col)
+    tf = post.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_tbl = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                )
+            ).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.round("_score", 6).alias("tfidf"), "rank")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """BM25 relevance of each document to a bag-of-terms query; top-N
+    docs by score (ties broken by doc_id).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); the classic Robertson
+    formulation. Doc length is the whitespace token count; avgdl is a
+    corpus scalar (broadcast).
+
+    The query-term postings are filtered BEFORE the tf count, so the
+    shuffled volume is only the matching occurrences — at 100 TB the
+    token filter prunes scan output by ~|terms|/|vocab|.
+    """
+    post = _postings(docs, text_col).filter(F.col("token").isin(terms))
+    tf = post.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    lens = docs.select(
+        "doc_id", F.size(ws_tokens(F.col(text_col))).cast("long").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        lens.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            # integer-quantized per-term contribution: the per-doc sum
+            # is order-free so Spark and the oracle agree bit-for-bit
+            F.round(
+                idf * F.col("tf") * (1.0 + k1) / denom * 1_000_000.0
+            )
+            .cast("long")
+            .alias("_q"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        (F.sum("_q") / 1_000_000.0).alias("bm25")
+    )
+    # top-N FIRST via sort+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, no single-partition shuffle), then rank the tiny
+    # result — a global row_number window over the full frame would
+    # funnel every doc through one task at scale
+    head = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(top)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return head.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "bm25", "rank"
+    )

@@ -1,0 +1,171 @@
+"""Rolling/decayed window analytics over the events stream (engine
+extension: the reference's trailing windows, A2/A3 in SURVEY.md §2.4,
+generalized to per-key rolling frames at event grain).
+
+Determinism contract (plans/queries.py docstring): every accumulation
+that would be float-order-sensitive is quantized to exact integers
+before summing, so Spark's frame-ordered fold and the oracle's
+unordered SUM agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def weighted_moving_avg(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts_us", "event_id"),
+    window_rows: int = 20,
+    decay: float = 0.8,
+) -> DataFrame:
+    """Exponentially-decayed moving average over the trailing
+    ``window_rows`` events per key (a truncated EWMA).
+
+    wma_t = sum_j decay^j * v_{t-j} / sum_j decay^j over the available
+    trailing rows j = 0..window_rows-1. The truncation keeps the weight
+    exponent bounded, so the terms are representable and the whole
+    expression is a closed form both engines compute identically —
+    an infinite-history EWMA is a sequential recurrence that can't be
+    distributed without a scan operator, and its (1-a)^-i rewrite
+    overflows doubles after ~3k rows.
+
+    Implementation: collect_list over the row frame (frame order = the
+    window's orderBy, oldest first), per-element integer-quantized
+    decayed terms, order-free bigint sum; weight normalizer is the
+    closed-form geometric sum.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.collect_list(value_col).over(w)
+    n = F.size(arr)
+    # element i (0-based, oldest first) gets weight decay^(n-1-i)
+    terms = F.transform(
+        arr,
+        lambda x, i: F.round(
+            x * F.pow(F.lit(decay), (n - 1 - i).cast("double")) * 1_000_000.0
+        ).cast("long"),
+    )
+    qsum = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+    )
+    wsum = (F.lit(1.0) - F.pow(F.lit(decay), n.cast("double"))) / F.lit(
+        1.0 - decay
+    )
+    return events.select(
+        key_col,
+        *order_cols,
+        F.col(value_col),
+        F.round(qsum / 1_000_000.0 / wsum, 6).alias("wma"),
+    )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts_us", "event_id"),
+    window_rows: int = 50,
+    z_threshold: float = 2.5,
+    min_n: int = 10,
+) -> DataFrame:
+    """Rows whose value deviates > ``z_threshold`` sample standard
+    deviations from the trailing ``window_rows``-row mean (the rolling
+    outlier detector every telemetry/quality pipeline needs).
+
+    Values are quantized to 1e-3 units so the rolling sum and
+    sum-of-squares are exact bigints (order-free; sum of squares stays
+    < 2^63 for |value| <= ~6e5 over 50 rows); mean/variance then come
+    from identical integer inputs in both engines. Sample variance,
+    n-1, matching the reference's statistics.stdev choice (A3).
+    """
+    q = F.round(F.col(value_col) * 1000.0).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    df = events.select(
+        key_col, *order_cols, F.col(value_col), q.alias("_q")
+    ).select(
+        key_col,
+        *order_cols,
+        value_col,
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum("_q").over(w).alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).over(w).alias("_ss"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s") / n / 1000.0
+    var = (
+        (F.col("_ss") - F.col("_s") * F.col("_s") / n)
+        / (n - 1.0)
+        / 1_000_000.0
+    )
+    # var == 0 exactly when all window values are equal (integer-exact
+    # inputs) — emit no zscore rather than +/-inf
+    z = F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var))
+    return (
+        df.filter(F.col("_n") >= min_n)
+        .select(
+            key_col,
+            *order_cols,
+            value_col,
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > z_threshold)
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """2-D skyline: distinct (minimize, maximize) points not dominated
+    by any other point (dominate = <= on ``minimize``, >= on
+    ``maximize``, strict on at least one).
+
+    Two-phase for scale: a local prune per hash bucket first (any point
+    dominated within its bucket is dominated globally — sound, not
+    complete), then the exact single-pass sweep over the few bucket
+    survivors. The sweep is the classic sort trick: order by (min asc,
+    max desc); a point is dominated iff the running max of ``maximize``
+    over STRICTLY PRECEDING rows reaches its own value — correct on
+    distinct pairs because preceding rows have smaller price or equal
+    price with strictly larger size.
+    """
+    pts = df.select(
+        F.col(minimize).alias("lo"), F.col(maximize).alias("hi")
+    ).distinct()
+
+    def sweep(frame: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("lo").asc(), F.col("hi").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+            if part_cols
+            else Window.orderBy(F.col("lo").asc(), F.col("hi").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        return frame.withColumn("_runmax", F.max("hi").over(w)).filter(
+            F.col("_runmax").isNull() | (F.col("_runmax") < F.col("hi"))
+        )
+
+    local = sweep(
+        pts.withColumn(
+            "_b", F.pmod(F.hash("lo", "hi"), F.lit(buckets))
+        ),
+        ["_b"],
+    ).drop("_b", "_runmax")
+    return sweep(local, []).select(
+        F.col("lo").alias(minimize), F.col("hi").alias(maximize)
+    )

@@ -173,3 +173,36 @@ def explode_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.lateralJoin(fn(F.col(text_col).outer())).select(
         "doc_id", "idx", "sentence"
     )
+
+
+def char_entropy_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, entropy): Shannon entropy (nats) of each document's
+    character distribution — a vocabulary-free quality signal
+    (gibberish and single-char spam score low; natural prose clusters
+    ~2.8-3.2).
+
+    Explode to (doc, char) counts, then -sum(p*ln(p)) with each term
+    integer-quantized (1e9) so the per-doc sum is order-free and
+    reproduces exactly in a SQL oracle. The explode shuffle is keyed by
+    (doc_id, char) — uniform at any corpus size. (An array-only
+    formulation with nested higher-order lambdas keeps it shuffle-free
+    but re-inlines the char array per distinct char and measured ~100x
+    slower in codegen — see test history.)
+    """
+    from defimap_data_pipelines_spark.functions.text import char_array
+
+    norm = docs.select(
+        "doc_id",
+        F.length(normalize_text(F.col(text_col))).alias("_n"),
+        F.explode(char_array(F.col(text_col))).alias("_ch"),
+    )
+    counts = norm.groupBy("doc_id", "_n", "_ch").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    term = F.round(p * F.log(p) * 1_000_000_000.0).cast("long")
+    return (
+        counts.select("doc_id", term.alias("_t"))
+        .groupBy("doc_id")
+        .agg((-F.sum("_t") / 1_000_000_000.0).alias("entropy"))
+    )

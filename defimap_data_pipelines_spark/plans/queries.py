@@ -4495,3 +4495,391 @@ def q_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_us_next").alias("next_purchase_us"),
         F.round(F.col("value_next"), 6).alias("next_purchase_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: clustering, ranking, rolling analytics, skyline, sliding stream
+# --------------------------------------------------------------------------
+
+_JACCARD_PAIRS_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(length(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) >= 0.35
+    )
+"""
+
+COMPONENTS_SQL = f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM sym),
+    reach(n, c) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, r.c FROM reach r JOIN sym s ON s.a = r.n
+        WHERE r.c < s.b
+    ),
+    labels AS (SELECT n AS doc_id, MIN(c) AS component FROM reach GROUP BY n)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+               AS cluster_size
+    FROM labels
+"""
+
+
+@register("neardup_components", COMPONENTS_SQL)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup PAIRS into dedup clusters:
+    connected components by iterative min-label propagation (operators/
+    graph.py) over the exact-Jaccard edges. The oracle replays the
+    closure with a recursive CTE — the iterative DataFrame algorithm
+    under the exact-value gate."""
+    from defimap_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+    from defimap_data_pipelines_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        threshold=0.35,
+        shingles=_doc_shingles(spark, sf_dir),
+        hashed=_hashed_doc_shingles(spark, sf_dir),
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return component_sizes(labels).select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+TFIDF_SQL = f"""
+    WITH post AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM post GROUP BY 1, 2),
+    dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tf.token AS term,
+               tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0) AS s
+        FROM tf JOIN dfs ON tf.token = dfs.token CROSS JOIN n
+    )
+    SELECT doc_id, term, ROUND(s, 6) AS tfidf, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+"""
+
+
+@register("tfidf_top_terms", TFIDF_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (operators/ranking.py)."""
+    from defimap_data_pipelines_spark.operators.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
+_BM25_TERMS = ("vector", "stream", "filter")
+
+BM25_SQL = f"""
+    WITH post AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    qt AS (SELECT doc_id, token, COUNT(*) AS tf FROM post
+           WHERE token IN {str(_BM25_TERMS)} GROUP BY 1, 2),
+    dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY 1),
+    lens AS (SELECT doc_id, CAST(length({_TOKS}) AS BIGINT) AS dl
+             FROM documents),
+    stats AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                         AS n_docs,
+                     (SELECT AVG(dl) FROM lens) AS avgdl),
+    per AS (
+        SELECT qt.doc_id,
+               CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                          * tf * 2.2
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                          * 1000000.0) AS BIGINT) AS q
+        FROM qt
+        JOIN dfs ON qt.token = dfs.token
+        JOIN lens ON qt.doc_id = lens.doc_id
+        CROSS JOIN stats
+    ),
+    scored AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) / 1000000.0 AS bm25
+               FROM per GROUP BY doc_id)
+    SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 20
+"""
+
+
+@register("bm25_search", BM25_SQL)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed bag-of-terms query
+    (operators/ranking.py; integer-quantized per-term contributions)."""
+    from defimap_data_pipelines_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(
+        read_table(spark, sf_dir, "documents"), list(_BM25_TERMS), top=20
+    )
+
+
+WMA_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        FROM events
+    ),
+    win AS (
+        SELECT user_id, ts_us, event_id, value,
+               list(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                   AS arr
+        FROM e
+    )
+    SELECT user_id, ts_us, event_id, value,
+           ROUND(CAST(list_sum(list_transform(arr, (x, i) ->
+                     CAST(ROUND(x * pow(0.8e0, CAST(len(arr) - i AS DOUBLE))
+                                * 1000000.0) AS BIGINT))) AS BIGINT)
+                 / 1000000.0
+                 / ((1.0 - pow(0.8e0, CAST(len(arr) AS DOUBLE)))
+                    / 0.19999999999999996e0),
+                 6) AS wma
+    FROM win
+"""
+
+
+@register("weighted_moving_avg", WMA_SQL)
+def q_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA over the trailing 20 events per user
+    (operators/rolling.py; quantized order-free decayed sum)."""
+    from defimap_data_pipelines_spark.operators.rolling import (
+        weighted_moving_avg,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    return weighted_moving_avg(e)
+
+
+ZSCORE_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+               CAST(ROUND(value * 1000.0) AS BIGINT) AS q
+        FROM events
+    ),
+    win AS (
+        SELECT user_id, ts_us, event_id, value,
+               COUNT(*) OVER w AS n,
+               SUM(q) OVER w AS s,
+               SUM(q * q) OVER w AS ss
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+        SELECT user_id, ts_us, event_id, value,
+               CASE WHEN (ss - s * s / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0) / 1000000.0 > 0
+                    THEN ROUND((value - s / CAST(n AS DOUBLE) / 1000.0)
+                               / sqrt((ss - s * s / CAST(n AS DOUBLE))
+                                      / (CAST(n AS DOUBLE) - 1.0)
+                                      / 1000000.0),
+                               6)
+               END AS zscore
+        FROM win
+        WHERE n >= 10
+    )
+    SELECT * FROM z WHERE abs(zscore) > 2.5
+"""
+
+
+@register("zscore_anomalies", ZSCORE_SQL)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 50-event z-score outliers per user
+    (operators/rolling.py; exact-integer rolling moments)."""
+    from defimap_data_pipelines_spark.operators.rolling import (
+        rolling_zscore_anomalies,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    return rolling_zscore_anomalies(e)
+
+
+PARETO_SQL = """
+    WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
+    SELECT p_retailprice, p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+"""
+
+
+@register("pareto_frontier", PARETO_SQL)
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of part (cheapest price vs largest size): bucketed
+    local prune + exact global sweep (operators/rolling.py). The oracle
+    is the quadratic NOT EXISTS dominance definition."""
+    from defimap_data_pipelines_spark.operators.rolling import pareto_frontier
+
+    return pareto_frontier(
+        read_table(spark, sf_dir, "part"), "p_retailprice", "p_size"
+    )
+
+
+ENTROPY_SQL = f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    chars AS (
+        SELECT doc_id, length(s) AS n,
+               unnest(list_transform(range(1, greatest(length(s), 1) + 1),
+                                     i -> substr(s, CAST(i AS INT), 1)))
+                   AS ch
+        FROM norm
+    ),
+    counts AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM chars
+               GROUP BY 1, 2, 3),
+    terms AS (
+        SELECT doc_id,
+               CAST(ROUND((c / CAST(n AS DOUBLE))
+                          * ln(c / CAST(n AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS t
+        FROM counts
+    )
+    SELECT doc_id,
+           -CAST(SUM(t) AS BIGINT) / 1000000000.0 AS entropy
+    FROM terms
+    GROUP BY doc_id
+"""
+
+
+@register("char_entropy", ENTROPY_SQL)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    vocabulary-free quality score (operators/textops.py:
+    char_entropy_table; integer-quantized terms make the sum
+    order-free)."""
+    from defimap_data_pipelines_spark.operators.textops import (
+        char_entropy_table,
+    )
+
+    return char_entropy_table(read_table(spark, sf_dir, "documents"))
+
+
+STREAM_SLIDING_SQL = """
+    WITH e AS (
+        SELECT event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, value,
+               (us - us % 1800000000) - o.o AS start_us
+        FROM e
+        CROSS JOIN (SELECT unnest([0, 1800000000]) AS o) o
+    )
+    SELECT start_us AS window_start_us, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) / 1000000.0
+               AS sum_value
+    FROM w
+    GROUP BY 1, 2
+"""
+
+
+@register("stream_sliding_exec", STREAM_SLIDING_SQL)
+def q_stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window / 30min slide) as a REAL streaming
+    execution — each event lands in exactly two windows; the oracle
+    replays the window assignment with modular arithmetic. Completes
+    the streaming window-operator set (tumbling/session/sliding)."""
+    from defimap_data_pipelines_spark.streaming.jobs import read_events_stream
+
+    ev = read_events_stream(spark, _events_stream_dir(sf_dir))
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias(
+                "_sv"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            (F.col("_sv") / 1000000.0).alias("sum_value"),
+        )
+    )
+    name = f"_stream_sliding_exec_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+FRAMESAMPLE_SQL = """
+    SELECT doc_id AS media_id,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(((nf + 1) // 2) * ((nf + 1) // 2 - 1) AS BIGINT)
+               AS sum_frame_idx
+    FROM (
+        SELECT doc_id,
+               1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER) % 32
+                   AS nf
+        FROM documents
+        WHERE doc_id % 3 = 0
+    )
+"""
+
+
+@register("multimodal_framesample", FRAMESAMPLE_SQL)
+def q_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: binary payload -> mapInPandas
+    decode (stubbed codec, real Arrow batching) -> JVM-side frame-index
+    explode -> per-media rollup. The oracle replays the deterministic
+    fake decode (sha256 byte 2) and the stride-2 sample in closed
+    form."""
+    from defimap_data_pipelines_spark.operators.multimodal import (
+        decode_media,
+        docs_as_media,
+        frame_sample,
+    )
+
+    media = docs_as_media(read_table(spark, sf_dir, "documents"))
+    frames = frame_sample(decode_media(media), every_n=2)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+    )

@@ -1,0 +1,136 @@
+"""Hand-built edge-case tests for the round-2 operators (clustering,
+ranking, rolling analytics, skyline). Oracle equivalence is covered by
+test_oracle_parity; these pin the semantics on tiny known inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.operators.graph import (
+    component_sizes,
+    connected_components,
+)
+from defimap_data_pipelines_spark.operators.ranking import bm25_scores
+from defimap_data_pipelines_spark.operators.rolling import (
+    pareto_frontier,
+    rolling_zscore_anomalies,
+    weighted_moving_avg,
+)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 (transitive), island 4-5, self-contained 7-8-9 triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (7, 9)],
+        ["doc_a", "doc_b"],
+    )
+    out = {
+        r.node: r.component
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7}
+    sizes = {
+        r.node: r.cluster_size
+        for r in component_sizes(
+            connected_components(edges, "doc_a", "doc_b")
+        ).collect()
+    }
+    assert sizes == {1: 3, 2: 3, 3: 3, 4: 2, 5: 2, 7: 3, 8: 3, 9: 3}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path needs ~log-diameter rounds of min propagation;
+    # regression for the convergence loop + lineage checkpointing
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], ["doc_a", "doc_b"]
+    )
+    out = connected_components(edges, "doc_a", "doc_b")
+    assert out.select("component").distinct().count() == 1
+    assert out.agg(F.min("component")).first()[0] == 100
+
+
+def test_pareto_frontier_dominance_and_ties(spark):
+    pts = spark.createDataFrame(
+        [
+            (1.0, 10),  # frontier (cheapest)
+            (1.0, 10),  # duplicate -> deduped, still frontier once
+            (2.0, 12),  # frontier (pays more, gets more)
+            (2.0, 11),  # dominated by (2.0, 12) at equal price
+            (3.0, 12),  # dominated by (2.0, 12) at equal size
+            (0.5, 9),   # frontier (new cheapest)
+            (4.0, 1),   # dominated
+        ],
+        ["price", "size"],
+    )
+    out = sorted(
+        (r.price, r.size)
+        for r in pareto_frontier(pts, "price", "size").collect()
+    )
+    assert out == [(0.5, 9), (1.0, 10), (2.0, 12)]
+
+
+def test_weighted_moving_avg_closed_form(spark):
+    rows = [(1, i, i, float(v)) for i, v in enumerate([10.0, 20.0, 30.0])]
+    e = spark.createDataFrame(rows, ["user_id", "ts_us", "event_id", "value"])
+    out = {
+        r.ts_us: r.wma
+        for r in weighted_moving_avg(e, window_rows=20, decay=0.8).collect()
+    }
+    # row 0: single value
+    assert out[0] == pytest.approx(10.0, abs=1e-6)
+    # row 2: (30 + 0.8*20 + 0.64*10) / (1 + 0.8 + 0.64)
+    expect = (30 + 0.8 * 20 + 0.64 * 10) / (1 + 0.8 + 0.64)
+    assert out[2] == pytest.approx(expect, abs=1e-5)
+
+
+def test_rolling_zscore_flags_spike(spark):
+    # 29 calm values then one spike; window=30, min_n=10
+    rows = [(1, i, i, 5.0 + (i % 3) * 0.1) for i in range(29)]
+    rows.append((1, 29, 29, 500.0))
+    e = spark.createDataFrame(rows, ["user_id", "ts_us", "event_id", "value"])
+    out = rolling_zscore_anomalies(
+        e, window_rows=30, z_threshold=2.5, min_n=10
+    ).collect()
+    assert [r.ts_us for r in out] == [29]
+    assert out[0].zscore > 2.5
+
+
+def test_rolling_zscore_zero_variance_emits_nothing(spark):
+    e = spark.createDataFrame(
+        [(1, i, i, 7.0) for i in range(40)],
+        ["user_id", "ts_us", "event_id", "value"],
+    )
+    assert rolling_zscore_anomalies(e, min_n=5).count() == 0
+
+
+def test_bm25_prefers_term_dense_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector vector stream"),
+            (2, "vector padding words here and more padding tokens"),
+            (3, "nothing relevant at all in this one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_scores(docs, ["vector", "stream"], top=5).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1  # densest match first
+    assert 3 not in ids  # no matching terms -> no score
+
+
+def test_char_entropy_known_values(spark):
+    from defimap_data_pipelines_spark.operators.textops import (
+        char_entropy_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.entropy for r in char_entropy_table(docs).collect()
+    }
+    assert out[1] == pytest.approx(0.0, abs=1e-9)  # one symbol
+    assert out[2] == pytest.approx(math.log(2), abs=1e-6)  # two equiprobable
