@@ -18,56 +18,18 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup pairs (doc_a, doc_b) ->
     (doc_id, cluster_id) with cluster_id = min doc_id in the component.
 
-    Iterative label propagation (hash-join per round): each node adopts
-    the minimum label among itself and its neighbors until fixpoint —
-    the standard large-graph CC formulation; rounds are O(diameter),
-    which is tiny for near-dup clusters. Deterministic by construction.
-    """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .distinct()
-        .cache()
+    Thin adapter over the generic graph operator
+    (operators/graph.py::connected_components — iterative min-label
+    propagation, O(diameter) rounds, lineage cut per round)."""
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components,
     )
-    # localCheckpoint each round: iterative algorithms must break
-    # lineage or the plan (and its re-evaluation for the convergence
-    # check) grows exponentially with iterations
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+
+    return connected_components(
+        pairs, "doc_a", "doc_b", max_iter=max_iters
+    ).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
 
 
 def clean_corpus(

@@ -45,12 +45,16 @@ def weighted_moving_avg(
     )
     arr = F.collect_list(value_col).over(w)
     n = F.size(arr)
-    # element i (0-based, oldest first) gets weight decay^(n-1-i)
-    terms = F.transform(
+    # element i (0-based, oldest first) gets weight decay^(n-1-i);
+    # weights are a precomputed literal array zipped against the frame
+    # (same IEEE doubles as a per-element pow, cheaper to plan/execute)
+    weights = F.array(
+        *[F.lit(decay**j) for j in range(window_rows - 1, -1, -1)]
+    )
+    terms = F.zip_with(
         arr,
-        lambda x, i: F.round(
-            x * F.pow(F.lit(decay), (n - 1 - i).cast("double")) * 1_000_000.0
-        ).cast("long"),
+        F.slice(weights, F.lit(window_rows) - n + 1, n),
+        lambda x, wgt: F.round(x * wgt * 1_000_000.0).cast("long"),
     )
     qsum = F.aggregate(
         terms, F.lit(0).cast("long"), lambda acc, t: acc + t

@@ -184,22 +184,37 @@ def char_entropy_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Explode to (doc, char) counts, then -sum(p*ln(p)) with each term
     integer-quantized (1e9) so the per-doc sum is order-free and
     reproduces exactly in a SQL oracle. The explode shuffle is keyed by
-    (doc_id, char) — uniform at any corpus size. (An array-only
-    formulation with nested higher-order lambdas keeps it shuffle-free
-    but re-inlines the char array per distinct char and measured ~100x
-    slower in codegen — see test history.)
+    (doc_id, char) — uniform at any corpus size.
+
+    Plan-shape notes (each measured on the sf0.1 corpus):
+    - the doc length is NOT computed alongside the explode — a scalar
+      projection next to a Generate lands ABOVE it in the plan and
+      re-evaluates per exploded row (~300x the regex work). The length
+      is recovered for free as sum(char counts) over the doc.
+    - an array-only formulation (nested higher-order lambdas, no
+      shuffle) re-inlines the char array per distinct char: ~25x
+      slower in codegen.
     """
+    from pyspark.sql import Window
+
     from defimap_data_pipelines_spark.functions.text import char_array
 
-    norm = docs.select(
-        "doc_id",
-        F.length(normalize_text(F.col(text_col))).alias("_n"),
-        F.explode(char_array(F.col(text_col))).alias("_ch"),
+    # the char explode multiplies rows ~300x, so pre-explode parallelism
+    # is what matters: a single-row-group parquet file scans as ONE
+    # task and serializes the whole pass. Fan out first when the scan
+    # is narrower than the cluster; skip the shuffle when the input is
+    # already well-partitioned (the 100 TB case).
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism, "doc_id")
+    chars = docs.select(
+        "doc_id", F.explode(char_array(F.col(text_col))).alias("_ch")
     )
-    counts = norm.groupBy("doc_id", "_n", "_ch").agg(
+    counts = chars.groupBy("doc_id", "_ch").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    n = F.sum("_c").over(Window.partitionBy("doc_id"))
+    p = F.col("_c").cast("double") / n.cast("double")
     term = F.round(p * F.log(p) * 1_000_000_000.0).cast("long")
     return (
         counts.select("doc_id", term.alias("_t"))

@@ -1838,12 +1838,24 @@ QUANTILES_SQL = """
 @register("exact_quantiles", QUANTILES_SQL)
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark percentile ==
-    DuckDB quantile_cont; r6 absorbs interpolation-arithmetic ulps)."""
+    DuckDB quantile_cont; r6 absorbs interpolation-arithmetic ulps).
+    The two price quantiles share ONE percentile buffer (array form) —
+    separate aggregates would each collect the column."""
     l = read_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        r(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-        r(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
-        r(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25_qty"),
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias(
+                "_pp"
+            ),
+            F.expr("percentile(l_quantity, 0.25)").alias("_q25"),
+        )
+        .select(
+            "l_returnflag",
+            r(F.element_at("_pp", 1), 6).alias("median_price"),
+            r(F.element_at("_pp", 2), 6).alias("p90_price"),
+            r(F.col("_q25"), 6).alias("q25_qty"),
+        )
     )
 
 
@@ -4195,6 +4207,10 @@ def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.3,
         jaccard_threshold=0.35,
         use_minhash=True,
+        # reuse the session-cached full-corpus hashed-shingle frame
+        # (shared with the jaccard/minhash queries); clean_corpus
+        # narrows it to the quality+exact-dedup survivors
+        hashed=_hashed_doc_shingles(spark, sf_dir),
     )
     tagged = train_val_test_split(survivors, "doc_id", _SPLIT_WEIGHTS).select(
         "doc_id",
@@ -4882,4 +4898,20 @@ def q_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sampled"),
         F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+    )
+
+
+@register("lsh_topk")  # no SQL oracle: xxhash64-derived hyperplanes
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate cosine top-5 (the ANN scale path —
+    OR-amplified bucket join + exact re-rank). No SQL twin exists for
+    the xxhash64 plane derivation; recall against the exact baseline is
+    asserted in tests/test_dedup_similarity.py, and the driver records
+    the rows-only check."""
+    from defimap_data_pipelines_spark.operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select(
+        "query_id", "vec_id", r(F.col("cosine"), 6).alias("cosine")
     )
