@@ -3183,36 +3183,34 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
+    # ONE events scan + ONE shuffle (groupBy user): stage times resolve
+    # from the per-user event arrays. The previous 3-scan/broadcast-
+    # chain formulation audited at 14 exchanges; this is 2. Per-user
+    # state = that user's click/purchase times (same bound as
+    # sessionize).
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "t1"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).alias("_clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("_purchases"),
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
-        .filter(F.col("us") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("t1").alias("t1"), F.min("us").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
-        .filter(F.col("us") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("t1").alias("t1"), F.min("us").alias("t3"))
-    )
-    return (
-        s1.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(
-            s3.agg(
-                F.count(F.lit(1)).alias("n_full_funnel"),
-                F.coalesce(F.sum(F.col("t3") - F.col("t1")), F.lit(0)).alias(
-                    "total_convert_us"
-                ),
-            )
-        )
+    t2 = F.array_min(F.filter("_clicks", lambda c: c > F.col("t1")))
+    staged = per_user.select("user_id", "t1", t2.alias("t2"), "_purchases")
+    t3 = F.array_min(F.filter("_purchases", lambda p: p > F.col("t2")))
+    funnel = staged.select("user_id", "t1", "t2", t3.alias("t3"))
+    return funnel.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+        F.coalesce(
+            F.sum(F.when(F.col("t3").isNotNull(), F.col("t3") - F.col("t1"))),
+            F.lit(0),
+        ).alias("total_convert_us"),
     )
 
 
