@@ -4913,3 +4913,57 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", r(F.col("cosine"), 6).alias("cosine")
     )
+
+
+STREAM_JOIN_SQL = """
+    WITH c AS (
+        SELECT user_id, event_id AS click_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS p_us, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           c_us AS click_us, p_us AS purchase_us,
+           ROUND(value, 6) AS purchase_value
+    FROM c JOIN p ON p.user_id = c.user_id
+                 AND p_us >= c_us AND p_us <= c_us + 1800000000
+"""
+
+
+@register("stream_join_exec", STREAM_JOIN_SQL)
+def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join EXECUTED as a streaming
+    query (streaming/jobs.py::stream_click_to_purchase) vs the plain
+    theta-join oracle — purchases attributed to same-user clicks within
+    30 minutes. Completes the oracle-gated streaming operator classes:
+    tumbling/session/sliding windows and now the two-sided join, whose
+    state both watermarks bound."""
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        read_events_stream,
+        stream_click_to_purchase,
+    )
+
+    ev = read_events_stream(spark, _events_stream_dir(sf_dir))
+    joined = stream_click_to_purchase(ev)
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+    name = f"_stream_join_exec_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
