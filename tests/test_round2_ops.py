@@ -134,3 +134,66 @@ def test_char_entropy_known_values(spark):
     }
     assert out[1] == pytest.approx(0.0, abs=1e-9)  # one symbol
     assert out[2] == pytest.approx(math.log(2), abs=1e-6)  # two equiprobable
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): invariants that hold for ANY input
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=edge_lists)
+def test_cc_property_edge_endpoints_share_component(spark, edges):
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    labels = {
+        r.node: r.component
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    # every edge's endpoints agree, and each component is named after
+    # its minimum member
+    for a, b in edges:
+        assert labels[a] == labels[b]
+    comps: dict[int, list[int]] = {}
+    for node, c in labels.items():
+        comps.setdefault(c, []).append(node)
+    for c, members in comps.items():
+        assert c == min(members)
+
+
+point_sets = st.lists(
+    st.tuples(
+        st.floats(0.0, 100.0, allow_nan=False),
+        st.integers(0, 50),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pts=point_sets)
+def test_pareto_property_exact_frontier(spark, pts):
+    df = spark.createDataFrame(pts, ["lo", "hi"])
+    got = sorted(
+        (r.lo, r.hi) for r in pareto_frontier(df, "lo", "hi").collect()
+    )
+    distinct = set(pts)
+
+    def dominated(p):
+        return any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in distinct
+        )
+
+    expect = sorted(p for p in distinct if not dominated(p))
+    assert got == expect
