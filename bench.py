@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "zscore_anomalies",
     "pareto_frontier",
     "char_entropy",
+    "exact_median_distributed",
 ]
 
 

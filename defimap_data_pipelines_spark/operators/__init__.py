@@ -52,3 +52,6 @@ from defimap_data_pipelines_spark.operators.rolling import (  # noqa: F401
     rolling_zscore_anomalies,
     weighted_moving_avg,
 )
+from defimap_data_pipelines_spark.operators.quantiles import (  # noqa: F401
+    exact_grouped_quantile,
+)

@@ -4967,3 +4967,27 @@ def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+MEDIAN_DIST_SQL = """
+    SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS quantile
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("exact_median_distributed", MEDIAN_DIST_SQL)
+def q_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via bucket refinement
+    (operators/quantiles.py) — the few-huge-groups scale path where
+    Spark's single-buffer percentile would sort each whole group in one
+    task. The oracle is DuckDB's quantile_disc (type-1: the element at
+    rank ceil(q*n))."""
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        exact_grouped_quantile,
+    )
+
+    return exact_grouped_quantile(
+        read_table(spark, sf_dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", q=0.5,
+    )
