@@ -4991,3 +4991,57 @@ def q_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "lineitem"), "l_returnflag",
         "l_extendedprice", q=0.5,
     )
+
+
+STREAM_DEDUP_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("stream_dedup_exec", STREAM_DEDUP_SQL)
+def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup (dropDuplicates on the event key) ->
+    per-type rollup, executed as a real streaming query. event_id is
+    already unique in the testdata, so the oracle is the plain
+    aggregate — the query proves the dedup state machine passes every
+    first-seen row through (replayed duplicates would be dropped; the
+    idempotent-replay twin of the batch S10 semantics). Completes the
+    streaming operator classes: windows, sessions, sliding, two-sided
+    join, arbitrary state, and dedup state."""
+    from defimap_data_pipelines_spark.streaming.jobs import read_events_stream
+
+    ev = read_events_stream(spark, _events_stream_dir(sf_dir))
+    deduped = ev.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    # streaming cannot COUNT(DISTINCT ...): the distinct-user count is
+    # itself a second dedup state on (event_type, user_id)
+    pairs = ev.dropDuplicates(["event_type", "user_id"]).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    name = f"_stream_dedup_exec_{next(_STREAM_SINK_SEQ)}"
+    q1 = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    name2 = f"_stream_dedup_exec_{next(_STREAM_SINK_SEQ)}"
+    q2 = (
+        pairs.writeStream.format("memory")
+        .queryName(name2)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return spark.table(name).join(spark.table(name2), "event_type").select(
+        "event_type", "n_events", "n_users"
+    )
