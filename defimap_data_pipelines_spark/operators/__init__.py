@@ -46,6 +46,7 @@ from defimap_data_pipelines_spark.operators.graph import (  # noqa: F401
 from defimap_data_pipelines_spark.operators.ranking import (  # noqa: F401
     bm25_scores,
     tfidf_top_terms,
+    unigram_perplexity,
 )
 from defimap_data_pipelines_spark.operators.rolling import (  # noqa: F401
     pareto_frontier,
@@ -54,4 +55,9 @@ from defimap_data_pipelines_spark.operators.rolling import (  # noqa: F401
 )
 from defimap_data_pipelines_spark.operators.quantiles import (  # noqa: F401
     exact_grouped_quantile,
+)
+from defimap_data_pipelines_spark.operators.corpus import (  # noqa: F401
+    clean_corpus,
+    curation_report,
+    dedup_clusters,
 )

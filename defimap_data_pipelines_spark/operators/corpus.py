@@ -32,21 +32,20 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
-def clean_corpus(
+def _curation_stages(
     docs: DataFrame,
-    text_col: str = "text",
-    min_quality: float = 0.5,
-    jaccard_threshold: float = 0.5,
-    use_minhash: bool = True,
-    hashed: DataFrame | None = None,
-) -> DataFrame:
-    """Quality-filter + dedup pass: returns surviving documents.
+    text_col: str,
+    min_quality: float,
+    jaccard_threshold: float,
+    use_minhash: bool,
+    hashed: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(docs_q, docs_e, losers): the three curation stage frames.
 
-    1. drop docs with quality_score < min_quality;
-    2. exact dedup on the normalized fingerprint (keep min doc_id);
-    3. near-dup removal: cluster jaccard>=t pairs (MinHash-LSH at
-       scale, exact inverted index otherwise) and keep each cluster's
-       canonical (min doc_id).
+    1. docs_q: quality_score >= min_quality;
+    2. docs_e: exact-dedup canonicals of docs_q;
+    3. losers: non-canonical members of near-dup clusters
+       (jaccard >= t; MinHash-LSH at scale, exact index otherwise).
 
     ``hashed``: optional precomputed full-corpus hashed-shingle frame
     (dedup.hashed_shingles); it is narrowed to the surviving docs
@@ -84,5 +83,56 @@ def clean_corpus(
         docs_e, text_col, threshold=jaccard_threshold, hashed=hashed_e
     )
     clusters = dedup_clusters(pairs)
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs_q, docs_e, losers
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    use_minhash: bool = True,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-filter + dedup pass: returns surviving documents
+    (see :func:`_curation_stages` for the stage semantics)."""
+    _, docs_e, losers = _curation_stages(
+        docs, text_col, min_quality, jaccard_threshold, use_minhash, hashed
+    )
     return docs_e.join(losers, "doc_id", "left_anti")
+
+
+def curation_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    use_minhash: bool = True,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """One-row funnel report of the curation pass: how many documents
+    survive each stage (the observability every production corpus
+    pipeline ships with its dataset card).
+
+    Columns: n_input, n_quality, n_exact, n_final.
+    """
+    docs_q, docs_e, losers = _curation_stages(
+        docs, text_col, min_quality, jaccard_threshold, use_minhash, hashed
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+        .crossJoin(
+            docs_q.agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
+        )
+        .crossJoin(
+            docs_e.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        )
+        .crossJoin(
+            docs_e.join(losers, "doc_id", "left_anti").agg(
+                F.count(F.lit(1)).cast("long").alias("n_final")
+            )
+        )
+    )

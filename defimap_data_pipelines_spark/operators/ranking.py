@@ -141,3 +141,42 @@ def bm25_scores(
     return head.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "bm25", "rank"
     )
+
+
+def unigram_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ppl): perplexity of each document under the corpus's
+    own add-1-smoothed unigram language model — the classic
+    CCNet/C4-style quality signal (template spam and gibberish sit far
+    from the corpus distribution; typical prose scores low).
+
+    p(t) = (count(t) + 1) / (total_tokens + vocab);
+    ppl(d) = exp(-mean over d's tokens of ln p(t)).
+
+    One postings explode feeds both the LM counts and the scoring join;
+    the join is keyed by token (frequent-token skew is AQE's skew-join
+    case). Per-token ln p terms are integer-quantized (1e9) so the
+    per-doc mean is order-free and oracle-exact.
+    """
+    post = _postings(docs, text_col)
+    lm = post.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    tot = lm.agg(
+        F.sum("_c").cast("long").alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    term = F.round(
+        F.log((F.col("_c") + 1) / (F.col("_t") + F.col("_v")).cast("double"))
+        * 1_000_000_000.0
+    ).cast("long")
+    scored = (
+        post.join(lm, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", term.alias("_q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.exp(
+                -(F.sum("_q") / 1_000_000_000.0) / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("ppl")
+    )

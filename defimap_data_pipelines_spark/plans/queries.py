@@ -5045,3 +5045,65 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).join(spark.table(name2), "event_type").select(
         "event_type", "n_events", "n_users"
     )
+
+
+PERPLEXITY_SQL = f"""
+    WITH post AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    lm AS (SELECT token, COUNT(*) AS c FROM post GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM lm),
+    terms AS (
+        SELECT doc_id,
+               CAST(ROUND(ln((c + 1) / CAST(t + v AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS q
+        FROM post JOIN lm ON post.token = lm.token CROSS JOIN tot
+    )
+    SELECT doc_id,
+           ROUND(exp(-(CAST(SUM(q) AS BIGINT) / 1000000000.0) / COUNT(*)),
+                 6) AS ppl
+    FROM terms
+    GROUP BY doc_id
+"""
+
+
+@register("unigram_perplexity", PERPLEXITY_SQL)
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-1 unigram LM
+    (operators/ranking.py) — the CCNet/C4-style quality signal."""
+    from defimap_data_pipelines_spark.operators.ranking import (
+        unigram_perplexity,
+    )
+
+    return unigram_perplexity(read_table(spark, sf_dir, "documents"))
+
+
+def _curation_report_sql() -> str:
+    """Counts per curation stage, sharing _clean_corpus_sql's CTEs."""
+    body = _clean_corpus_sql()
+    final_select = body.rindex("SELECT doc_id, lang, source, n_chars")
+    ctes = body[:final_select]
+    return f"""
+        {ctes}
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_q) AS n_quality,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_e) AS n_exact,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_e
+                WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS n_final
+    """
+
+
+@register("curation_report", _curation_report_sql())
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts of the curation funnel
+    (operators/corpus.py::curation_report) — the dataset-card
+    observability row; oracle shares the clean_corpus CTE pipeline."""
+    from defimap_data_pipelines_spark.operators.corpus import curation_report
+
+    return curation_report(
+        read_table(spark, sf_dir, "documents"),
+        min_quality=0.3,
+        jaccard_threshold=0.35,
+        use_minhash=True,
+        hashed=_hashed_doc_shingles(spark, sf_dir),
+    )
