@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "pareto_frontier",
     "char_entropy",
     "exact_median_distributed",
+    "unigram_perplexity",
 ]
 
 
