@@ -5107,3 +5107,129 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_minhash=True,
         hashed=_hashed_doc_shingles(spark, sf_dir),
     )
+
+
+COHORT_SQL = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+                   AS cohort_week
+        FROM e GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM e
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity JOIN cohorts USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", COHORT_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted in each later activity week. Two shuffles (per-user min,
+    distinct user-weeks); the cohort dimension joins back keyed by
+    user."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff("week", "cohort_week") / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+ROLLING_ACTIVE_SQL = """
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    expanded AS (
+        SELECT DISTINCT user_id,
+               CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                           CAST(day AS TIMESTAMP)
+                                               + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS window_day
+        FROM act
+    )
+    SELECT window_day, CAST(COUNT(*) AS BIGINT) AS active_users_7d
+    FROM expanded
+    GROUP BY 1
+"""
+
+
+@register("rolling_active_users", ROLLING_ACTIVE_SQL)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) no window function expresses. Scale formulation:
+    each (user, active day) contributes to its 7 following window days
+    (bounded explode), then one distinct + one count — shuffles keyed
+    by (user, day), never a per-day distinct state."""
+    e = read_table(spark, sf_dir, "events")
+    act = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    expanded = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("window_day"),
+    ).distinct()
+    return expanded.groupBy("window_day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users_7d")
+    )
+
+
+TRANSITIONS_SQL = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events
+    ),
+    l AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS prev_type,
+               event_type AS curr_type
+        FROM e
+    )
+    SELECT prev_type, curr_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM l WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@register("event_transitions", TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the markov-chain
+    input): per-user lag window + global pair count."""
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    l = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+    )
+    return (
+        l.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
