@@ -5233,3 +5233,112 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "curr_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+DRAWDOWN_SERIES_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL}),
+    g AS ({_gotk_core_sql()})
+    SELECT date, name, end_day_investment,
+           MAX(end_day_investment) OVER wn AS running_peak,
+           end_day_investment - MAX(end_day_investment) OVER wn
+               AS drawdown,
+           end_day_investment / MAX(end_day_investment) OVER wn - 1
+               AS drawdown_pct
+    FROM g
+    WINDOW wn AS (PARTITION BY name ORDER BY date ASC
+                  ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("drawdown_series", DRAWDOWN_SERIES_SQL)
+def q_drawdown_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full drawdown SERIES per strategy (the reference's A6 only emits
+    the scalar peak/trough row; the series is the engine extension a
+    dashboard needs). Same identical-expression-tree determinism as
+    gotk — no rounding required."""
+    from pyspark.sql import Window as W
+
+    g = growth_of_10k(orders_raw_series(spark, sf_dir))
+    wn = (
+        W.partitionBy("name")
+        .orderBy("date")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    peak = F.max("end_day_investment").over(wn)
+    return g.select(
+        "date",
+        "name",
+        "end_day_investment",
+        peak.alias("running_peak"),
+        (F.col("end_day_investment") - peak).alias("drawdown"),
+        (F.col("end_day_investment") / peak - 1).alias("drawdown_pct"),
+    )
+
+
+ROLLING_VOL_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL}),
+    g AS ({_gotk_core_sql()}),
+    q AS (
+        SELECT date, name,
+               CAST(ROUND(percent_change * 1000000000.0) AS BIGINT) AS pq
+        FROM g
+    ),
+    win AS (
+        SELECT date, name,
+               COUNT(*) OVER wn AS n,
+               SUM(pq) OVER wn AS s,
+               SUM(pq * pq) OVER wn AS ss
+        FROM q
+        WINDOW wn AS (PARTITION BY name ORDER BY date ASC
+                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT date, name,
+           ROUND(sqrt((ss - s * s / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))
+                 / 1000000000.0 * sqrt(365.0), 9) AS vol_30d_annualized
+    FROM win
+    WHERE n >= 10
+"""
+
+
+@register("rolling_volatility", ROLLING_VOL_SQL)
+def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling annualized volatility of daily GOTK returns per
+    strategy — the reference's A3 stdev generalized from one trailing
+    scalar to a windowed series. Quantized rolling moments (1e-9 grid,
+    exact bigint sums) keep the window order-free; variance-family
+    output rounds at 9dp per the determinism contract."""
+    from pyspark.sql import Window as W
+
+    g = growth_of_10k(orders_raw_series(spark, sf_dir))
+    q = g.select(
+        "date",
+        "name",
+        F.round(F.col("percent_change") * 1_000_000_000.0)
+        .cast("long")
+        .alias("pq"),
+    )
+    wn = (
+        W.partitionBy("name")
+        .orderBy("date")
+        .rowsBetween(-29, 0)
+    )
+    win = q.select(
+        "date",
+        "name",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("pq").over(wn).alias("s"),
+        F.sum(F.col("pq") * F.col("pq")).over(wn).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    vol = (
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1.0)
+        )
+        / 1_000_000_000.0
+        * F.sqrt(F.lit(365.0))
+    )
+    return (
+        win.filter(F.col("n") >= 10)
+        .select("date", "name", F.round(vol, 9).alias("vol_30d_annualized"))
+    )
