@@ -5342,3 +5342,85 @@ def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.filter(F.col("n") >= 10)
         .select("date", "name", F.round(vol, 9).alias("vol_30d_annualized"))
     )
+
+
+CORR_MATRIX_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL}),
+    g AS ({_gotk_core_sql()}),
+    q AS (
+        SELECT date, name,
+               CAST(ROUND(percent_change * 1000000000.0) AS BIGINT) AS pq
+        FROM g
+    ),
+    pairs AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               COUNT(*) AS n,
+               SUM(a.pq) AS sx, SUM(b.pq) AS sy,
+               SUM(a.pq * b.pq) AS sxy,
+               SUM(a.pq * a.pq) AS sxx, SUM(b.pq * b.pq) AS syy
+        FROM q a JOIN q b ON a.date = b.date AND a.name < b.name
+        GROUP BY 1, 2
+    )
+    SELECT name_a, name_b, CAST(n AS BIGINT) AS n_days,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 9) AS corr
+    FROM pairs
+"""
+
+
+@register("return_correlation_matrix", CORR_MATRIX_SQL)
+def q_return_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily GOTK returns across
+    strategies — the portfolio-construction input the reference never
+    computes. Date-aligned self-join (the J2 alignment done right),
+    moments accumulated as exact bigints on the 1e-9 return grid, the
+    corr combination in doubles with identical trees; 9dp output per
+    the variance-family rule."""
+    g = growth_of_10k(orders_raw_series(spark, sf_dir))
+    q = g.select(
+        "date",
+        "name",
+        F.round(F.col("percent_change") * 1_000_000_000.0)
+        .cast("long")
+        .alias("pq"),
+    )
+    a = q.select("date", F.col("name").alias("name_a"), F.col("pq").alias("x"))
+    b = q.select("date", F.col("name").alias("name_b"), F.col("pq").alias("y"))
+    pairs = (
+        a.join(b, "date")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    corr = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.sqrt(
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * F.sqrt(
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(corr, 9).alias("corr"),
+    )
