@@ -5424,3 +5424,60 @@ def q_return_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         F.round(corr, 9).alias("corr"),
     )
+
+
+# Benford expected first-digit fractions, computed host-side once so
+# neither engine's libm is in the comparison path.
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+BENFORD_SQL = f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+        WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(COUNT(*) AS BIGINT)) OVER () AS total
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(CAST(total AS DOUBLE) * CASE digit
+               {' '.join(f'WHEN {d} THEN {f!r}' for d, f in _BENFORD.items())}
+               END, 6) AS expected_n,
+           ROUND(n - CAST(total AS DOUBLE) * CASE digit
+               {' '.join(f'WHEN {d} THEN {f!r}' for d, f in _BENFORD.items())}
+               END, 6) AS deviation
+    FROM counts
+"""
+
+
+@register("benford_digit_check", BENFORD_SQL)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on order totals — the
+    statistical data-quality check fraud/ETL monitors run. The first
+    digit comes from the integer part's string (floor-then-cast:
+    DuckDB rounds double->bigint casts where Spark truncates, and
+    cross-engine log10-of-data is ulp-unsafe); expected fractions are
+    host-computed literals shared by both dialects."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total_tbl = counts.agg(F.sum("n").cast("long").alias("_total"))
+    expr = None
+    for d, f in _BENFORD.items():
+        cond = F.col("digit") == d
+        expr = F.when(cond, f) if expr is None else expr.when(cond, f)
+    frac = expr
+    total = F.col("_total").cast("double")
+    return counts.crossJoin(F.broadcast(total_tbl)).select(
+        "digit",
+        "n",
+        F.round(total * frac, 6).alias("expected_n"),
+        F.round(F.col("n") - total * frac, 6).alias("deviation"),
+    )
