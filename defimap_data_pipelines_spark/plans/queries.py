@@ -5481,3 +5481,61 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total * frac, 6).alias("expected_n"),
         F.round(F.col("n") - total * frac, 6).alias("deviation"),
     )
+
+
+def _decontamination_sql() -> str:
+    from defimap_data_pipelines_spark.operators.sampling import bucket_sql
+
+    bench_pred = f"{bucket_sql('doc_id')} < 500"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(length(t) - 7, 1) + 1),
+                   i -> array_to_string(t[i:i+7], ' ')))) AS shingle
+        FROM toks
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+              WHERE {bench_pred}),
+    train AS (SELECT doc_id, shingle FROM sh
+              WHERE NOT ({bench_pred})),
+    hits AS (
+        SELECT t.doc_id, b.bench_id, t.shingle
+        FROM train t JOIN bench b ON t.shingle = b.shingle
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shared_shingles
+    FROM hits
+    GROUP BY doc_id
+    """
+
+
+@register("decontamination_overlap", _decontamination_sql())
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any
+    8-token shingle with the held-out benchmark subset (the standard
+    n-gram test-set-overlap check every LLM data pipeline runs before
+    training). The benchmark membership is the deterministic md5
+    bucket (sampling.py), so both engines draw the same 5%; the
+    overlap join is keyed by shingle — the same inverted-index shape
+    as the jaccard dedup, so the 100 TB path is identical."""
+    from defimap_data_pipelines_spark.functions.text import word_shingles
+    from defimap_data_pipelines_spark.operators.sampling import hash_bucket
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("_b"),
+        F.explode(word_shingles(F.col("text"), 8)).alias("shingle"),
+    )
+    bench = sh.filter(F.col("_b") < 500).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = sh.filter(~(F.col("_b") < 500)).select("doc_id", "shingle")
+    hits = train.join(bench, "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        F.countDistinct("shingle").cast("long").alias("n_shared_shingles"),
+    )
