@@ -109,3 +109,42 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
             F.lit("application/octet-stream").alias("mime"),
         ).alias("meta"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, box: int = 64) -> DataFrame:
+    """Aspect-preserving fit-into-``box`` resize plan over decoded
+    image metadata, via Arrow-batched mapInPandas (the pixel resample
+    itself is the stubbed codec step — the batching, schema, and
+    dimension arithmetic are the real Spark plumbing).
+
+    out = floor(dim * box / max(w, h) + 0.5) — explicit half-up so a
+    SQL oracle reproduces the rounding (Python's round() is
+    banker's)."""
+    import math
+
+    def scale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"]):
+                m = max(int(w), int(h))
+                ow = int(math.floor(int(w) * box / m + 0.5))
+                oh = int(math.floor(int(h) * box / m + 0.5))
+                rows.append((int(mid), int(w), int(h), ow, oh))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return decoded.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height"
+    ).mapInPandas(scale, RESIZE_SCHEMA)

@@ -5539,3 +5539,77 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
         F.countDistinct("shingle").cast("long").alias("n_shared_shingles"),
     )
+
+
+RESIZE_SQL = """
+    WITH m AS (
+        SELECT doc_id,
+               16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER)
+                    % 240 AS w,
+               16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER)
+                    % 240 AS h
+        FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id AS media_id, w AS width, h AS height,
+           CAST(FLOOR(w * 64 / GREATEST(w, h) + 0.5) AS INTEGER)
+               AS out_width,
+           CAST(FLOOR(h * 64 / GREATEST(w, h) + 0.5) AS INTEGER)
+               AS out_height
+    FROM m
+"""
+
+
+@register("multimodal_resize", RESIZE_SQL)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan over decoded image metadata
+    (operators/multimodal.py::resize_media, Arrow-batched mapInPandas;
+    stubbed codec). The oracle replays the sha256-stub dimensions and
+    the explicit half-up scaling arithmetic."""
+    from defimap_data_pipelines_spark.operators.multimodal import (
+        decode_media,
+        docs_as_media,
+        resize_media,
+    )
+
+    media = docs_as_media(read_table(spark, sf_dir, "documents"))
+    return resize_media(decode_media(media), box=64)
+
+
+TOKEN_CHUNKS_SQL = f"""
+    WITH t AS (SELECT doc_id, length({_TOKS}) AS n FROM documents)
+    SELECT doc_id,
+           CAST(g AS BIGINT) AS chunk_idx,
+           CAST(g * 128 AS BIGINT) AS start_tok,
+           CAST(LEAST(g * 128 + 128, n) AS BIGINT) AS end_tok
+    FROM t, LATERAL (SELECT unnest(range(0, CAST((n + 127) // 128 AS INT)))
+                     AS g) s
+"""
+
+
+@register("token_chunks", TOKEN_CHUNKS_SQL)
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window context chunking: each document split into
+    128-token chunk spans (doc_id, chunk_idx, start_tok, end_tok) —
+    the pre-tokenization packing step of a training pipeline. Pure
+    scan-side explode; integer div avoids cross-engine ceil
+    arithmetic."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("n")
+    )
+    chunks = d.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(n + 127) div 128") - 1)
+        ).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        (F.col("chunk_idx") * 128).cast("long").alias("start_tok"),
+        F.least(F.col("chunk_idx") * 128 + 128, F.col("n"))
+        .cast("long")
+        .alias("end_tok"),
+    )
