@@ -5613,3 +5613,83 @@ def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("end_tok"),
     )
+
+
+# Target corpus mixture by source (training-data recipe weights over
+# the testdata's src0..src19 source labels; unlisted sources drop out).
+_MIXTURE = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def _mixture_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in _MIXTURE.items()
+    )
+    return f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_docs,
+               CASE source {arms} ELSE 0.0 END AS mixture_weight
+        FROM counts
+    ),
+    scaled AS (
+        SELECT *,
+               CASE WHEN mixture_weight > 0
+                    THEN n_docs / mixture_weight END AS implied_total
+        FROM weighted
+    )
+    SELECT source, n_docs,
+           ROUND(mixture_weight, 6) AS mixture_weight,
+           ROUND(CASE WHEN mixture_weight > 0
+                      THEN LEAST(1.0, mixture_weight
+                               * (SELECT MIN(implied_total) FROM scaled)
+                               / n_docs)
+                      ELSE 0.0 END, 6) AS keep_fraction,
+           CAST(ROUND(CASE WHEN mixture_weight > 0
+                           THEN mixture_weight
+                                * (SELECT MIN(implied_total) FROM scaled)
+                           ELSE 0.0 END) AS BIGINT) AS target_docs
+    FROM weighted
+    """
+
+
+@register("source_mixture_plan", _mixture_sql())
+def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing plan: given target mixture weights per source,
+    the largest corpus achievable without upsampling is bounded by the
+    scarcest source (min over n_docs/weight); each source's
+    keep_fraction and target_docs follow. The downstream filter is
+    deterministic_sample (sampling.py) with these fractions — this
+    query is the recipe arithmetic every mixture-weighted training
+    corpus starts from."""
+    counts = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    expr = None
+    for s, wgt in _MIXTURE.items():
+        cond = F.col("source") == s
+        expr = F.when(cond, wgt) if expr is None else expr.when(cond, wgt)
+    weighted = counts.withColumn("mixture_weight", expr.otherwise(0.0))
+    implied = weighted.filter(F.col("mixture_weight") > 0).agg(
+        F.min(F.col("n_docs") / F.col("mixture_weight")).alias("_total")
+    )
+    w = F.col("mixture_weight")
+    return weighted.crossJoin(F.broadcast(implied)).select(
+        "source",
+        "n_docs",
+        F.round(w, 6).alias("mixture_weight"),
+        F.round(
+            F.when(
+                w > 0,
+                F.least(F.lit(1.0), w * F.col("_total") / F.col("n_docs")),
+            ).otherwise(0.0),
+            6,
+        ).alias("keep_fraction"),
+        F.round(F.when(w > 0, w * F.col("_total")).otherwise(0.0))
+        .cast("long")
+        .alias("target_docs"),
+    )
