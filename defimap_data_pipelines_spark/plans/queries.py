@@ -5693,3 +5693,41 @@ def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_docs"),
     )
+
+
+VECTOR_STATS_SQL = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(range(1, 65),
+                                              i -> e[i] * e[i]))), 6)
+               AS l2_norm,
+           ROUND(list_max(e), 6) AS max_val,
+           CAST(list_position(e, list_max(e)) AS BIGINT) AS argmax_pos,
+           ROUND(list_sum(e) / 64.0, 6) AS mean_val
+    FROM v
+"""
+
+
+@register("vector_stats", VECTOR_STATS_SQL)
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector element statistics via higher-order array functions
+    (aggregate fold, array_max, array_position) — all scan-side, no
+    shuffle; the r6 grid absorbs fold-order ulps as in the cosine
+    queries."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sq = F.aggregate(
+        F.col("e"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    s = F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(F.array_max("e"), 6).alias("max_val"),
+        F.array_position(F.col("e"), F.array_max("e"))
+        .cast("long")
+        .alias("argmax_pos"),
+        F.round(s / 64.0, 6).alias("mean_val"),
+    )
