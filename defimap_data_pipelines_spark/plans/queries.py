@@ -5731,3 +5731,67 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("argmax_pos"),
         F.round(s / 64.0, 6).alias("mean_val"),
     )
+
+
+def _quality_by_source_sql() -> str:
+    return f"""
+    WITH q AS ({QUALITY_SQL}),
+    ent AS ({ENTROPY_SQL}),
+    toks AS (SELECT doc_id, source,
+                    CAST(length({_TOKS}) AS BIGINT) AS n_tok
+             FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ROUND(quality_score * 1000000000.0) AS BIGINT))
+                AS BIGINT) / 1000000000.0 / COUNT(*) AS avg_quality,
+           CAST(SUM(CAST(ROUND(entropy * 1000000000.0) AS BIGINT))
+                AS BIGINT) / 1000000000.0 / COUNT(*) AS avg_entropy,
+           CAST(SUM(n_tok) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_tokens
+    FROM toks
+    JOIN q USING (doc_id)
+    JOIN ent USING (doc_id)
+    GROUP BY source
+    """
+
+
+@register("corpus_quality_by_source", _quality_by_source_sql())
+def q_corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card metrics: document count, mean quality
+    score, mean char entropy, mean token count — the three quality
+    signals composed in one rollup. Per-doc doubles are identical in
+    both engines (each is separately hash-gated), so quantized sums
+    make the per-source means order-free."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+    from defimap_data_pipelines_spark.operators.textops import (
+        char_entropy_table,
+        quality_score,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    q = quality_score(d).select("doc_id", "quality_score")
+    ent = char_entropy_table(d)
+    joined = toks.join(q, "doc_id").join(ent, "doc_id")
+    qq = F.round(F.col("quality_score") * 1_000_000_000.0).cast("long")
+    qe = F.round(F.col("entropy") * 1_000_000_000.0).cast("long")
+    return (
+        joined.select("source", "n_tok", qq.alias("_qq"), qe.alias("_qe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum("_qq").cast("long") / 1_000_000_000.0
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+            (
+                F.sum("_qe").cast("long") / 1_000_000_000.0
+                / F.count(F.lit(1))
+            ).alias("avg_entropy"),
+            (
+                F.sum("n_tok").cast("long") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+        )
+    )
