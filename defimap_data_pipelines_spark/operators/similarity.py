@@ -95,6 +95,70 @@ def cosine_pairs(
     return sim.filter(F.col("cosine") >= threshold)
 
 
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs above ``threshold`` via OR-amplified
+    hyperplane LSH candidates + exact cosine verification — the scale
+    path that replaces the quadratic ``cosine_pairs`` (kept as the
+    test-only verifier).
+
+    Scale shape: one scan per side computes all table buckets (array
+    explode), the only joins are equi-joins on (table, bucket) — no
+    cartesian anywhere in the plan — and exact cosine runs only on
+    bucket-colliding candidates (~|V|² · tables / 2^planes pairs
+    instead of |V|²/2). Exact verify means NO false positives; recall
+    is the LSH collision probability: a pair at cosine s collides in
+    one table with p = (1 - acos(s)/π)^planes and survives OR over
+    tables with 1-(1-p)^tables. At near-dup thresholds (s ≥ 0.98,
+    where dedup actually operates) the default (10 planes, 6 tables)
+    misses with probability < 1e-11 per pair; at loose thresholds
+    (s ~ 0.4) hyperplane LSH fundamentally cannot filter — use
+    ``cosine_pairs`` for exhaustive low-threshold sweeps.
+    """
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col(vec_col), num_planes, dim, salt=t).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"_{out_id}_v"),
+            l2_norm(F.col(vec_col)).alias(f"_{out_id}_n"),
+            F.explode(buckets).alias("tb"),
+        ).select(out_id, f"_{out_id}_v", f"_{out_id}_n", "tb.table", "tb.bucket")
+
+    a = bucketed(vectors, "id_a")
+    b = bucketed(vectors, "id_b")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cand.select(
+        "id_a",
+        "id_b",
+        cosine_from_norms(
+            F.col("_id_a_v"), F.col("_id_b_v"), F.col("_id_a_n"), F.col("_id_b_n")
+        ).alias("cosine"),
+    )
+    return sim.filter(F.col("cosine") >= threshold)
+
+
 def _hyperplane_sign(vec, plane_id: int, dim: int, salt: int = 0):
     """Deterministic pseudo-random hyperplane sign for a vector.
 
