@@ -66,6 +66,93 @@ def connected_components(
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Undirected connected components by alternating large-star /
+    small-star contraction (the MapReduce CC algorithm of Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Same output contract as ``connected_components``: (node, component)
+    with component = min reachable node id. The difference is the round
+    bound: min-label propagation needs O(diameter) rounds (a 10k-node
+    chain needs 10k shuffles), while star contraction converges in
+    O(log^2 n) rounds regardless of diameter — and handles huge
+    near-clique components (skewed dup clusters) without the label
+    frame churning through diameter-many rewrites. Each round is two
+    self-contained shuffle pairs (groupBy-min + join per star step);
+    lineage is cut per round with localCheckpoint.
+
+    large-star: every node connects its LARGER neighbors to its
+    minimum neighbor (or itself); small-star: every node connects its
+    smaller-or-equal neighbors to the minimum. At the fixed point the
+    edge set is a star forest rooted at component minima.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(edg: DataFrame) -> DataFrame:
+        sym = edg.unionByName(
+            edg.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edg: DataFrame) -> DataFrame:
+        # orient high -> low so each node sees its <= neighbors
+        lo = edg.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = lo.groupBy("u").agg(F.min("v").alias("m"))
+        linked = lo.join(mins, "u")
+        rewired = linked.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(linked.select("u", F.col("m").alias("v")))
+        return rewired.filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iter):
+        e2 = small_star(large_star(e)).localCheckpoint()
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_iter} rounds"
+        )
+    # fixed point is a star forest: every non-root points at its
+    # component min; roots get self-labels via the node frame.
+    roots = nodes.join(
+        e.select(F.col("u").alias("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return e.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).unionByName(roots)
+
+
 def component_sizes(labels: DataFrame) -> DataFrame:
     """Attach cluster_size to a (node, component) labeling."""
     sizes = labels.groupBy("component").agg(

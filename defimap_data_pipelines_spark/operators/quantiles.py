@@ -40,6 +40,11 @@ def exact_grouped_quantile(
     """(group, quantile): exact type-1 quantile of ``value_col`` per
     group, never holding more than ~n/buckets values of one group in
     any single task."""
+    # NULLs are excluded up front: F.count(value_col) already skips
+    # them in the rank base, but F.least treats floor(NULL)=NULL as
+    # the LAST bucket (least skips nulls), silently inflating the top
+    # histogram bucket and shifting the chosen rank.
+    df = df.filter(F.col(value_col).isNotNull())
     stats = df.groupBy(group_col).agg(
         F.count(value_col).alias("_n"),
         F.min(value_col).alias("_lo"),

@@ -204,6 +204,13 @@ def char_entropy_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # task and serializes the whole pass. Fan out first when the scan
     # is narrower than the cluster; skip the shuffle when the input is
     # already well-partitioned (the 100 TB case).
+    from defimap_data_pipelines_spark.functions.text import normalize_text
+
+    # Docs that normalize to empty text are excluded (entropy of an
+    # empty distribution is undefined): char_array returns [""] for
+    # them (split of ""), which would silently count as n=1/entropy=0
+    # here while the SQL oracle's n=length(s)=0 divides by zero.
+    docs = docs.filter(F.length(normalize_text(F.col(text_col))) > 0)
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism, "doc_id")

@@ -2118,12 +2118,30 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clean_corpus_sql() -> str:
+_CLEAN_CORPUS_COLS = "doc_id, lang, source, n_chars"
+
+
+def _clean_corpus_sql(cols: str = _CLEAN_CORPUS_COLS) -> str:
     """Full curation oracle: quality filter -> exact dedup -> near-dup
     connected components via WITH RECURSIVE transitive closure ->
     drop non-canonical cluster members. The Spark side's MinHash-LSH
     stage is exact-verified, so (at 100% testdata recall, asserted in
-    tests) the pipeline equals this exact formulation."""
+    tests) the pipeline equals this exact formulation.
+
+    ``cols`` parameterizes the final projection so dependents
+    (training_dataset, curation_report via _clean_corpus_ctes) compose
+    instead of string-replacing the assembled SQL."""
+    return f"""
+        {_clean_corpus_ctes()}
+        SELECT {cols}
+        FROM docs_e
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+def _clean_corpus_ctes() -> str:
+    """The curation pipeline's WITH-block alone (q/docs_q/canon/docs_e/
+    .../losers), for dependents that attach their own final SELECT."""
     quality = QUALITY_SQL.strip()
     return f"""
         WITH RECURSIVE
@@ -2171,9 +2189,6 @@ def _clean_corpus_sql() -> str:
             FROM reach GROUP BY a
         ),
         losers AS (SELECT doc_id FROM clusters WHERE cluster_id != doc_id)
-        SELECT doc_id, lang, source, n_chars
-        FROM docs_e
-        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
     """
 
 
@@ -4297,7 +4312,7 @@ def _training_dataset_sql() -> str:
     a window-cumsum shard assignment over the train split."""
     split_case = split_case_sql("doc_id", _SPLIT_WEIGHTS)
     return f"""
-        WITH clean AS ({_clean_corpus_sql().replace("SELECT doc_id, lang, source, n_chars", "SELECT doc_id, text, lang, source, n_chars", 1)}),
+        WITH clean AS ({_clean_corpus_sql("doc_id, text, lang, source, n_chars")}),
         tagged AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
                    {split_case} AS split
@@ -4903,7 +4918,8 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENTROPY_SQL = f"""
-    WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents
+                  WHERE length({_NORM}) > 0),
     chars AS (
         SELECT doc_id, length(s) AS n,
                unnest(list_transform(range(1, greatest(length(s), 1) + 1),
@@ -5215,12 +5231,9 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_report_sql() -> str:
-    """Counts per curation stage, sharing _clean_corpus_sql's CTEs."""
-    body = _clean_corpus_sql()
-    final_select = body.rindex("SELECT doc_id, lang, source, n_chars")
-    ctes = body[:final_select]
+    """Counts per curation stage, sharing _clean_corpus_ctes."""
     return f"""
-        {ctes}
+        {_clean_corpus_ctes()}
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_q) AS n_quality,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_e) AS n_exact,

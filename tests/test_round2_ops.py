@@ -197,3 +197,105 @@ def test_pareto_property_exact_frontier(spark, pts):
 
     expect = sorted(p for p in distinct if not dominated(p))
     assert got == expect
+
+
+def test_star_cc_matches_bsp_on_fixtures(spark):
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (7, 9), (20, 11), (11, 30)],
+        ["doc_a", "doc_b"],
+    )
+    bsp = {
+        r.node: r.component
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    star = {
+        r.node: r.component
+        for r in connected_components_star(edges, "doc_a", "doc_b").collect()
+    }
+    assert star == bsp
+
+
+def test_star_cc_pathological_chain_bounded_rounds(spark):
+    # a 200-node path has diameter 199: BSP min-label propagation would
+    # need ~200 rounds (and raises at its default 25); star contraction
+    # must finish within its default O(log^2 n) budget of 20.
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1200)], ["doc_a", "doc_b"]
+    )
+    out = connected_components_star(edges, "doc_a", "doc_b")
+    rows = out.collect()
+    assert len(rows) == 201
+    assert {r.component for r in rows} == {1000}
+
+
+def test_star_cc_skewed_near_clique(spark):
+    # hub-and-spokes (the skewed dup-cluster shape) plus a disjoint
+    # triangle; star contraction must not mix components.
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    hub = [(5000, i) for i in range(5001, 5060)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(hub + tri, ["doc_a", "doc_b"])
+    labels = {
+        r.node: r.component
+        for r in connected_components_star(edges, "doc_a", "doc_b").collect()
+    }
+    assert all(labels[i] == 5000 for i in range(5000, 5060))
+    assert labels[1] == labels[2] == labels[3] == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=edge_lists)
+def test_star_cc_property_matches_bsp(spark, edges):
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    bsp = {
+        r.node: r.component
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    star = {
+        r.node: r.component
+        for r in connected_components_star(df, "doc_a", "doc_b").collect()
+    }
+    assert star == bsp
+
+
+def test_exact_grouped_quantile_ignores_nulls(spark):
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        exact_grouped_quantile,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = exact_grouped_quantile(df, "grp", "val", q=0.5).collect()
+    # median of 1..9 ignoring the 5 NULLs is 5; with NULLs miscounted
+    # into the last bucket the chosen bucket shifts upward
+    assert len(out) == 1 and out[0]["quantile"] == 5.0
+
+
+def test_char_entropy_skips_empty_docs(spark):
+    from defimap_data_pipelines_spark.operators.textops import (
+        char_entropy_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "   "), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.entropy for r in char_entropy_table(df).collect()}
+    # whitespace-only and empty docs normalize to "" -> excluded, not
+    # silently scored as entropy 0
+    assert set(out) == {1}
+    assert out[1] == pytest.approx(math.log(2), abs=1e-9)
