@@ -77,6 +77,40 @@ def load_apr(raw: DataFrame, strategy_dim: DataFrame, write: Writer) -> None:
     write(latest, "strategy__apr_update")
 
 
+def jdbc_datamart_writer(url: str) -> Writer:
+    """A :data:`Writer` bound to a real JDBC datamart, reproducing the
+    reference's per-table effects (aave_load.py:54-168):
+
+    - derived tables (``strategy_growth``/``strategy_tvl``/
+      ``strategy_apr``): DELETE the rows of the strategies being
+      loaded, then append — the idempotent re-load unit (S12);
+    - the ``strategy__{col}_update`` pseudo-tables produced by
+      load_tvl/load_apr become single-row UPDATEs of the ``strategy``
+      dimension's latest-value columns (S13, aave_load.py:121-128).
+      The frame is one row per strategy by contract, so the collect is
+      a scalar fetch.
+    """
+    from defimap_data_pipelines_spark.sources.writers import (
+        delete_then_append_jdbc,
+        execute_jdbc,
+    )
+
+    def write(df: DataFrame, table: str) -> None:
+        if table.startswith("strategy__") and table.endswith("_update"):
+            col = table[len("strategy__") : -len("_update")]
+            value_col = [c for c in df.columns if c != "name"][0]
+            stmts = [
+                f"UPDATE strategy SET {col} = {r[value_col]} "
+                "WHERE slug = '" + str(r["name"]).replace("'", "''") + "'"
+                for r in df.collect()
+            ]
+            execute_jdbc(df.sparkSession, url, stmts)
+        else:
+            delete_then_append_jdbc(df, url, table, key_col="strategy_id")
+
+    return write
+
+
 def run_load(
     gotk: DataFrame,
     tvl: DataFrame,

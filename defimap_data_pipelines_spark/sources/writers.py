@@ -59,6 +59,53 @@ def read_jdbc(
     url: str,
     table: str,
     properties: dict[str, str] | None = None,
-) -> DataFrame:  # pragma: no cover - needs a live database
+) -> DataFrame:
     """Dimension lookup read (aave_load.py:41-51); callers broadcast it."""
     return spark.read.jdbc(url=url, table=table, properties=properties or {})
+
+
+def execute_jdbc(spark: SparkSession, url: str, statements: list[str]) -> None:
+    """Run raw DDL/DML statements on a JDBC database via the driver
+    JVM's DriverManager — the side-channel the reference's load DAG
+    needs beyond frame writes: keyed DELETEs before append
+    (aave_load.py:73-78, 108-113, 147-152) and single-row dimension
+    UPDATEs (aave_load.py:121-128, 160-167). Statement strings are
+    driver-composed from trusted pipeline values (strategy ids/slugs),
+    mirroring the reference's f-string SQL.
+
+    Works against any JDBC URL on the Spark classpath; tests use
+    embedded Derby (shipped with Spark)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            for s in statements:
+                st.execute(s)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def delete_then_append_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_col: str,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """The reference's datamart idempotency unit (S12): DELETE every
+    row whose ``key_col`` appears in ``df``, then append ``df`` —
+    re-running a load replaces its own slice exactly
+    (aave_load.py:73-84). The key set is tiny by contract (strategy
+    ids), so the distinct-collect is a scalar driver fetch."""
+    keys = [r[0] for r in df.select(key_col).distinct().collect()]
+    if keys:
+        quoted = ", ".join("'" + str(k).replace("'", "''") + "'" for k in keys)
+        execute_jdbc(
+            df.sparkSession,
+            url,
+            [f"DELETE FROM {table} WHERE {key_col} IN ({quoted})"],
+        )
+    write_jdbc(df, url, table, mode="append", properties=properties)
