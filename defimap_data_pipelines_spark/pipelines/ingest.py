@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from defimap_data_pipelines_spark.schemas import RAW_SCHEMA
 
 Sampler = Callable[[str, str], dict]  # (name, date_iso) -> column dict
+BlockResolver = Callable[[str], int]  # date_iso -> block number
 
 
 def exponential_backoff(attempt: int, cap: float = 64.0) -> float:
@@ -65,24 +66,89 @@ def synthetic_sampler(name: str, date_iso: str) -> dict:
     }
 
 
+def synthetic_block_resolver(date_iso: str) -> int:
+    """Deterministic fake date->block mapping (tests / this container):
+    ~7150 blocks/day from a fixed genesis plus a small crc32 jitter.
+    The jitter (< inter-day gap) keeps the mapping strictly increasing
+    in date, matching Etherscan's closest-after contract."""
+    import zlib
+    from datetime import date as _date
+
+    d = _date.fromisoformat(str(date_iso)[:10])
+    days = (d - _date(2015, 7, 30)).days
+    return 1 + days * 7150 + (zlib.crc32(str(date_iso)[:10].encode()) % 1000)
+
+
+def date_block_dimension(
+    dates: DataFrame,
+    resolver: BlockResolver = synthetic_block_resolver,
+    retries: int = 5,
+) -> DataFrame:
+    """The (date, block) dimension (S3): one resolver call per DISTINCT
+    date, built once per ingest run and joined into every per-strategy
+    sample pass — the reference resolves a block per day via Etherscan
+    getblocknobytime with 5 retries (aave_extract.py:146-168) and
+    accumulates the daily dimension frame (aave_extract.py:499-509).
+
+    Output is one row per day — tiny at any scale; callers broadcast
+    it into the sampling grid (see sample_chain_state ``blocks=``).
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("date", T.DateType()),
+            T.StructField("block", T.LongType()),
+        ]
+    )
+
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        do_resolve = with_retries(resolver, tries=retries, sleep=lambda s: None)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "date": pdf["date"],
+                    "block": [do_resolve(str(d)) for d in pdf["date"]],
+                }
+            )
+
+    return dates.select("date").distinct().mapInPandas(resolve, schema)
+
+
 def sample_chain_state(
     dates: DataFrame,
     sampler: Sampler = synthetic_sampler,
     retries: int = 13,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """(date, name) frame -> RAW_SCHEMA frame via batched point reads.
 
     Each partition's rows are sampled inside one Arrow batch; Spark's
     partitioning of the dates frame is the unit of parallelism (the
     reference looped sequentially on one Airflow worker).
+
+    ``blocks``: optional (date, block) dimension
+    (:func:`date_block_dimension`). When given it is broadcast-joined
+    into the grid and the sampler is called as ``sampler(name,
+    date_iso, block)`` — the reference samples contract state AT the
+    day's resolved block, not at latest (aave_extract.py:552-571).
     """
+    with_blocks = blocks is not None
+    if with_blocks:
+        dates = dates.select("date", "name").join(
+            F.broadcast(blocks.select("date", "block")), "date"
+        )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         do_sample = with_retries(sampler, tries=retries, sleep=lambda s: None)
         for pdf in batches:
             rows = []
-            for date, name in zip(pdf["date"], pdf["name"]):
-                state = do_sample(name, str(date))
+            blocks_seq = pdf["block"] if with_blocks else [None] * len(pdf)
+            for date, name, block in zip(pdf["date"], pdf["name"], blocks_seq):
+                if with_blocks:
+                    state = do_sample(name, str(date), int(block))
+                else:
+                    state = do_sample(name, str(date))
                 total = round(state["stake_apy"] + state["aave_apy"], 3)
                 rows.append(
                     {
@@ -99,7 +165,8 @@ def sample_chain_state(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RAW_SCHEMA.fields])
 
-    return dates.select("date", "name").mapInPandas(sample, RAW_SCHEMA)
+    cols = ["date", "name", "block"] if with_blocks else ["date", "name"]
+    return dates.select(*cols).mapInPandas(sample, RAW_SCHEMA)
 
 
 def clean_bronze(bronze: DataFrame) -> DataFrame:
