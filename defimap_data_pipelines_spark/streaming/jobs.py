@@ -381,8 +381,13 @@ def stream_gotk_incremental(
                 state, batch.filter(F.col("date") == F.lit(str(d)))
             )
             rows.write.mode("append").parquet(out_dir)
-            # pin the advanced state before the next day consumes it
-            state = spark.createDataFrame(state.collect(), state.schema)
+            # pin the advanced state before the next day consumes it:
+            # localCheckpoint materializes on executor storage and cuts
+            # lineage WITHOUT a per-day driver round-trip (a collect()
+            # here would funnel every day's state through the driver),
+            # and makes the final overwrite of state_dir safe (the
+            # pinned frame no longer reads from it).
+            state = state.localCheckpoint()
         state.write.mode("overwrite").parquet(state_dir)
 
     return (

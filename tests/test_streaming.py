@@ -4,6 +4,7 @@ idempotency; watermarked tumbling/session windows vs batch twins."""
 from __future__ import annotations
 
 import pytest
+from datetime import datetime
 from pyspark.sql import functions as F
 
 from defimap_data_pipelines_spark.pipelines.ingest import (
@@ -352,3 +353,143 @@ def test_stream_gotk_checkpoint_restart(spark, sf_dir, tmp_path):
     assert len(got) == len(set(k for k, _ in got)) == len(batch)
     for k, v in got:
         assert v == batch[k], k
+
+
+def _mk_events(spark, rows):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (i, u, t, v, datetime.fromisoformat(ts))
+            for (i, u, t, v, ts) in rows
+        ],
+        schema,
+    )
+
+
+def test_stream_dedup_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart exactly-once for the stateful dedup job: wave 2
+    REPLAYS half of wave 1 (as new files) plus new ids; the restarted
+    stream must drop every replayed row via checkpoint-restored dedup
+    state and pass each unique id exactly once."""
+    import pyspark.sql.types as T
+
+    arrivals = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda ids: _mk_events(
+        spark,
+        [
+            (i, i % 3, "click", float(i), f"2024-01-01T10:{i % 60:02d}:00")
+            for i in ids
+        ],
+    )
+    mk(range(1, 11)).write.mode("append").parquet(arrivals)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def run():
+        deduped = (
+            spark.readStream.schema(schema)
+            .parquet(arrivals)
+            .dropDuplicates(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # wave 2: replay ids 6..10 (duplicate content, NEW files) + 11..15
+    mk(list(range(6, 16))).write.mode("append").parquet(arrivals)
+    run()
+
+    ids = [r.event_id for r in spark.read.parquet(out).collect()]
+    assert sorted(ids) == list(range(1, 16))  # each id exactly once
+
+
+def test_stream_join_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart exactly-once for the watermarked stream-stream
+    join: a click lands in wave 1, its purchase in wave 2 — the pair
+    can only be emitted if the restarted run restores the click from
+    checkpointed join state. No pair may be emitted twice."""
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        stream_click_to_purchase,
+    )
+    import pyspark.sql.types as T
+
+    arrivals = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    wave1 = [
+        # intra-wave pair: click 1 -> purchase 101 (+10 min)
+        (1, 7, "click", 0.0, "2024-01-01T10:00:00"),
+        (101, 7, "purchase", 9.99, "2024-01-01T10:10:00"),
+        # cross-wave click: purchase arrives in wave 2
+        (2, 8, "click", 0.0, "2024-01-01T10:58:00"),
+        # non-matching noise
+        (3, 9, "view", 0.0, "2024-01-01T10:30:00"),
+    ]
+    wave2 = [
+        # the cross-wave purchase (+12 min after click 2, inside the
+        # 30-minute attribution gap and ahead of the run-1 watermark)
+        (102, 8, "purchase", 5.0, "2024-01-01T11:10:00"),
+        # intra-wave-2 pair
+        (4, 7, "click", 0.0, "2024-01-01T11:20:00"),
+        (103, 7, "purchase", 1.5, "2024-01-01T11:40:00"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def run():
+        ev = spark.readStream.schema(schema).parquet(arrivals)
+        joined = stream_click_to_purchase(ev)
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _mk_events(spark, wave1).write.mode("append").parquet(arrivals)
+    run()
+    _mk_events(spark, wave2).write.mode("append").parquet(arrivals)
+    run()
+
+    pairs = sorted(
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert pairs == [(1, 101), (2, 102), (4, 103)]
