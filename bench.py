@@ -88,6 +88,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[n] = round(best, 3)
+        # reap dereferenced per-run caches/broadcasts (ContextCleaner
+        # acts on JVM GC) so later queries aren't timed under the
+        # accumulated memory pressure of every earlier query's plans
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -82,7 +82,12 @@ def _curation_stages(
     canon = exact_dedup(docs_q, text_col).select(
         F.col("canonical_id").alias("doc_id")
     )
-    docs_e = docs_q.join(canon, "doc_id")
+    # cache: docs_e is consumed by the shingle narrowing, the pair
+    # verify pass, and the final anti-join — uncached, each replays
+    # the quality filter + exact-dedup joins from the corpus scan.
+    # (At 100 TB this tier would be a persisted silver table; in one
+    # job the in-memory/disk cache is the same role.)
+    docs_e = docs_q.join(canon, "doc_id").cache()
 
     pair_fn = minhash_lsh_candidates if use_minhash else ngram_jaccard_pairs
     # cache: the narrowed frame feeds both the signature pass and the

@@ -36,7 +36,11 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.localCheckpoint()
+    # hash-partition the (static) edge frame on the join key once:
+    # localCheckpoint preserves outputPartitioning, so every round's
+    # propagation join reshuffles only the (smaller, changing) label
+    # frame — the 100 TB edge list stays put.
+    sym = sym.repartition("a").localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -47,20 +51,25 @@ def connected_components(
         prop = sym.join(
             labels.withColumnRenamed("node", "a"), "a"
         ).select(F.col("b").alias("node"), "component")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        minp = prop.groupBy("node").agg(F.min("component").alias("_p"))
+        # carry the old label through the merge so convergence is a
+        # free scan of the checkpointed frame (no new-vs-old join)
+        merged = (
+            labels.join(minp, "node", "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_p"), F.col("component")),
+                ).alias("_new"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            merged.filter(F.col("_new") < F.col("component")).limit(1).count()
         )
-        labels = new_labels
+        labels = merged.select("node", F.col("_new").alias("component"))
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

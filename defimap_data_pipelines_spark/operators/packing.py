@@ -52,7 +52,15 @@ def global_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+    # pin the partitioned frame: the totals collect and the offset join
+    # below both consume it, and each execution of repartitionByRange
+    # re-SAMPLES the range boundaries — a second execution could cut
+    # partitions differently, silently mismatching the _pid meanings
+    # between the offsets and the rows they offset (besides paying the
+    # sample + shuffle + window twice).
+    within = ranged.withColumn(
+        "_local_cum", F.sum(value_col).over(w)
+    ).localCheckpoint()
     # numPartitions longs — the only driver-side data in the operator
     totals = {
         r["_pid"]: r["t"]

@@ -4361,10 +4361,19 @@ def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # narrows it to the quality+exact-dedup survivors
         hashed=_hashed_doc_shingles(spark, sf_dir),
     )
-    tagged = train_val_test_split(survivors, "doc_id", _SPLIT_WEIGHTS).select(
-        "doc_id",
-        "split",
-        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    # cache: tagged feeds three consumers (the shard operator's totals
+    # collect, its final offset join, and the report groupBy) — without
+    # it each one replays the whole curation chain (quality filter +
+    # exact dedup + LSH pairs + connected components). The frame is
+    # 3 narrow columns per surviving doc — tiny at any scale.
+    tagged = (
+        train_val_test_split(survivors, "doc_id", _SPLIT_WEIGHTS)
+        .select(
+            "doc_id",
+            "split",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .cache()
     )
     shards = assign_token_shards(
         tagged.filter(F.col("split") == "train"), "n_tok", budget=4096

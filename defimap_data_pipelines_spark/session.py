@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         # local mode: driver memory is the only memory knob
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # long-lived sessions accumulate dereferenced cached RDDs /
+        # broadcasts until a JVM GC lets the ContextCleaner reap them;
+        # the 30 min default lets hours of queries pile up first
+        .config("spark.cleaner.periodicGC.interval", "60s")
     )
     if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
