@@ -67,27 +67,40 @@ def _curation_stages(
     restricting a full-corpus frame yields exactly the survivor-only
     pairs — the persisted-shingle-table reuse pattern at scale.
     """
+    from pyspark.sql import Window
+
+    from defimap_data_pipelines_spark.functions.text import fingerprint
     from defimap_data_pipelines_spark.operators.dedup import (
-        exact_dedup,
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
-    from defimap_data_pipelines_spark.operators.textops import quality_score
-
-    q = quality_score(docs, text_col).filter(
-        F.col("quality_score") >= min_quality
+    from defimap_data_pipelines_spark.operators.textops import (
+        with_quality_score,
     )
-    docs_q = docs.join(q.select("doc_id"), "doc_id")
 
-    canon = exact_dedup(docs_q, text_col).select(
-        F.col("canonical_id").alias("doc_id")
+    # quality: an in-place scan-side predicate (no doc_id self-join)
+    docs_q = (
+        with_quality_score(docs, text_col)
+        .filter(F.col("quality_score") >= min_quality)
+        .drop("quality_score")
     )
-    # cache: docs_e is consumed by the shingle narrowing, the pair
-    # verify pass, and the final anti-join — uncached, each replays
-    # the quality filter + exact-dedup joins from the corpus scan.
-    # (At 100 TB this tier would be a persisted silver table; in one
-    # job the in-memory/disk cache is the same role.)
-    docs_e = docs_q.join(canon, "doc_id").cache()
+
+    # exact dedup: keep the min-doc_id canonical per fingerprint via a
+    # single window shuffle (the groupBy+join-back form pays the
+    # fingerprint shuffle twice and re-shuffles the full text)
+    wfp = Window.partitionBy("_fp")
+    docs_e = (
+        docs_q.withColumn("_fp", fingerprint(F.col(text_col)))
+        .withColumn("_canon", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_fp", "_canon")
+        # cache: docs_e is consumed by the shingle narrowing, the pair
+        # verify pass, and the final anti-join — uncached, each replays
+        # the quality filter + dedup window from the corpus scan. (At
+        # 100 TB this tier would be a persisted silver table; in one
+        # job the in-memory/disk cache is the same role.)
+        .cache()
+    )
 
     pair_fn = minhash_lsh_candidates if use_minhash else ngram_jaccard_pairs
     # cache: the narrowed frame feeds both the signature pass and the

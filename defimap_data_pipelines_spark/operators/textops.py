@@ -113,21 +113,37 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select(*out_cols, expr.otherwise(F.lit(langs[0])).alias("lang_pred"))
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite [0,1] quality score: token-count saturation, low
-    punctuation, healthy stopword density, sane mean word length."""
-    c = F.col(text_col)
-    staged = _staged_tokens(docs, text_col, extra=[punct_ratio(c).alias("_pr")])
+def _quality_expr() -> Column:
+    """Score expression over the staged (_norm, _toks, _pr) columns."""
     n_ws = F.size("_toks")
     sw = _tok_hits(F.col("_toks"), STOPWORDS["en"]) / n_ws.cast("double")
     mean_wl = F.length("_norm").cast("double") / n_ws.cast("double")
-    score = (
+    return (
         0.4 * F.least(F.lit(1.0), n_ws.cast("double") / 100.0)
         + 0.3 * (1.0 - F.least(F.lit(1.0), F.col("_pr") * 5.0))
         + 0.2 * F.least(F.lit(1.0), sw * 10.0)
         + 0.1 * F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.0)
     )
-    return staged.select("doc_id", score.alias("quality_score"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: token-count saturation, low
+    punctuation, healthy stopword density, sane mean word length."""
+    c = F.col(text_col)
+    staged = _staged_tokens(docs, text_col, extra=[punct_ratio(c).alias("_pr")])
+    return staged.select("doc_id", _quality_expr().alias("quality_score"))
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All original columns + quality_score — the in-place form, so a
+    quality FILTER is a narrow scan-side predicate instead of a
+    doc_id self-join back onto the corpus (one shuffle saved per
+    curation pass; at 100 TB the join shuffles the full text twice)."""
+    c = F.col(text_col)
+    staged = docs.select(
+        "*", normalize_text(c).alias("_norm"), punct_ratio(c).alias("_pr")
+    ).select("*", F.split("_norm", " ").alias("_toks"))
+    return staged.select(*docs.columns, _quality_expr().alias("quality_score"))
 
 
 def sentences_udtf():
