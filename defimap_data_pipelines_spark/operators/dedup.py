@@ -474,3 +474,90 @@ def simhash_md5_pairs(
     return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = ". ",
+    max_count: int = 2,
+    tokens_per_line: int | None = None,
+) -> DataFrame:
+    """Corpus-wide repeated-line removal (the C4 cleaning rule: drop
+    any line that occurs ``max_count``-or-more times ACROSS the whole
+    corpus — boilerplate headers, cookie banners, license blurbs).
+
+    Returns (doc_id, n_kept, n_dropped, text_clean) with the document
+    reassembled from its surviving lines in original order.
+
+    ``tokens_per_line``: when set, "lines" are non-overlapping
+    N-whitespace-token segments instead of ``sep``-delimited lines —
+    for corpora without line structure (and the shingle-style segment
+    dedup variant some pipelines use).
+
+    Scale shape: posexplode -> one groupBy on the line fingerprint
+    (map-side combined counts) -> one join of postings against the
+    frequent-line set (broadcast when small, shuffle otherwise; the
+    frequent set is tiny by construction — only lines repeated
+    corpus-wide) -> one groupBy(doc_id) to reassemble. No window over
+    the corpus, no driver data. Reassembly sorts each doc's surviving
+    line structs with array_sort on the position field — per-row, not
+    a global order.
+    """
+    import re as _re
+
+    if tokens_per_line is not None:
+        n = int(tokens_per_line)
+        seg = F.expr(
+            f"transform(sequence(0, (size(split({text_col}, ' ')) + {n} - 1)"
+            f" div {n} - 1),"
+            f" i -> array_join(slice(split({text_col}, ' '), i * {n} + 1,"
+            f" {n}), ' '))"
+        )
+        line_arr = seg
+        join_sep = " "
+    else:
+        # F.split takes a REGEX; escape the literal separator
+        line_arr = F.split(F.col(text_col), _re.escape(sep), -1)
+        join_sep = sep
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(line_arr).alias("pos", "line"),
+    )
+    freq = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= max_count)
+        .select("line")
+    )
+    kept = lines.join(freq, "line", "left_anti")
+    dropped = lines.join(freq, "line", "left_semi")
+    reassembled = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                join_sep,
+            ).alias("text_clean"),
+        )
+    )
+    drops = dropped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    return (
+        docs.select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .join(drops, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

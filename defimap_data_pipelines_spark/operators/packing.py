@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 def global_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list,
     value_col: str,
     out: str = "cum",
     num_partitions: int | None = None,
@@ -40,16 +40,20 @@ def global_cumsum(
     """Inclusive global cumulative sum of ``value_col`` in ``order_col``
     order, without a single-task global window.
 
-    ``order_col`` must be globally unique (it defines the order); the
-    sum column should be integral for exact, layout-independent results.
+    ``order_col`` (a column name, Column, or list of either — e.g.
+    ``[F.col("cnt").desc(), "token"]`` for a composite order) must be
+    globally unique as a tuple; the sum column should be integral for
+    exact, layout-independent results.
     """
+    order_cols = order_col if isinstance(order_col, list) else [order_col]
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # pin the partitioned frame: the totals collect and the offset join

@@ -180,3 +180,42 @@ def unigram_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("ppl")
     )
+
+
+def vocab_ids(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Frequency-ranked vocabulary with DENSE integer ids — the
+    tokenizer-training precursor (id 0 = most frequent token; ties
+    break lexicographically).
+
+    A naive ROW_NUMBER() OVER (ORDER BY count DESC) funnels the whole
+    vocabulary through one task; this uses the same two-pass parallel
+    prefix sum as token sharding (packing.global_cumsum) over the
+    composite order (count desc, token asc): range-partition the
+    counted vocab, rank within partitions in parallel, offset by the
+    per-partition totals (numPartitions longs on the driver). Exact,
+    layout-independent, and the heavy corpus tokenization stays one
+    map-side-combined groupBy.
+    """
+    from defimap_data_pipelines_spark.operators.packing import global_cumsum
+
+    counts = (
+        _postings(docs, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    ranked = global_cumsum(
+        counts.withColumn("_one", F.lit(1).cast("long")),
+        [F.col("n_occurrences").desc(), F.col("token").asc()],
+        "_one",
+        out="_rank",
+    )
+    return ranked.select(
+        (F.col("_rank") - 1).cast("long").alias("token_id"),
+        "token",
+        "n_occurrences",
+    )

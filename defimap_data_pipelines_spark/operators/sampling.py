@@ -138,3 +138,49 @@ def stratified_sample(
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     thr = thr if expr is None else expr.otherwise(thr)
     return df.filter(hash_bucket(F.col(key), buckets) < thr)
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    rates: dict[str, float],
+    default: float = 1.0,
+    buckets: int = BUCKETS,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Materialize a source-mixture resample: per-stratum rate ``r``
+    emits each row ``floor(r)`` times plus one more for the stable
+    ``frac(r)`` fraction of keys — i.e. downsampling (r < 1) AND
+    epoch-style upsampling (r > 1, the "2.3 epochs of Wikipedia"
+    mixture idiom) in one operator. ``copy_col`` numbers the emitted
+    copies 0..k-1 so downstream shuffles can keep copies distinct.
+
+    Deterministic: membership of the fractional copy is the same
+    content-keyed md5 bucket as every sampler here, so a rerun (or an
+    incremental append) reproduces byte-identical output. The emit is
+    a per-row ``explode(sequence(...))`` — no shuffle, no join; the
+    100 TB plan stays scan -> project -> generate.
+    """
+    expr = F.lit(int(default * buckets))
+    case = None
+    for value, rate in rates.items():
+        t = int(round(rate * buckets))
+        cond = F.col(strata) == value
+        case = F.when(cond, t) if case is None else case.when(cond, t)
+    thr = case.otherwise(expr) if case is not None else expr
+    # copies = floor(r) + (bucket < frac(r)); thr is r scaled by buckets
+    whole = F.floor(thr / F.lit(buckets)).cast("int")
+    frac_thr = thr - whole * F.lit(buckets)
+    n_copies = whole + F.when(
+        hash_bucket(F.col(key), buckets) < frac_thr, 1
+    ).otherwise(0)
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )

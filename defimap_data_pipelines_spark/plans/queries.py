@@ -5955,6 +5955,109 @@ def q_corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_DEDUP_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    lines AS (
+      SELECT doc_id, u.pos AS pos, u.line AS line
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(0, CAST((len(ts) + 3) // 4 AS INT)),
+                          i -> struct_pack(pos := i,
+                                           line := array_to_string(
+                                               ts[i * 4 + 1 : i * 4 + 4], ' ')))) AS u
+            FROM toks)),
+    freq AS (SELECT line FROM lines GROUP BY line HAVING COUNT(*) >= 2),
+    kept AS (SELECT l.* FROM lines l ANTI JOIN freq f USING (line)),
+    dropped AS (SELECT l.* FROM lines l SEMI JOIN freq f USING (line)),
+    re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  string_agg(line, ' ' ORDER BY pos) AS text_clean
+           FROM kept GROUP BY doc_id),
+    dr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dropped
+           FROM dropped GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(n_dropped, 0) AS n_dropped,
+           COALESCE(text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN re USING (doc_id) LEFT JOIN dr USING (doc_id)
+"""
+
+
+@register("line_dedup", LINE_DEDUP_SQL)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-line removal (C4 cleaning rule): any
+    4-token segment occurring >= 2 times across the corpus is dropped
+    from every document, and documents are reassembled from their
+    surviving segments in order (operators/dedup.py::line_dedup). One
+    fingerprint groupBy + anti/semi joins + one reassembly groupBy —
+    no corpus-wide window, no driver data."""
+    from defimap_data_pipelines_spark.operators.dedup import line_dedup
+
+    return line_dedup(
+        read_table(spark, sf_dir, "documents"),
+        max_count=2,
+        tokens_per_line=4,
+    )
+
+
+MIXTURE_RESAMPLE_SQL = f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 23000 WHEN 'src1' THEN 4000
+                         WHEN 'src2' THEN 15000 ELSE 10000 END AS thr
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             thr // 10000
+             + CASE WHEN {bucket_sql("doc_id")} < thr % 10000
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM r)
+    SELECT doc_id, source, CAST(u AS BIGINT) AS copy
+    FROM c, LATERAL (SELECT unnest(range(0, CAST(n_copies AS INT))) AS u) s
+    WHERE n_copies > 0
+"""
+
+
+@register("mixture_resample", MIXTURE_RESAMPLE_SQL)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized source-mixture resample: src0 upsampled 2.3x
+    (epoch-style duplication with a stable fractional copy), src1
+    downsampled to 0.4, src2 upsampled 1.5x, everything else kept at
+    1.0 (operators/sampling.py::mixture_resample). Pure per-row
+    project + generate — the 100 TB plan has zero shuffles."""
+    from defimap_data_pipelines_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    out = mixture_resample(
+        read_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        strata="source",
+        key="doc_id",
+        rates={"src0": 2.3, "src1": 0.4, "src2": 1.5},
+    )
+    return out.select("doc_id", "source", F.col("copy").cast("long"))
+
+
+VOCAB_IDS_SQL = f"""
+    WITH counts AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+      GROUP BY 1 HAVING COUNT(*) >= 2)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC)
+                - 1 AS BIGINT) AS token_id,
+           token, n_occurrences
+    FROM counts
+"""
+
+
+@register("vocab_ids", VOCAB_IDS_SQL)
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with dense integer ids — the
+    tokenizer-training precursor (operators/ranking.py::vocab_ids).
+    The oracle's single-task ROW_NUMBER() is replaced by the two-pass
+    parallel prefix rank over (count desc, token asc)."""
+    from defimap_data_pipelines_spark.operators.ranking import vocab_ids
+
+    return vocab_ids(read_table(spark, sf_dir, "documents"), min_count=2)
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
@@ -6009,7 +6112,7 @@ _DRIVER_WINDOW = [
     "source_mixture_plan",
     "vector_stats",
     "corpus_quality_by_source",
-    "dataset_split",
+    "line_dedup",
     "stratified_sample",
     "token_shards",
     "doc_repetition",
@@ -6021,8 +6124,8 @@ _DRIVER_WINDOW = [
     "multimodal_framesample",
     "multimodal_resize",
     "exact_median_distributed",
-    "cohort_retention",
-    "salted_join_agg",
+    "vocab_ids",
+    "mixture_resample",
     "bucketed_join_agg",
     "asof_next_purchase",
 ]

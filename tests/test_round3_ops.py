@@ -1,0 +1,129 @@
+"""Hand-built edge-case tests for the round-3 operators (corpus-wide
+line dedup, mixture resampling, dense vocabulary ids). Oracle
+equivalence is covered by test_oracle_parity; these pin the semantics
+on tiny known inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from defimap_data_pipelines_spark.operators.dedup import line_dedup
+from defimap_data_pipelines_spark.operators.ranking import vocab_ids
+from defimap_data_pipelines_spark.operators.sampling import (
+    hash_bucket,
+    mixture_resample,
+)
+
+
+def test_line_dedup_drops_corpus_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one. COOKIE BANNER. body a"),
+            (2, "intro two. COOKIE BANNER. body b"),
+            (3, "standalone text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup(docs, sep=". ", max_count=2).collect()
+    }
+    assert out[1].n_dropped == 1 and out[2].n_dropped == 1
+    assert out[1].text_clean == "intro one. body a"
+    assert out[2].text_clean == "intro two. body b"
+    assert out[3].n_dropped == 0
+    assert out[3].text_clean == "standalone text only"
+
+
+def test_line_dedup_document_fully_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [(1, "SAME"), (2, "SAME"), (3, "unique line")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, max_count=2).collect()}
+    # every line of docs 1/2 is corpus-repeated -> empty reassembly
+    assert out[1].n_kept == 0 and out[1].text_clean == ""
+    assert out[2].n_kept == 0 and out[2].text_clean == ""
+    assert out[3].n_kept == 1
+
+
+def test_line_dedup_token_segments_preserve_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y a b z w q")],
+        ["doc_id", "text"],
+    )
+    # 2-token segments: doc1 = [a b][c d][e f][g]; doc2 = [x y][a b][z w][q]
+    out = {
+        r.doc_id: r
+        for r in line_dedup(docs, max_count=2, tokens_per_line=2).collect()
+    }
+    assert out[1].n_dropped == 1 and out[2].n_dropped == 1
+    assert out[1].text_clean == "c d e f g"
+    assert out[2].text_clean == "x y z w q"
+
+
+def test_mixture_resample_copy_counts(spark):
+    docs = spark.createDataFrame(
+        [(i, "up" if i % 2 == 0 else "down") for i in range(200)],
+        ["doc_id", "source"],
+    )
+    out = mixture_resample(
+        docs, strata="source", key="doc_id", rates={"up": 2.5, "down": 0.5}
+    )
+    rows = out.collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    # every 'up' doc appears 2 or 3 times with dense copy numbering
+    for doc_id, copies in by_doc.items():
+        assert sorted(copies) == list(range(len(copies)))
+        if doc_id % 2 == 0:
+            assert len(copies) in (2, 3)
+        else:
+            assert len(copies) == 1
+    n_up = sum(1 for r in rows if r.source == "up")
+    n_down = sum(1 for r in rows if r.source == "down")
+    # fractional parts follow the md5 bucket: ~50% of each stratum
+    assert 200 <= n_up <= 300 and 30 <= n_down <= 70
+    # deterministic: rerun is byte-identical
+    again = mixture_resample(
+        docs, strata="source", key="doc_id", rates={"up": 2.5, "down": 0.5}
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mixture_resample_matches_hash_bucket_membership(spark):
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(50)], ["doc_id", "source"]
+    )
+    out = mixture_resample(
+        docs, strata="source", key="doc_id", rates={"s": 0.3}
+    )
+    kept = {r.doc_id for r in out.collect()}
+    expected = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+        if r.b < 3000
+    }
+    assert kept == expected
+
+
+def test_vocab_ids_rank_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat cat dog"),
+            (2, "the cat bee bee dog zoo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.token: r for r in vocab_ids(docs, min_count=2).collect()}
+    # counts: the=4, cat=3, bee=2, dog=2; zoo dropped (min_count)
+    assert "zoo" not in out
+    assert out["the"].token_id == 0
+    assert out["cat"].token_id == 1
+    # tie at 2: lexicographic bee < dog
+    assert out["bee"].token_id == 2
+    assert out["dog"].token_id == 3
+    assert out["the"].n_occurrences == 4
