@@ -43,24 +43,56 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 32
 
 
-def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode via Pillow (only reachable when PIL is
+    importable on the executors — not in this container; recorded
+    environment constraint, the plumbing below is codec-agnostic)."""
+    import io
+
+    from PIL import Image  # pragma: no cover - not installed here
+
+    with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return im.width, im.height, getattr(im, "n_frames", 1)
+
+
+def decode_media(
+    media: DataFrame, strict: bool = False, codec: str = "auto"
+) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched
-    mapInPandas. ``strict=True`` raises NotImplementedError at the
-    decode step (no codec libraries in this environment)."""
+    mapInPandas.
+
+    ``codec``: ``"stub"`` forces the deterministic digest stand-in
+    (what the registered queries use — their oracles replay it);
+    ``"auto"`` uses Pillow for images when it imports on the executor
+    and falls back to the stub otherwise (the fallback decision is
+    made once per batch from library availability, never from data);
+    ``strict=True`` raises NotImplementedError instead of falling
+    back (surface the missing codec loudly)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = None
+        if codec == "auto":
+            try:
+                from PIL import Image  # noqa: F401
+
+                real = _pil_decode
+            except ImportError:
+                real = None
         for pdf in batches:
-            if strict:
+            if strict and real is None:
                 raise NotImplementedError(
                     "real media decoding needs codec libraries (PIL/av); "
-                    "install them and swap _fake_decode"
+                    "none are importable on this executor"
                 )
             rows = []
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 raw = bytes(payload)
-                w, h, nf = _fake_decode(raw)
+                if real is not None and kind == "image":
+                    w, h, nf = real(raw)
+                else:
+                    w, h, nf = _fake_decode(raw)
                 rows.append(
                     (
                         int(mid),

@@ -1493,7 +1493,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_as_media,
     )
 
-    return decode_media(docs_as_media(read_table(spark, sf_dir, "documents")))
+    return decode_media(
+        docs_as_media(read_table(spark, sf_dir, "documents")), codec="stub"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5053,7 +5055,7 @@ def q_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = docs_as_media(read_table(spark, sf_dir, "documents"))
-    frames = frame_sample(decode_media(media), every_n=2)
+    frames = frame_sample(decode_media(media, codec="stub"), every_n=2)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sampled"),
         F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
@@ -5730,7 +5732,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = docs_as_media(read_table(spark, sf_dir, "documents"))
-    return resize_media(decode_media(media), box=64)
+    return resize_media(decode_media(media, codec="stub"), box=64)
 
 
 TOKEN_CHUNKS_SQL = f"""
