@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "char_entropy",
     "exact_median_distributed",
     "unigram_perplexity",
+    "line_dedup",
+    "mixture_resample",
+    "vocab_ids",
 ]
 
 
