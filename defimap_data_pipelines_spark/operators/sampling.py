@@ -184,3 +184,43 @@ def mixture_resample(
         )
         .drop("_n_copies")
     )
+
+
+def deterministic_group_cap(
+    df: DataFrame,
+    group: str,
+    key: str,
+    k: int,
+    salt_partitions: int = 32,
+    out_col: str = "rank_in_group",
+) -> DataFrame:
+    """Cap each group at ``k`` rows, chosen deterministically — the
+    domain-capping rule of corpus curation (no single web domain may
+    contribute more than K documents), with selection keyed on the md5
+    of ``key`` so reruns and incremental appends pick a stable subset.
+
+    Scale shape: a plain ``row_number() OVER (PARTITION BY group)``
+    funnels a hot group (the big web crawl) through ONE task. This is
+    the salted two-stage top-k instead: stage 1 ranks within
+    (group, salt) partitions — ``salt_partitions``-way parallel even
+    inside one group — and keeps k candidates per salt; stage 2 ranks
+    the <= k * salt_partitions survivors per group. Single-task state
+    is bounded by max(group_rows / salt_partitions, k * salt_partitions)
+    regardless of group skew. Both stages order by (md5(key), key), a
+    total order, so the result is EXACTLY the naive single-window
+    form's (asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    salt = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(salt_partitions))
+    w1 = Window.partitionBy(group, "_salt").orderBy(h.asc(), F.col(key).asc())
+    w2 = Window.partitionBy(group).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn(out_col, F.row_number().over(w2))
+        .filter(F.col(out_col) <= k)
+        .drop("_salt", "_r1")
+    )

@@ -6060,6 +6060,41 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_ids(read_table(spark, sf_dir, "documents"), min_count=2)
 
 
+SOURCE_CAP_SQL = """
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_group
+    FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                 ) AS rn
+          FROM documents)
+    WHERE rn <= 15
+"""
+
+
+@register("source_cap", SOURCE_CAP_SQL)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: at most 15 documents per source, selected
+    deterministically by md5 order (operators/sampling.py::
+    deterministic_group_cap). The oracle's single-task-per-group
+    ROW_NUMBER is replaced by the salted two-stage top-k, so a hot
+    domain parallelizes 32 ways; both order by the same total order
+    and agree exactly."""
+    from defimap_data_pipelines_spark.operators.sampling import (
+        deterministic_group_cap,
+    )
+
+    out = deterministic_group_cap(
+        read_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        group="source",
+        key="doc_id",
+        k=15,
+    )
+    return out.select(
+        "doc_id", "source", F.col("rank_in_group").cast("long")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------

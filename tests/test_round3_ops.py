@@ -127,3 +127,39 @@ def test_vocab_ids_rank_and_ties(spark):
     assert out["bee"].token_id == 2
     assert out["dog"].token_id == 3
     assert out["the"].n_occurrences == 4
+
+
+def test_group_cap_equals_naive_window(spark):
+    from pyspark.sql import Window
+
+    from defimap_data_pipelines_spark.operators.sampling import (
+        deterministic_group_cap,
+    )
+
+    # skewed: group 'hot' has 500 rows, others 3 each
+    rows = [(f"d{i}", "hot") for i in range(500)] + [
+        (f"x{g}{i}", f"g{g}") for g in range(5) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = deterministic_group_cap(df, "source", "doc_id", k=7)
+    naive = (
+        df.withColumn(
+            "rank_in_group",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string")).asc(),
+                    F.col("doc_id").asc(),
+                )
+            ),
+        )
+        .filter(F.col("rank_in_group") <= 7)
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, naive.collect()))
+    assert a == b
+    # small groups (3 < k) keep all rows; hot group capped at exactly 7
+    per_group = {}
+    for _, src, _ in a:
+        per_group[src] = per_group.get(src, 0) + 1
+    assert per_group["hot"] == 7
+    assert all(per_group[f"g{g}"] == 3 for g in range(5))
