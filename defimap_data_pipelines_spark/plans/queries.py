@@ -3464,6 +3464,94 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_TRAINED_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, e AS c
+        FROM v ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS ({_kmeans_assign_sql('v', 'init')}),
+    cent1 AS (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM (
+            SELECT cluster, i AS pos,
+                   SUM(CAST(ROUND(e[i] * 1000000000) AS BIGINT))
+                       / 1000000000.0 / COUNT(*) AS m
+            FROM a1, range(1, 65) t(i)
+            GROUP BY cluster, i
+        ) GROUP BY cluster
+    ),
+    cent AS (SELECT cluster AS centroid_id, c AS ce FROM cent1),
+    cassign AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cosine_sql('v.e', 'cent.ce')} DESC,
+                                               cent.centroid_id) AS rn
+            FROM v, cent
+        ) WHERE rn <= 1
+    ),
+    qassign AS (
+        SELECT vec_id AS query_id, e AS qe, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cosine_sql('v.e', 'cent.ce')} DESC,
+                                               cent.centroid_id) AS rn
+            FROM v, cent
+            WHERE v.vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    sims AS (
+        SELECT DISTINCT q.query_id, c.vec_id, {_cosine_sql('q.qe', 'c.e')} AS cosine
+        FROM qassign q JOIN cassign c USING (centroid_id)
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM sims)
+    WHERE rn <= 5
+"""
+
+
+@register("ivf_topk_trained", IVF_TRAINED_SQL)
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED codebook: one Lloyd round of the
+    deterministic kmeans (k=8) supplies the centroids, then the same
+    inverted-list probe as ivf_topk. Closes the 'centroids are a
+    stand-in' gap — training and probing are one composed plan, and
+    the oracle unrolls the Lloyd round inside the IVF replay (the
+    exact-integer centroid means make the codebook engine-identical)."""
+    from pyspark.sql import Window
+
+    from defimap_data_pipelines_spark.operators.clustering import (
+        assign_clusters,
+        update_centroids,
+    )
+    from defimap_data_pipelines_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    init = (
+        v.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("cluster"),
+            F.col("e").alias("c"),
+        )
+    )
+    trained = update_centroids(assign_clusters(v, init))
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, centroids=trained
+    )
+    return out.select(
+        "query_id", "vec_id", r(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 INTERVAL_JOIN_SQL = """
     WITH err AS (
         SELECT event_id, user_id,
