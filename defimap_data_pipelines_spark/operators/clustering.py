@@ -73,7 +73,15 @@ def assign_clusters(
 
 
 def update_centroids(assigned: DataFrame, vec_col: str = "e") -> DataFrame:
-    """(cluster, c): per-cluster mean vector with exact quantized sums."""
+    """(cluster, c): per-cluster mean vector with exact quantized sums.
+
+    Formulation note: posexplode + two-level aggregation beats the
+    "one groupBy with dims per-dimension sum aggregates" form by ~4x
+    measured at sf0.1 — 65 aggregate buffers push HashAggregate out of
+    whole-stage codegen, while the exploded form stays fully
+    codegen'd and map-side combines to K*dims rows before the
+    shuffle either way.
+    """
     dims = assigned.select(
         "cluster", F.posexplode(vec_col).alias("pos", "val")
     )
