@@ -159,23 +159,30 @@ def cosine_pairs_lsh(
     return sim.filter(F.col("cosine") >= threshold)
 
 
-def _hyperplane_sign(vec, plane_id: int, dim: int, salt: int = 0):
-    """Deterministic pseudo-random hyperplane sign for a vector.
+def plane_weights(salt: int, plane_id: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane components, derived driver-side
+    from md5 of (salt, plane, j) — no RNG state, reproducible across
+    engines and Spark versions, and inlined as LITERALS into the plan
+    (the previous formulation hashed per element per row inside the
+    sign fold: planes x tables x dim = thousands of non-constant-
+    foldable hash calls per row; literals cost zero at scan time and
+    make the whole LSH path oracle-replayable)."""
+    import hashlib
 
-    Plane components are xxhash64(salt, plane_id, j)-derived ±1; the
-    sign of <v, plane> is computed as a fold over the element index.
-    All JVM-side; no RNG, no broadcast of plane matrices.
-    """
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    out = []
+    for j in range(dim):
+        d = hashlib.md5(f"{salt}|{plane_id}|{j}".encode()).digest()
+        out.append(1.0 if d[0] & 1 else -1.0)
+    return out
+
+
+def _hyperplane_sign(vec, plane_id: int, dim: int, salt: int = 0):
+    """Sign bit of <v, plane> with the plane inlined as a literal."""
+    w = F.array(*[F.lit(x) for x in plane_weights(salt, plane_id, dim)])
     dotp = F.aggregate(
-        idx,
+        F.zip_with(vec, w, lambda x, p: x.cast("double") * p),
         F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(vec, j + 1).cast("double")
-        * F.when(
-            F.xxhash64(F.lit(salt), F.lit(plane_id), j).bitwiseAND(F.lit(1)) == 1,
-            1.0,
-        ).otherwise(-1.0),
+        lambda acc, x: acc + x,
     )
     return F.when(dotp >= 0, F.lit(1)).otherwise(F.lit(0))
 

@@ -5150,13 +5150,66 @@ def q_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_topk")  # no SQL oracle: xxhash64-derived hyperplanes
+def _lsh_topk_sql(num_planes: int = 6, num_tables: int = 8, dim: int = 64) -> str:
+    """Full SQL replay of the hyperplane-LSH top-k: the ±1 plane
+    matrices (driver-side md5 derivation, plane_weights) are inlined
+    as list literals, so bucketing, OR-amplified candidate collection
+    and the exact cosine re-rank are all DuckDB-reproducible."""
+    from defimap_data_pipelines_spark.operators.similarity import (
+        plane_weights,
+    )
+
+    def dot(w: list[float]) -> str:
+        lits = ", ".join(str(int(x)) for x in w)
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> e[i] * (LIST_VALUE({lits}))[i]))"
+        )
+
+    def bucket(t: int) -> str:
+        terms = []
+        for pl in range(num_planes):
+            bit = 1 << (num_planes - 1 - pl)
+            terms.append(
+                f"(CASE WHEN {dot(plane_weights(t, pl, dim))} >= 0"
+                f" THEN {bit} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    structs = ", ".join(
+        f"struct_pack(tbl := {t}, bucket := {bucket(t)})"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    buckets AS (
+        SELECT vec_id, e, unnest([{structs}]) AS tb FROM v
+    ),
+    bb AS (SELECT vec_id, e, tb.tbl AS tbl, tb.bucket AS bucket FROM buckets),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, q.e AS qe, c.vec_id, c.e AS ce
+        FROM bb q JOIN bb c USING (tbl, bucket)
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ),
+    sims AS (
+        SELECT query_id, vec_id, {_cosine_sql('qe', 'ce')} AS cosine FROM cand
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM sims)
+    WHERE rn <= 5
+    """
+
+
+@register("lsh_topk", _lsh_topk_sql())
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate cosine top-5 (the ANN scale path —
-    OR-amplified bucket join + exact re-rank). No SQL twin exists for
-    the xxhash64 plane derivation; recall against the exact baseline is
-    asserted in tests/test_dedup_similarity.py, and the driver records
-    the rows-only check."""
+    OR-amplified bucket join + exact re-rank). The ±1 planes are
+    deterministic md5-derived literals shared with the oracle, so even
+    the approximate bucketing is value-hash-checked; recall against
+    the exact baseline is additionally asserted in
+    tests/test_dedup_similarity.py."""
     from defimap_data_pipelines_spark.operators.similarity import lsh_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -6243,7 +6296,7 @@ _DRIVER_WINDOW = [
     "doc_repetition",
     "pii_redaction",
     "kmeans_clusters",
-    "embedding_quantize_int8",
+    "lsh_topk",
     "char_entropy",
     "sentence_split_udtf",
     "multimodal_framesample",
