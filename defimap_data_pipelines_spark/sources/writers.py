@@ -109,3 +109,46 @@ def delete_then_append_jdbc(
             [f"DELETE FROM {table} WHERE {key_col} IN ({quoted})"],
         )
     write_jdbc(df, url, table, mode="append", properties=properties)
+
+
+def merge_upsert(
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_cols: list[str] = ("name",),
+) -> None:
+    """Keyed MERGE (upsert) on a plain-parquet table: rows in
+    ``updates`` replace existing rows with the same ``keys``; all other
+    existing rows survive — Delta's ``MERGE WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT`` for the update-everything case, without
+    the Delta dependency (delta-spark is not installed here; see
+    SURVEY.md S10).
+
+    Scale shape: only the PARTITIONS containing updated keys are read
+    and rewritten — the partition values present in ``updates`` prune
+    the read (partition pruning on the scan), survivors are found with
+    one anti-join per touched partition set, and dynamic partition
+    overwrite writes back just those partitions. Untouched partitions
+    are never opened. The anti-join is keyed by ``keys`` (uniform);
+    at 100 TB the cost is proportional to the touched slice, not the
+    table.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = updates.sparkSession
+    if not os.path.exists(path):
+        write_partitioned(updates, path, partition_cols, mode="overwrite")
+        return
+    # restrict the existing read to partitions the updates touch
+    touched = updates.select(*partition_cols).distinct()
+    existing = spark.read.parquet(path).join(
+        F.broadcast(touched), list(partition_cols)
+    )
+    survivors = existing.join(updates.select(*keys), keys, "left_anti")
+    merged = survivors.unionByName(updates.select(*survivors.columns))
+    # the anti-join plan reads `path` lazily; writing over the same
+    # path mid-plan would clobber its own input — materialize first
+    merged = merged.localCheckpoint()
+    idempotent_replace_range(merged, path, partition_cols)

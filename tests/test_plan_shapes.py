@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale-transferable properties
+(shuffle counts, scan-side pruning, broadcastability, no cartesians)
+asserted for flagship queries — a plan regression should fail CI, not
+wait for a bench diff. Counts mirror docs/PLAN_AUDIT.md."""
+
+from __future__ import annotations
+
+import pytest
+
+from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+
+def _final_plan(name: str, spark, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()  # AQE: inspect the executed plan, not the initial one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+# name -> (max exchanges, max sort-merge joins)
+FLAGSHIP_BUDGETS = {
+    "gotk": (2, 0),
+    "tvl": (2, 0),
+    "trailing_return": (2, 0),  # one scan, not six (SURVEY O3)
+    "q1_pricing_summary": (1, 0),
+    "text_stats": (0, 0),  # pure scan-side expressions
+    "mixture_resample": (0, 0),  # project + generate only
+    "dedup_exact": (1, 0),  # one fingerprint shuffle
+    "sessionize": (1, 0),
+    # the split stamp itself is a projection; the registered query
+    # aggregates per split on top (groupBy + AQE coalesce)
+    "dataset_split": (2, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(FLAGSHIP_BUDGETS))
+def test_shuffle_budget(name, spark, sf_dir):
+    max_ex, max_smj = FLAGSHIP_BUDGETS[name]
+    plan = _final_plan(name, spark, sf_dir)
+    assert plan.count("Exchange") <= max_ex, (
+        f"{name}: {plan.count('Exchange')} exchanges > budget {max_ex}"
+    )
+    assert plan.count("SortMergeJoin") <= max_smj
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["embedding_neardup_pairs", "lsh_topk", "minhash_lsh_dedup", "ivf_topk"],
+)
+def test_no_cartesian_in_ann_dedup_paths(name, spark, sf_dir):
+    plan = _final_plan(name, spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    if name != "ivf_topk":
+        assert "BroadcastNestedLoopJoin" not in plan
+    else:
+        # ivf's centroid assignment is a DELIBERATE K-row broadcast
+        # nested loop (K=16 centroids — bounded, not data-sized);
+        # anything beyond that one is a regression
+        assert plan.count("BroadcastNestedLoopJoin") <= 2  # corpus+query side
+
+
+def test_gotk_scan_prunes_columns(spark, sf_dir):
+    plan = _final_plan("gotk", spark, sf_dir)
+    # the orders scan must read only the 3 referenced columns
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^\n>]*)", plan)
+    assert scans and all(len(s.split(",")) <= 3 for s in scans), scans

@@ -59,3 +59,41 @@ def test_filter_pushdown_and_column_pruning(spark, sf_dir):
     plan = _plan(q)
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    from defimap_data_pipelines_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, 20.0),
+            ("b", 1, 30.0),
+            ("c", 1, 40.0),
+        ],
+        ["name", "k", "v"],
+    )
+    merge_upsert(base, path, keys=["name", "k"], partition_cols=["name"])
+
+    # update (a,1), insert (a,3) and (d,1); b and c untouched
+    upd = spark.createDataFrame(
+        [("a", 1, 11.0), ("a", 3, 33.0), ("d", 1, 44.0)],
+        ["name", "k", "v"],
+    )
+    merge_upsert(upd, path, keys=["name", "k"], partition_cols=["name"])
+
+    got = sorted(map(tuple, spark.read.parquet(path).select("name", "k", "v").collect()))
+    assert got == [
+        ("a", 1, 11.0),
+        ("a", 2, 20.0),
+        ("a", 3, 33.0),
+        ("b", 1, 30.0),
+        ("c", 1, 40.0),
+        ("d", 1, 44.0),
+    ]
+
+    # idempotent: re-running the same merge is a no-op
+    merge_upsert(upd, path, keys=["name", "k"], partition_cols=["name"])
+    again = sorted(map(tuple, spark.read.parquet(path).select("name", "k", "v").collect()))
+    assert again == got
