@@ -148,3 +148,54 @@ def test_jaccard_strategies_agree(spark, texts, threshold):
         ).collect()
         got[strat] = sorted((r.doc_a, r.doc_b, r.jaccard) for r in rows)
     assert got["index"] == got["prefix"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_texts, st.sampled_from([2, 3]))
+def test_line_dedup_conservation(spark, texts, tokens_per_line):
+    """line_dedup never invents content: per doc, kept + dropped equals
+    the segment count, and the reassembled text is a subsequence of the
+    original segments in order."""
+    from defimap_data_pipelines_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+        )
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup(
+            docs, max_count=2, tokens_per_line=tokens_per_line
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n = tokens_per_line
+        segs = [
+            " ".join(toks[j : j + n]) for j in range(0, len(toks), n)
+        ]
+        r = out[i]
+        assert r.n_kept + r.n_dropped == len(segs)
+        kept_segs = r.text_clean.split(" ") if r.text_clean else []
+        # kept tokens appear in the original in order (subsequence)
+        it = iter(toks)
+        assert all(tok in it for tok in kept_segs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_texts)
+def test_vocab_ids_dense_and_ordered(spark, texts):
+    from defimap_data_pipelines_spark.operators.ranking import vocab_ids
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+        )
+    )
+    rows = sorted(
+        vocab_ids(docs, min_count=1).collect(), key=lambda r: r.token_id
+    )
+    assert [r.token_id for r in rows] == list(range(len(rows)))
+    keys = [(-r.n_occurrences, r.token) for r in rows]
+    assert keys == sorted(keys)
