@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "line_dedup",
     "mixture_resample",
     "vocab_ids",
+    "substring_dedup",
+    "source_cap",
+    "ivf_topk_trained",
 ]
 
 

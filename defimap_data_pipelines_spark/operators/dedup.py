@@ -561,3 +561,79 @@ def line_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 5,
+    max_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring removal (the "Deduplicating Training
+    Data Makes Language Models Better" rule, token-grain): any
+    ``min_len``-token window occurring ``max_count``-or-more times
+    ACROSS the corpus marks its span for removal; a token survives iff
+    no frequent window covers it. Returns (doc_id, n_tokens,
+    n_removed, text_clean) with surviving tokens rejoined in order.
+
+    Unlike line_dedup's non-overlapping segments, windows here OVERLAP
+    (stride 1), so repeated passages are caught at any alignment and
+    removed spans merge naturally — coverage semantics replace
+    interval merging: token p is covered iff some frequent window
+    starts in [p-L+1, p].
+
+    Scale shape: the sliding-window explode is one postings-like pass
+    (n_tokens rows); the frequent-window set is tiny by construction
+    (only corpus-repeated windows); per-doc frequent starts come back
+    as one small array per affected doc, and the coverage test is a
+    per-row higher-order exists — no range join, no window over the
+    corpus.
+    """
+    ts = F.split(F.col(text_col), " ")
+    L = int(min_len)
+    toks = docs.select("doc_id", ts.alias("_ts"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            # NB: F.sequence(0, -1) DESCENDS, so short docs need an
+            # explicit empty-array branch (DuckDB's range() is empty)
+            F.expr(
+                f"CASE WHEN size(_ts) >= {L} THEN"
+                f" transform(sequence(0, size(_ts) - {L}),"
+                f" i -> array_join(slice(_ts, i + 1, {L}), ' '))"
+                f" ELSE array() END"
+            )
+        ).alias("start", "w"),
+    )
+    freq = (
+        wins.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= max_count)
+        .select("w")
+    )
+    fstarts = (
+        wins.join(freq, "w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("_starts"))
+    )
+    staged = toks.join(fstarts, "doc_id", "left").withColumn(
+        "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+    )
+    kept = F.expr(
+        f"filter(transform(_ts, (x, i) -> struct(i AS i, x AS x)),"
+        f" s -> NOT exists(_starts,"
+        f" st -> st BETWEEN s.i - {L} + 1 AND s.i))"
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_ts").cast("long").alias("n_tokens"),
+        (F.size("_ts") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.expr(
+                f"transform(filter(transform(_ts, (x, i) -> struct(i AS i, x AS x)),"
+                f" s -> NOT exists(_starts,"
+                f" st -> st BETWEEN s.i - {L} + 1 AND s.i)), s -> s.x)"
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

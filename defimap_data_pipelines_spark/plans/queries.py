@@ -6140,6 +6140,54 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTRING_DEDUP_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    wins AS (
+      SELECT doc_id, u.start AS start, u.w AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(0, greatest(len(ts) - 4, 0)),
+                          i -> struct_pack(start := i,
+                                           w := array_to_string(
+                                               ts[i + 1 : i + 5], ' ')))) AS u
+            FROM toks)),
+    freq AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+    fstarts AS (SELECT doc_id, start FROM wins SEMI JOIN freq USING (w)),
+    pos AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(0, len(ts)),
+                          i -> struct_pack(pos := i, tok := ts[i + 1]))) AS u
+            FROM toks)),
+    covered AS (
+      SELECT DISTINCT p.doc_id, p.pos
+      FROM pos p JOIN fstarts f
+        ON p.doc_id = f.doc_id AND f.start BETWEEN p.pos - 4 AND p.pos),
+    kept AS (SELECT p.* FROM pos p ANTI JOIN covered c USING (doc_id, pos)),
+    re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                  CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(ts) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN re USING (doc_id)
+"""
+
+
+@register("substring_dedup", SUBSTRING_DEDUP_SQL)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal (Lee et al. token-grain rule):
+    any 5-token OVERLAPPING window repeated corpus-wide marks its span;
+    a token survives iff no frequent window covers it
+    (operators/dedup.py::substring_dedup). One sliding-window postings
+    pass + a tiny frequent set + per-row coverage exists() — no range
+    join, no corpus window."""
+    from defimap_data_pipelines_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(
+        read_table(spark, sf_dir, "documents"), min_len=5, max_count=2
+    )
+
+
 MIXTURE_RESAMPLE_SQL = f"""
     WITH r AS (
       SELECT doc_id, source,

@@ -163,3 +163,28 @@ def test_group_cap_equals_naive_window(spark):
         per_group[src] = per_group.get(src, 0) + 1
     assert per_group["hot"] == 7
     assert all(per_group[f"g{g}"] == 3 for g in range(5))
+
+
+def test_substring_dedup_overlapping_spans(spark):
+    from defimap_data_pipelines_spark.operators.dedup import substring_dedup
+
+    shared = "one two three four five six"  # 6 tokens: windows overlap
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {shared} tail1"),
+            (2, f"{shared} tail2 words here"),
+            (3, "totally different text entirely"),
+            (4, "tiny"),  # shorter than the window: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in substring_dedup(docs, min_len=5, max_count=2).collect()
+    }
+    # the shared 6-token passage spans two overlapping 5-windows; all
+    # six tokens are covered in both docs
+    assert out[1].n_removed == 6 and out[1].text_clean == "intro tail1"
+    assert out[2].n_removed == 6 and out[2].text_clean == "tail2 words here"
+    assert out[3].n_removed == 0
+    assert out[4].n_removed == 0 and out[4].text_clean == "tiny"
