@@ -5297,6 +5297,58 @@ def q_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSORIZED_SQL = """
+    WITH q AS (
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS q25,
+               quantile_disc(value, 0.75) AS q75,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, q25, q75,
+           SUM(CAST(ROUND(LEAST(GREATEST(value, q25), q75) * 1000000.0)
+               AS BIGINT)) / 1000000.0 / MAX(n) AS winsorized_mean
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q25, q75
+"""
+
+
+@register("winsorized_stats", WINSORIZED_SQL)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: clamp values at the exact quartiles
+    (distributed bucket-refinement quantiles — never a whole group in
+    one task) and take the quantized winsorized mean. q=0.25/0.75 are
+    binary-representable so rank arithmetic is fp-exact in both
+    engines; the quantized sum makes the mean order-independent."""
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        exact_grouped_quantile,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    q25 = exact_grouped_quantile(e, "event_type", "value", q=0.25).select(
+        "event_type", F.col("quantile").alias("q25")
+    )
+    q75 = exact_grouped_quantile(e, "event_type", "value", q=0.75).select(
+        "event_type", F.col("quantile").alias("q75")
+    )
+    bounds = q25.join(q75, "event_type")
+    clamped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "q25",
+        "q75",
+        F.least(F.greatest(F.col("value"), F.col("q25")), F.col("q75")).alias(
+            "_w"
+        ),
+    )
+    return clamped.groupBy("event_type", "q25", "q75").agg(
+        (
+            F.sum(F.round(F.col("_w") * 1_000_000.0).cast("long"))
+            / 1_000_000.0
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean")
+    )
+
+
 STREAM_DEDUP_SQL = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
