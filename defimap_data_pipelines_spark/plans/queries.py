@@ -6400,7 +6400,7 @@ _DRIVER_WINDOW = [
     "char_entropy",
     "sentence_split_udtf",
     "multimodal_framesample",
-    "multimodal_resize",
+    "substring_dedup",
     "exact_median_distributed",
     "vocab_ids",
     "mixture_resample",
