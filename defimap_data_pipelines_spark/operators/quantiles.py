@@ -11,15 +11,20 @@ sorts of the whole table). This module computes the same type-1
 2. one pass for a per-group histogram over ``buckets`` equal-width
    value ranges — shuffle keyed by (group, bucket), map-side combined;
 3. a driver walk over the histogram (groups x nonempty buckets rows —
-   this operator deliberately targets FEW groups) finds the bucket
-   holding the target rank and the residual rank within it;
+   this operator deliberately targets FEW groups) finds, for EVERY
+   requested q at once, the bucket holding the target rank and the
+   residual rank within it;
 4. one filtered pass counts distinct values inside the target buckets
-   only (~n/buckets rows per group), and a per-group window over those
-   few distinct values picks the answer exactly.
+   only (~n/buckets rows per group per q), and a per-(group, q) window
+   over those few distinct values picks each answer exactly.
+
+Multiple quantiles of the same column share passes 1-3 and the single
+filtered pass — asking for (q25, q75) costs the same three scans as
+asking for the median, not double.
 
 The result equals DuckDB's ``quantile_disc``: the element at 1-based
 rank ceil(q*n) in ascending order. Rank arithmetic is fp-exact for
-binary-representable q (the registered query uses q=0.5).
+binary-representable q (the registered queries use 0.5 / 0.25 / 0.75).
 """
 
 from __future__ import annotations
@@ -30,16 +35,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def exact_grouped_quantile(
+def exact_grouped_quantiles(
     df: DataFrame,
     group_col: str,
     value_col: str,
-    q: float = 0.5,
+    qs: list[float],
     buckets: int = 1024,
 ) -> DataFrame:
-    """(group, quantile): exact type-1 quantile of ``value_col`` per
-    group, never holding more than ~n/buckets values of one group in
-    any single task."""
+    """(group, q, quantile): exact type-1 quantiles of ``value_col``
+    per group for every q in ``qs``, never holding more than
+    ~n/buckets values of one group in any single task."""
     # NULLs are excluded up front: F.count(value_col) already skips
     # them in the rank base, but F.least treats floor(NULL)=NULL as
     # the LAST bucket (least skips nulls), silently inflating the top
@@ -65,45 +70,82 @@ def exact_grouped_quantile(
         .groupBy(group_col, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    # driver walk: per group, locate the bucket holding rank ceil(q*n)
-    # and the residual rank inside it. Histogram size = groups x
-    # nonempty buckets — the operator's contract is FEW groups.
+    # driver walk: per (group, q), locate the bucket holding rank
+    # ceil(q*n) and the residual rank inside it. Histogram size =
+    # groups x nonempty buckets — the operator's contract is FEW
+    # groups — and one walk serves every q.
     counts = {r[0]: r[1] for r in stats.select(group_col, "_n").collect()}
-    target: dict = {}
-    rows = sorted(
-        hist.collect(), key=lambda r: (str(r[0]), r[1])
-    )
-    remaining = {g: int(math.ceil(q * n)) for g, n in counts.items()}
+    rows = sorted(hist.collect(), key=lambda r: (str(r[0]), r[1]))
+    target: dict = {}  # (g, q) -> (bucket, residual_rank)
+    remaining = {
+        (g, q): int(math.ceil(q * n))
+        for g, n in counts.items()
+        for q in qs
+    }
     for r in rows:
         g, b, c = r[0], r[1], r[2]
-        if g in target:
-            continue
-        if remaining[g] <= c:
-            target[g] = (b, remaining[g])
-        else:
-            remaining[g] -= c
-    tb = F.create_map(
-        *[x for g, (b, _) in target.items() for x in (F.lit(g), F.lit(b))]
+        for q in qs:
+            key = (g, q)
+            if key in target:
+                continue
+            if remaining[key] <= c:
+                target[key] = (b, remaining[key])
+            else:
+                remaining[key] -= c
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType.simpleString()
+    tschema = (
+        f"`{group_col}` {gtype}, `_q` DOUBLE, `_tb` INT, `_rr` BIGINT"
     )
-    rr = F.create_map(
-        *[x for g, (_, r_) in target.items() for x in (F.lit(g), F.lit(r_))]
+    tdf = spark.createDataFrame(
+        [(g, float(q), int(b), int(r_)) for (g, q), (b, r_) in target.items()],
+        tschema,
     )
-    # final pass: only the target bucket's rows survive the filter;
-    # the per-group window runs over that bucket's DISTINCT values
-    in_bucket = staged.filter(bucket == tb[F.col(group_col)])
-    per_value = in_bucket.groupBy(group_col, value_col).agg(
+    # final pass: rows in ANY q's target bucket survive (the join
+    # replicates a row only when two q's share a bucket); the
+    # per-(group, q) window runs over that bucket's DISTINCT values
+    s = staged.withColumn("_b", bucket).alias("s")
+    in_bucket = s.join(
+        F.broadcast(tdf.alias("t")),
+        (F.col(f"s.{group_col}") == F.col(f"t.{group_col}"))
+        & (F.col("s._b") == F.col("t._tb")),
+    ).select(
+        F.col(f"s.{group_col}").alias(group_col),
+        F.col("t._q").alias("_q"),
+        F.col("t._rr").alias("_rr"),
+        F.col(f"s.{value_col}").alias(value_col),
+    )
+    per_value = in_bucket.groupBy(group_col, "_q", "_rr", value_col).agg(
         F.count(F.lit(1)).alias("_c")
     )
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(group_col, "_q")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = per_value.withColumn("_cum", F.sum("_c").over(w))
-    hit = cum.filter(F.col("_cum") >= rr[F.col(group_col)])
-    wmin = Window.partitionBy(group_col).orderBy(value_col)
+    hit = cum.filter(F.col("_cum") >= F.col("_rr"))
+    wmin = Window.partitionBy(group_col, "_q").orderBy(value_col)
     return (
         hit.withColumn("_rn", F.row_number().over(wmin))
         .filter(F.col("_rn") == 1)
-        .select(group_col, F.col(value_col).alias("quantile"))
+        .select(
+            group_col,
+            F.col("_q").alias("q"),
+            F.col(value_col).alias("quantile"),
+        )
     )
+
+
+def exact_grouped_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    buckets: int = 1024,
+) -> DataFrame:
+    """(group, quantile): single-q form of
+    :func:`exact_grouped_quantiles`."""
+    return exact_grouped_quantiles(
+        df, group_col, value_col, [q], buckets
+    ).select(group_col, "quantile")

@@ -5321,17 +5321,21 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-representable so rank arithmetic is fp-exact in both
     engines; the quantized sum makes the mean order-independent."""
     from defimap_data_pipelines_spark.operators.quantiles import (
-        exact_grouped_quantile,
+        exact_grouped_quantiles,
     )
 
     e = read_table(spark, sf_dir, "events")
-    q25 = exact_grouped_quantile(e, "event_type", "value", q=0.25).select(
-        "event_type", F.col("quantile").alias("q25")
+    both = exact_grouped_quantiles(e, "event_type", "value", [0.25, 0.75])
+    bounds = (
+        both.groupBy("event_type")
+        .pivot("q", [0.25, 0.75])
+        .agg(F.first("quantile"))
+        .select(
+            "event_type",
+            F.col("`0.25`").alias("q25"),
+            F.col("`0.75`").alias("q75"),
+        )
     )
-    q75 = exact_grouped_quantile(e, "event_type", "value", q=0.75).select(
-        "event_type", F.col("quantile").alias("q75")
-    )
-    bounds = q25.join(q75, "event_type")
     clamped = e.join(F.broadcast(bounds), "event_type").select(
         "event_type",
         "q25",
