@@ -281,57 +281,100 @@ def ivf_topk(
     ``centroids``: optional trained codebook as a (cluster, c) frame
     (operators/clustering.py::kmeans/update_centroids output). Default
     is the first ``num_centroids`` corpus vectors (a deterministic
-    k-means|| stand-in); the plan shape is identical either way. The
-    corpus pass assigns each vector to its nearest centroid (one
-    broadcast of num_centroids vectors), so the only shuffle is the
-    per-query top-k window.
+    k-means|| stand-in). The codebook is K rows — it is collected once
+    and inlined as array literals, so list assignment is a pure
+    projection (no join, no window shuffle, and a trained-codebook
+    subplan executes exactly once instead of once per downstream
+    action). The only shuffle left is the per-query top-k window.
     """
+    import math
+
     if centroids is not None:
-        cent = centroids.select(
-            F.col("cluster").alias("centroid_id"),
-            F.col("c").alias("_centv"),
-            l2_norm(F.col("c")).alias("_centn"),
+        crows = sorted(
+            (r["cluster"], [float(x) for x in r["c"]])
+            for r in centroids.collect()
         )
     else:
-        cent = corpus.limit(num_centroids).select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            F.col(vec_col).alias("_centv"),
-            l2_norm(F.col(vec_col)).alias("_centn"),
-        )
-    cent_b = F.broadcast(cent)
+        lim = corpus.select(id_col, vec_col).limit(num_centroids).collect()
+        lim.sort(key=lambda r: r[0])
+        crows = [
+            (i + 1, [float(x) for x in r[1]]) for i, r in enumerate(lim)
+        ]
 
-    def assign(df: DataFrame, idc: str, out: str, top_n: int) -> DataFrame:
-        staged = df.select(
-            F.col(idc).alias(out),
-            F.col(vec_col).alias(f"_{out}_v"),
-            l2_norm(F.col(vec_col)).alias(f"_{out}_n"),
-        )
-        sims = (
-            staged.crossJoin(cent_b)
-            .select(
-                out,
-                f"_{out}_v",
-                f"_{out}_n",
-                "centroid_id",
-                cosine_from_norms(
-                    F.col(f"_{out}_v"),
-                    F.col("_centv"),
-                    F.col(f"_{out}_n"),
-                    F.col("_centn"),
-                ).alias("_csim"),
+    def _fold_norm(vec: list) -> float:
+        # replicate the JVM left fold of dot(a, a) term-for-term so the
+        # literal norm is bit-identical to l2_norm on the same array
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cnorms = {cid: _fold_norm(c) for cid, c in crows}
+
+    def _dlit(v: float) -> str:
+        s = repr(float(v))
+        if "e" in s or "E" in s or "inf" in s or "nan" in s:
+            return f"CAST('{s}' AS DOUBLE)"
+        return s + "D"
+
+    def _list_entries(vcol: str, ncol: str):
+        # array of (-cosine, centroid_id) structs: ascending struct
+        # order == cosine desc with centroid_id tiebreak, matching the
+        # ROW_NUMBER(ORDER BY cosine DESC, centroid_id) oracle replay.
+        # The dots are zip_with/aggregate folds against constant-folded
+        # literal arrays — bit-identical to functions/vector.dot. Two
+        # deliberate choices, both measured at sf0.1:
+        # - folds, NOT a flat K*dims multiply-add chain: the flat chain
+        #   exceeds Janino's 64 KB method limit and knocks the whole
+        #   stage out of codegen (ivf_topk 4.2 s -> 17 s); see
+        #   functions/vector.py dot_literal for the record.
+        # - built as ONE parsed SQL string, not nested F.* calls: the
+        #   Column-API construction of K struct(fold(...)) trees costs
+        #   ~1 s of py4j round trips per call site; one parse is ~3x
+        #   cheaper and yields the identical expression tree.
+        parts = []
+        for cid, c in crows:
+            arr = "array(" + ",".join(_dlit(x) for x in c) + ")"
+            d = (
+                f"aggregate(zip_with({vcol}, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0.0D, (acc, w) -> acc + w)"
             )
-        )
-        w = Window.partitionBy(out).orderBy(
-            F.col("_csim").desc(), F.col("centroid_id")
-        )
-        return (
-            sims.withColumn("_crn", F.row_number().over(w))
-            .filter(F.col("_crn") <= top_n)
-            .select(out, f"_{out}_v", f"_{out}_n", "centroid_id")
-        )
+            parts.append(
+                f"struct(-try_divide({d}, {ncol} * {_dlit(cnorms[cid])}) "
+                f"AS negcos, {cid} AS centroid_id)"
+            )
+        return F.expr("array(" + ",".join(parts) + ")")
 
-    c = assign(corpus, id_col, "vec_id", 1)  # each corpus vec -> 1 list
-    q = assign(queries, id_col, "query_id", n_probe)  # probe n lists
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_vec_id_v"),
+        l2_norm(F.col(vec_col)).alias("_vec_id_n"),
+    )
+    c = c.withColumn(  # each corpus vec -> its single nearest list
+        "centroid_id",
+        F.array_min(_list_entries("_vec_id_v", "_vec_id_n"))["centroid_id"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_query_id_v"),
+        l2_norm(F.col(vec_col)).alias("_query_id_n"),
+    )
+    q = q.select(  # each query probes its n_probe nearest lists
+        "query_id",
+        "_query_id_v",
+        "_query_id_n",
+        F.explode(
+            F.slice(
+                F.array_sort(_list_entries("_query_id_v", "_query_id_n")),
+                1,
+                n_probe,
+            )["centroid_id"]
+        ).alias("centroid_id"),
+    )
+    # corpus vectors live in exactly one list, so (query_id, vec_id)
+    # candidate pairs are already unique — no dedup shuffle needed
+    # (unlike lsh_topk, where multi-table buckets duplicate pairs)
     sim = (
         c.join(F.broadcast(q), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -347,7 +390,6 @@ def ivf_topk(
                 "cosine"
             ),
         )
-        .dropDuplicates(["query_id", "vec_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
