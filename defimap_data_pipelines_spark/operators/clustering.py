@@ -105,9 +105,13 @@ def kmeans_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Run ``iters`` Lloyd rounds; returns the final assignment
-    (id, cluster, dist)."""
+    (id, cluster, dist), plus the (double-cast) vector column ``e``
+    when ``keep_vec`` — consumers like semdedup_prune need the vectors
+    WITH their cluster and a re-join on id would re-shuffle the
+    corpus."""
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
@@ -124,4 +128,6 @@ def kmeans_fit(
     for _ in range(iters):
         assigned = assign_clusters(v, centroids).localCheckpoint()
         centroids = update_centroids(assigned)
+    if keep_vec:
+        return assigned.select("vec_id", "e", "cluster", "dist")
     return assigned.select("vec_id", "cluster", "dist")

@@ -456,3 +456,75 @@ def cosine_topk_pandas(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    find near-duplicate pairs ONLY within each cluster and prune the
+    higher-id member of every pair.
+
+    Returns the PRUNED rows: (vec_id, cluster, dup_of, cosine) where
+    dup_of is the smallest-id same-cluster neighbor with
+    round(cosine, 9) >= tau — the deterministic keep-lowest-id rule
+    (the paper keeps the member farthest from the centroid; the id
+    rule is the reproducible variant, same dedup power).
+
+    Scale shape: this is the whole point of SemDeDup — the quadratic
+    pair search is confined to clusters, so with k chosen ~ O(n/1e5)
+    the per-cluster work is bounded and the plan is one shuffle on
+    cluster id + one groupBy, never an all-pairs crossJoin over the
+    corpus. Assignment itself is a broadcast-literal projection
+    (operators/clustering.py).
+    """
+    from defimap_data_pipelines_spark.operators.clustering import kmeans_fit
+
+    assigned = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
+                          vec_col=vec_col, keep_vec=True)
+    staged = assigned.select(
+        "cluster",
+        F.col("vec_id"),
+        F.col("e"),
+        l2_norm(F.col("e")).alias("_n"),
+    )
+    a = staged.select(
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    b = staged.select(
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
+    cand = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "cluster",
+            "a_id",
+            "b_id",
+            cosine_from_norms(
+                F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")
+            ).alias("cosine"),
+        )
+        .filter(F.round(F.col("cosine"), 9) >= tau)
+    )
+    best = cand.groupBy("b_id", "cluster").agg(
+        F.min(F.struct("a_id", "cosine")).alias("_m")
+    )
+    return best.select(
+        F.col("b_id").alias("vec_id"),
+        "cluster",
+        F.col("_m.a_id").alias("dup_of"),
+        F.round(F.col("_m.cosine"), 6).alias("cosine"),
+    )

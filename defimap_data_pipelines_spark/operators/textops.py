@@ -244,3 +244,85 @@ def char_entropy_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg((-F.sum("_t") / 1_000_000_000.0).alias("entropy"))
     )
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Named document-quality rule flags in the style of the Gopher /
+    MassiveText filters (Rae et al. 2021, "Scaling Language Models",
+    table A1): word-count bounds, mean-word-length bounds, minimum
+    alphabetic-word fraction, minimum distinct-stopword presence.
+    Unlike ``quality_score`` (one composite number), each rule is a
+    separately reportable boolean so a curation pipeline can audit WHY
+    a document was dropped.
+
+    Every rule compares in INTEGER arithmetic (``3*n <= sum_len``
+    instead of ``sum_len/n >= 3.0``), so rule flags are exact and
+    engine-independent; ``mean_word_len`` is reported as a plain
+    quotient of those two integers. ``sum_len`` itself needs no fold:
+    the normalized text is single-space joined, so the summed token
+    length is ``length(norm) - (n_words - 1)``.
+
+    Pure per-row JVM expressions over one normalize+split — no
+    shuffle, no Python, scales as a mapper.
+    """
+    staged = _staged_tokens(docs, text_col)
+    n = F.size("_toks").cast("long")
+    sum_len = (F.length("_norm") - n + F.lit(1)).cast("long")
+    n_alpha = F.size(
+        F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.col("_toks"),
+            F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")]),
+        )
+    ).cast("long")
+    rule_word_count = (n >= 50) & (n <= 100_000)
+    rule_mean_len = (sum_len >= 3 * n) & (sum_len <= 10 * n)
+    rule_alpha = (10 * n_alpha) >= (8 * n)
+    rule_stop = stop_distinct >= 2
+    return staged.select(
+        "doc_id",
+        n.alias("n_words"),
+        (sum_len.cast("double") / n.cast("double")).alias("mean_word_len"),
+        rule_word_count.alias("rule_word_count"),
+        rule_mean_len.alias("rule_mean_word_len"),
+        rule_alpha.alias("rule_alpha_fraction"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_word_count & rule_mean_len & rule_alpha & rule_stop).alias(
+            "passes_gopher"
+        ),
+    )
+
+
+def bpe_merge_pairs(
+    docs: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """The counting step of one BPE-training merge iteration: frequency
+    of every adjacent character pair WITHIN words across the corpus,
+    top-``top_k`` by count (the pair a byte-pair-encoding trainer would
+    merge next), ties broken by pair string.
+
+    Scale shape: explode words, then explode each word's adjacent char
+    pairs (per-row transform over a sequence — no corpus-wide
+    structure), one map-side-combined groupBy on the pair, and a
+    TakeOrderedAndProject top-k (each partition ships only its local
+    top-k to the driver — never a global sort). This is the inner loop
+    of distributed BPE training; iterating it with a merge-apply step
+    is the full trainer.
+    """
+    words = docs.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(top_k)

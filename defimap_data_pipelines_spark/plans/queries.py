@@ -6340,6 +6340,132 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_RULES_SQL = """
+    WITH staged AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, norm, string_split(norm, ' ') AS ts FROM staged
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CAST(length(norm) - len(ts) + 1 AS BIGINT) AS sum_len,
+               CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_distinct(list_intersect(ts,
+                    ['the', 'a', 'of', 'and', 'to']))) AS BIGINT)
+                   AS stop_distinct
+        FROM toks
+    )
+    SELECT doc_id, n_words,
+           CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+           (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+           (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+               AS rule_mean_word_len,
+           (10 * n_alpha >= 8 * n_words) AS rule_alpha_fraction,
+           (stop_distinct >= 2) AS rule_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+            AND (10 * n_alpha >= 8 * n_words)
+            AND (stop_distinct >= 2)) AS passes_gopher
+    FROM m
+"""
+
+
+@register("gopher_rules", GOPHER_RULES_SQL)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style named quality-rule flags per document
+    (operators/textops.py::gopher_rules): word-count bounds, mean-word-
+    length bounds, alphabetic-word fraction, distinct-stopword
+    presence — each an exact integer-arithmetic boolean, so the flags
+    are engine-independent. Pure per-row expressions, no shuffle."""
+    from defimap_data_pipelines_spark.operators.textops import gopher_rules
+
+    return gopher_rules(read_table(spark, sf_dir, "documents"))
+
+
+BPE_MERGE_SQL = """
+    WITH words AS (
+        SELECT unnest(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substring(w, i, 2))) AS pair
+        FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@register("bpe_merge_pairs", BPE_MERGE_SQL)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge iteration's counting step: corpus-wide
+    frequency of adjacent in-word character pairs, top-20 (the pair a
+    byte-pair-encoding trainer merges next). Explode + one map-side-
+    combined groupBy + TakeOrderedAndProject — partitions ship only
+    their local top-k (operators/textops.py::bpe_merge_pairs)."""
+    from defimap_data_pipelines_spark.operators.textops import (
+        bpe_merge_pairs,
+    )
+
+    return bpe_merge_pairs(read_table(spark, sf_dir, "documents"))
+
+
+SEMDEDUP_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, e AS c
+        FROM v ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS ({_kmeans_assign_sql('v', 'init')}),
+    cent1 AS (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM (
+            SELECT cluster, i AS pos,
+                   SUM(CAST(ROUND(e[i] * 1000000000) AS BIGINT))
+                       / 1000000000.0 / COUNT(*) AS m
+            FROM a1, range(1, 65) t(i)
+            GROUP BY cluster, i
+        ) GROUP BY cluster
+    ),
+    a2 AS ({_kmeans_assign_sql('v', 'cent1')}),
+    cand AS (
+        SELECT b.vec_id AS vec_id, b.cluster AS cluster,
+               a.vec_id AS a_id,
+               {_cosine_sql('a.e', 'b.e')} AS cosine
+        FROM a2 a JOIN a2 b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ROUND({_cosine_sql('a.e', 'b.e')}, 9) >= 0.35
+    )
+    SELECT vec_id, cluster,
+           arg_min(a_id, a_id) AS dup_of,
+           ROUND(arg_min(cosine, a_id), 6) AS cosine
+    FROM cand GROUP BY vec_id, cluster
+"""
+
+
+@register("semdedup_prune", SEMDEDUP_SQL)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space (the
+    deterministic 2-round Lloyd fit, oracle-unrolled), then prune
+    near-duplicates WITHIN clusters only — the quadratic pair search
+    is confined to cluster-local joins, never an all-pairs crossJoin
+    (operators/similarity.py::semdedup_prune). Returns the pruned
+    members with their keep-lowest-id duplicate root."""
+    from defimap_data_pipelines_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    return semdedup_prune(read_table(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------

@@ -188,3 +188,73 @@ def test_substring_dedup_overlapping_spans(spark):
     assert out[2].n_removed == 6 and out[2].text_clean == "tail2 words here"
     assert out[3].n_removed == 0
     assert out[4].n_removed == 0 and out[4].text_clean == "tiny"
+
+
+def test_gopher_rules_flags(spark):
+    from defimap_data_pipelines_spark.operators.textops import gopher_rules
+
+    # 100 words, mean word length 3.1 (>= 3)
+    long_ok = "the cats sat upon a mat of wool and felt " * 10
+    short = "the a of"  # 3 words -> fails word count
+    no_stop = "alpha beta gamma delta " * 20  # no stopwords
+    docs = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, no_stop)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].passes_gopher
+    assert out[1].n_words == 100
+    assert not out[2].rule_word_count and not out[2].passes_gopher
+    assert not out[3].rule_stopwords and not out[3].passes_gopher
+    # mean word length is an exact integer quotient
+    assert out[2].mean_word_len == (len("the a of") - 2) / 3
+
+
+def test_gopher_rules_integer_boundaries(spark):
+    from defimap_data_pipelines_spark.operators.textops import gopher_rules
+
+    # exactly 50 words of mean length exactly 3 -> both rules inclusive
+    doc = " ".join(["the"] * 25 + ["cat"] * 24 + ["a"] * 1)
+    docs = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    row = gopher_rules(docs).collect()[0]
+    assert row.n_words == 50
+    assert row.rule_word_count
+    # sum_len = 25*3 + 24*3 + 1 = 148 < 150 -> mean < 3 -> fails
+    assert not row.rule_mean_word_len
+
+
+def test_bpe_merge_pairs_counts(spark):
+    from defimap_data_pipelines_spark.operators.textops import (
+        bpe_merge_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aba aba"), (2, "ab cd")], ["doc_id", "text"]
+    )
+    out = {r.pair: r.n for r in bpe_merge_pairs(docs, top_k=10).collect()}
+    # "aba" twice -> ab x2, ba x2; "ab" once -> ab; "cd" once
+    assert out["ab"] == 3
+    assert out["ba"] == 2
+    assert out["cd"] == 1
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    from defimap_data_pipelines_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    # two orthogonal directions -> two clusters; duplicates planted in
+    # each direction must be pruned against their own cluster root
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0] * (dim - 1) + [1.0]
+    rows = [
+        (1, e1), (2, [x * 2 for x in e1]),     # dup of 1
+        (3, e2), (4, [x * 3 for x in e2]),     # dup of 3
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in semdedup_prune(
+        emb, k=2, iters=2, tau=0.99).collect()}
+    assert set(out) == {2, 4}
+    assert out[2].dup_of == 1
+    assert out[4].dup_of == 3
+    assert abs(out[2].cosine - 1.0) < 1e-9
