@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "substring_dedup",
     "source_cap",
     "ivf_topk_trained",
+    "semdedup_prune",
+    "gopher_rules",
+    "bpe_merge_pairs",
 ]
 
 

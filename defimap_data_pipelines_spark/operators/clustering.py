@@ -49,20 +49,28 @@ def assign_clusters(
     cents = sorted(
         (r["cluster"], list(r["c"])) for r in centroids.collect()
     )
+
+    def _dlit(v: float) -> str:
+        s = repr(float(v))
+        if "e" in s or "E" in s or "inf" in s or "nan" in s:
+            return f"CAST('{s}' AS DOUBLE)"
+        return s + "D"
+
     # struct array literal: [(cluster, dist), ...] -> array_min picks the
-    # (rounded) nearest with the cluster id as tiebreak
-    pairs = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _sq_dist(F.col(vec_col), F.array(*[F.lit(x) for x in c])),
-                    9,
-                ).alias("dist"),
-                F.lit(k).alias("cluster"),
-            )
-            for k, c in cents
-        ]
-    )
+    # (rounded) nearest with the cluster id as tiebreak. Built as ONE
+    # parsed SQL string: the Column-API form (K centroids x dims lit()
+    # calls plus 2K lambda conversions) costs ~1 s of py4j round trips
+    # per call site (same measurement as operators/similarity.py
+    # _list_entries); the parsed tree is identical, folds and all.
+    parts = []
+    for k, c in cents:
+        arr = "array(" + ",".join(_dlit(x) for x in c) + ")"
+        d = (
+            f"aggregate(zip_with(`{vec_col}`, {arr},"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, w) -> acc + w)"
+        )
+        parts.append(f"struct(round({d}, 9) AS dist, {k} AS cluster)")
+    pairs = F.expr("array(" + ",".join(parts) + ")")
     best = F.array_min(pairs)
     return emb.select(
         F.col(id_col),
