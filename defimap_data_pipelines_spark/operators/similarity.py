@@ -128,7 +128,7 @@ def cosine_pairs_lsh(
             *[
                 F.struct(
                     F.lit(t).alias("table"),
-                    lsh_bucket(F.col(vec_col), num_planes, dim, salt=t).alias(
+                    lsh_bucket(vec_col, num_planes, dim, salt=t).alias(
                         "bucket"
                     ),
                 )
@@ -176,23 +176,33 @@ def plane_weights(salt: int, plane_id: int, dim: int) -> list[float]:
     return out
 
 
-def _hyperplane_sign(vec, plane_id: int, dim: int, salt: int = 0):
-    """Sign bit of <v, plane> with the plane inlined as a literal."""
-    w = F.array(*[F.lit(x) for x in plane_weights(salt, plane_id, dim)])
-    dotp = F.aggregate(
-        F.zip_with(vec, w, lambda x, p: x.cast("double") * p),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(dotp >= 0, F.lit(1)).otherwise(F.lit(0))
+def lsh_bucket(vec_col: str, num_planes: int, dim: int, salt: int = 0):
+    """LSH bucket id: the num_planes-bit sign pattern of the vector
+    column named ``vec_col``.
 
-
-def lsh_bucket(vec, num_planes: int, dim: int, salt: int = 0):
-    """LSH bucket id: the num_planes-bit sign pattern of the vector."""
-    bucket = F.lit(0).cast("long")
+    Built as ONE parsed SQL string: the Column-API form (num_planes x
+    dim lit() calls plus 2*num_planes lambda conversions PER TABLE)
+    cost seconds of py4j round trips at the cosine_pairs_lsh call
+    sites (6-8 tables each) — same measurement as the k-means /
+    IVF codebooks. The parsed tree is identical: per plane, the sign
+    of a zip_with/aggregate fold against the ±1 literal plane, packed
+    big-endian into a long.
+    """
+    terms = []
     for p in range(num_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec, p, dim, salt).cast("long")
-    return bucket
+        w = plane_weights(salt, p, dim)
+        arr = "array(" + ",".join(
+            "1.0D" if x > 0 else "-1.0D" for x in w
+        ) + ")"
+        dotp = (
+            f"aggregate(zip_with(`{vec_col}`, {arr},"
+            " (x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (acc, w) -> acc + w)"
+        )
+        weight = 1 << (num_planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN {dotp} >= 0 THEN {weight}L ELSE 0L END)"
+        )
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def lsh_topk(
@@ -221,7 +231,7 @@ def lsh_topk(
             *[
                 F.struct(
                     F.lit(t).alias("table"),
-                    lsh_bucket(F.col(vc), num_planes, dim, salt=t).alias("bucket"),
+                    lsh_bucket(vc, num_planes, dim, salt=t).alias("bucket"),
                 )
                 for t in range(num_tables)
             ]
