@@ -326,3 +326,59 @@ def bpe_merge_pairs(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(top_k)
+
+
+CLASSIFIER_DIM = 256
+
+
+def classifier_weights(dim: int = CLASSIFIER_DIM) -> list[int]:
+    """Deterministic per-bucket weights in micro-units (integers in
+    [-1e6, 1e6]), md5-derived — a stand-in for TRAINED weights (no
+    model training in the sandbox; a fastText/DCLM-style quality
+    classifier would drop its learned vector in here unchanged)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int.from_bytes(hashlib.md5(f"qw|{i}".encode()).digest()[:4],
+                           "big")
+        out.append(int(h % 2_000_001) - 1_000_000)
+    return out
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", dim: int = CLASSIFIER_DIM
+) -> DataFrame:
+    """Model-based quality scoring — the hashed-bag-of-words linear
+    classifier shape used by fastText-style corpus filters (DCLM,
+    FineWeb-Edu): each token hashes into one of ``dim`` buckets, the
+    document logit is the mean bucket weight, keep = logit >= 0.
+
+    Engineering over learning: the weights here are a deterministic
+    md5 stand-in (see classifier_weights), but the Spark plumbing is
+    the real thing — the weight vector rides into the plan as ONE
+    parsed literal array (broadcast-free: it is part of the task
+    binary), feature hashing is the md5 bucket shared with
+    operators/sampling.py (cross-engine exact), and scoring is an
+    integer fold (micro-unit weights summed as longs), so the
+    keep/drop decision compares integers and is engine-independent.
+    Per-row expressions only — no shuffle, no Python, scales as a
+    mapper; swapping in trained weights changes no plan shape.
+    """
+    staged = _staged_tokens(docs, text_col)
+    w = classifier_weights(dim)
+    arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    acc = F.expr(
+        f"aggregate(_toks, 0L, (acc, t) -> acc + element_at({arr},"
+        f" CAST(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+        f" % {dim} AS INT) + 1))"
+    )
+    n = F.size("_toks")
+    return staged.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(
+            acc.cast("double") / 1_000_000.0 / n.cast("double"), 6
+        ).alias("logit"),
+        (acc >= 0).alias("keep"),
+    )

@@ -6466,6 +6466,94 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(read_table(spark, sf_dir, "embeddings"))
 
 
+def _quality_classifier_sql(dim: int = 256) -> str:
+    from defimap_data_pipelines_spark.operators.textops import (
+        classifier_weights,
+    )
+
+    lits = ", ".join(str(x) for x in classifier_weights(dim))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'), ' ') AS ts
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, len(ts) AS n,
+               list_sum(list_transform(ts, t ->
+                   (LIST_VALUE({lits}))[
+                       CAST(('0x' || substr(md5(t), 1, 8))::BIGINT
+                            % {dim} AS INT) + 1])) AS acc
+        FROM toks
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           ROUND(CAST(acc AS DOUBLE) / 1000000.0 / n, 6) AS logit,
+           acc >= 0 AS keep
+    FROM scored
+"""
+
+
+@register("quality_classifier", _quality_classifier_sql())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/DCLM-style hashed linear quality classifier
+    (operators/textops.py::quality_classifier): md5 feature hashing,
+    the weight vector inlined as one literal array, integer-exact
+    scoring so keep/drop is engine-independent. Weights are a
+    deterministic stand-in for a trained model — the plan shape is
+    what a real classifier filter runs."""
+    from defimap_data_pipelines_spark.operators.textops import (
+        quality_classifier,
+    )
+
+    return quality_classifier(read_table(spark, sf_dir, "documents"))
+
+
+ANN_RECALL_SQL = f"""
+    WITH lsh AS (SELECT query_id, vec_id FROM ({_lsh_topk_sql()})),
+    brute AS (SELECT query_id, vec_id FROM ({COSINE_TOPK_SQL})),
+    hits AS (
+        SELECT b.query_id, COUNT(l.vec_id) AS n_hits
+        FROM brute b LEFT JOIN lsh l USING (query_id, vec_id)
+        GROUP BY b.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           n_hits / 5.0 AS recall_at_5
+    FROM hits
+"""
+
+
+@register("ann_recall_eval", ANN_RECALL_SQL)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the hyperplane-LSH top-k
+    against the exact brute-force baseline, per query. The eval
+    harness every approximate index needs before it replaces the
+    exact path at scale — and because the LSH planes are
+    deterministic literals, even the RECALL measurement is
+    value-hash-checked against the oracle."""
+    from defimap_data_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(q, emb, k=5).select("query_id", "vec_id")
+    lsh = lsh_topk(q, emb, k=5).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        brute.join(lsh, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / 5.0).alias("recall_at_5"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------

@@ -258,3 +258,37 @@ def test_semdedup_prunes_within_cluster_only(spark):
     assert out[2].dup_of == 1
     assert out[4].dup_of == 3
     assert abs(out[2].cosine - 1.0) < 1e-9
+
+
+def test_quality_classifier_integer_exact_decision(spark):
+    from defimap_data_pipelines_spark.operators.textops import (
+        classifier_weights,
+        quality_classifier,
+    )
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello hello hello")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    w = classifier_weights()
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256
+
+    acc1 = w[bucket("hello")] + w[bucket("world")]
+    assert out[1].keep == (acc1 >= 0)
+    assert abs(out[1].logit - round(acc1 / 1e6 / 2, 6)) < 1e-12
+    acc2 = 3 * w[bucket("hello")]
+    assert out[2].keep == (acc2 >= 0)
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ann_recall_eval"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_at_5 == r.n_hits / 5.0
