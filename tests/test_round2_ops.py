@@ -299,3 +299,29 @@ def test_char_entropy_skips_empty_docs(spark):
     # silently scored as entropy 0
     assert set(out) == {1}
     assert out[1] == pytest.approx(math.log(2), abs=1e-9)
+
+
+def test_cc_union_find_and_bsp_agree(spark):
+    # the size gate routes small graphs to driver union-find; force the
+    # BSP loop with a zero gate and require identical labels
+    import random
+
+    random.seed(7)
+    edges_py = sorted(
+        {
+            (random.randint(1, 60), random.randint(1, 60))
+            for _ in range(80)
+        }
+    )
+    edges = spark.createDataFrame(edges_py, ["doc_a", "doc_b"])
+    uf = {
+        r.node: r.component
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    bsp = {
+        r.node: r.component
+        for r in connected_components(
+            edges, "doc_a", "doc_b", small_graph_edges=0
+        ).collect()
+    }
+    assert uf == bsp and len(uf) > 0
