@@ -105,3 +105,66 @@ def assign_token_shards(
     return cum.withColumn(
         out, F.floor(start / F.lit(budget)).cast("long")
     ).drop("_cum")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str = "n_tok",
+    context: int = 2048,
+    shard_budget: int = 1 << 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into fixed-size context windows (the training
+    batch-assembly step): first-fit-decreasing bin packing, run
+    independently inside each token shard.
+
+    Returns (doc_id, n_tok, shard, bin, bin_fill) where ``bin`` is the
+    context-window id WITHIN the shard and ``bin_fill`` the bin's final
+    token total. Documents longer than ``context`` get a singleton bin
+    (flagged by bin_fill > context) rather than being dropped —
+    truncation is the caller's policy decision.
+
+    Scale shape: bin packing is inherently sequential, so this is the
+    documented escape hatch — ``applyInPandas`` over groups whose size
+    the plan itself bounds: :func:`assign_token_shards` first splits
+    the corpus into ~``shard_budget``-token shards via the two-pass
+    prefix sum (no global window), then each shard packs in one task
+    with O(shard_budget) state. Shards scale out; determinism comes
+    from the FFD order (length desc, id asc) and creation-order bin
+    ids, so output is independent of partitioning. NOT SQL-expressible
+    (iterative greedy state) — correctness is pinned by property tests
+    (tests/test_round3_ops.py) instead of a DuckDB oracle, the
+    documented weaker contract for iterative algorithms.
+    """
+    import pandas as pd
+
+    sharded = assign_token_shards(docs.select(id_col, token_col),
+                                  token_col, budget=shard_budget)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assign: list[int] = []
+        for n in pdf[token_col]:
+            n = int(n)
+            placed = -1
+            for b, f in enumerate(fills):
+                if f + n <= context:
+                    placed = b
+                    break
+            if placed < 0:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += n
+            assign.append(placed)
+        pdf = pdf.assign(bin=assign)
+        pdf["bin_fill"] = pdf["bin"].map(lambda b: fills[b])
+        return pdf
+
+    out_schema = (
+        f"{id_col} long, {token_col} long, shard long, "
+        "bin long, bin_fill long"
+    )
+    return sharded.groupBy("shard").applyInPandas(pack, out_schema)

@@ -6554,6 +6554,30 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pack_sequences", None)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (training batch assembly): first-fit-
+    decreasing bin packing inside bounded token shards
+    (operators/packing.py::pack_sequences — applyInPandas over groups
+    the plan itself bounds). Iterative greedy state is not
+    SQL-expressible, so this entry carries the documented rows-only
+    contract; invariants (no overfull bin, every doc packed exactly
+    once, determinism) are property-tested in tests/test_round3_ops.py."""
+    from defimap_data_pipelines_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    packed = pack_sequences(d, context=256, shard_budget=65536)
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("bin_fill").cast("long").alias("bin_fill"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------

@@ -292,3 +292,39 @@ def test_ann_recall_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= 5
         assert r.recall_at_5 == r.n_hits / 5.0
+
+
+def test_pack_sequences_invariants(spark):
+    from defimap_data_pipelines_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 200) for i in range(300)] + [(999, 5000)],
+        ["doc_id", "n_tok"],
+    )
+    rows = pack_sequences(
+        docs, context=256, shard_budget=4096
+    ).collect()
+    # every doc packed exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(
+        [i for i in range(300)] + [999]
+    )
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        fills.setdefault((r.shard, r.bin), 0)
+        fills[(r.shard, r.bin)] += r.n_tok
+    for (shard, b), total in fills.items():
+        members = [
+            r for r in rows if (r.shard, r.bin) == (shard, b)
+        ]
+        # bin_fill is consistent with the members
+        assert all(m.bin_fill == total for m in members)
+        # no overfull bin unless it is a singleton oversized doc
+        if total > 256:
+            assert len(members) == 1 and members[0].n_tok > 256
+    # deterministic: rerun identical regardless of input partitioning
+    again = pack_sequences(
+        docs.repartition(7), context=256, shard_budget=4096
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
