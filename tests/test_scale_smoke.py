@@ -97,10 +97,44 @@ def test_components_bounded_on_giant_clique(spark, big_docs):
 
     near = big_docs.filter(F.col("doc_id").startswith("n"))
     pairs = minhash_lsh_candidates(near, threshold=0.5)
-    bsp = connected_components(pairs, "doc_a", "doc_b", max_iter=6)
+    # force the BSP loop (the size gate would route 45k edges to the
+    # driver union-find fast path) — this test is about BSP round
+    # bounds on dense components
+    bsp = connected_components(
+        pairs, "doc_a", "doc_b", max_iter=6, small_graph_edges=0
+    )
     comps = bsp.select("component").distinct().count()
     assert comps == 1
     star = connected_components_star(pairs, "doc_a", "doc_b")
     a = sorted(map(tuple, bsp.collect()))
     b = sorted(map(tuple, star.collect()))
     assert a == b
+
+
+def test_packing_holds_at_scale(spark):
+    """Sequence packing over 500k docs (~100M tokens): shard count and
+    per-shard state stay bounded, no bin overfills, every doc packs
+    exactly once — the applyInPandas escape hatch holding its shape
+    well past the oracle-checked SFs."""
+    from defimap_data_pipelines_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 400 + 16).cast("long").alias("n_tok"),
+    )
+    packed = pack_sequences(docs, context=2048, shard_budget=1 << 18)
+    stats = packed.groupBy("shard", "bin").agg(
+        F.max("bin_fill").alias("fill"),
+        F.sum("n_tok").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bad = stats.filter(
+        (F.col("fill") > 2048) | (F.col("fill") != F.col("total"))
+    ).count()
+    assert bad == 0  # no doc exceeds the context in this fixture
+    assert packed.count() == 500_000
+    n_shards = packed.select("shard").distinct().count()
+    # ~108M tokens / 262144-token shards
+    assert 300 <= n_shards <= 500, n_shards
