@@ -6554,6 +6554,89 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM sym),
+    reach(n, c) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, r.c FROM reach r JOIN sym s ON s.a = r.n
+        WHERE r.c < s.b
+    ),
+    labels AS (SELECT n AS doc_id, MIN(c) AS component FROM reach GROUP BY n),
+    q AS ({QUALITY_SQL}),
+    lq AS (
+        SELECT l.doc_id, l.component,
+               CAST(ROUND(q.quality_score * 1000000000) AS BIGINT) AS qq
+        FROM labels l JOIN q USING (doc_id)
+    ),
+    sel AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                     ORDER BY qq DESC, doc_id ASC) AS rn
+        FROM lq
+    )
+    SELECT doc_id, component, qq / 1000000000.0 AS quality,
+           (rn = 1) AS keep
+    FROM sel
+"""
+
+
+@register("dedup_keep_best", DEDUP_KEEP_BEST_SQL)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup resolution with a QUALITY policy: within each dup
+    cluster keep the highest-quality member (grid-quantized score,
+    doc_id tiebreak) instead of the min-id canonical — what a real
+    curation pipeline ships. Composes the Jaccard pair graph, the
+    transitive closure, and the quality scorer; the per-cluster pick
+    is a window over cluster-sized partitions (bounded by dup-cluster
+    size at any corpus scale). Quantizing the fp quality score to the
+    1e-9 grid before ranking makes the keep decision
+    engine-independent — the kmeans determinism contract applied to a
+    policy choice."""
+    from pyspark.sql import Window
+
+    from defimap_data_pipelines_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+    from defimap_data_pipelines_spark.operators.textops import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        threshold=0.35,
+        shingles=_doc_shingles(spark, sf_dir),
+        hashed=_hashed_doc_shingles(spark, sf_dir),
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    q = quality_score(docs)
+    lq = labels.join(q, "doc_id").select(
+        "doc_id",
+        "component",
+        F.round(F.col("quality_score") * 1_000_000_000)
+        .cast("long")
+        .alias("_qq"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_qq").desc(), F.col("doc_id").asc()
+    )
+    return lq.withColumn("_rn", F.row_number().over(w)).select(
+        "doc_id",
+        "component",
+        (F.col("_qq") / 1_000_000_000.0).alias("quality"),
+        (F.col("_rn") == 1).alias("keep"),
+    )
+
+
 @register("pack_sequences", None)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (training batch assembly): first-fit-

@@ -328,3 +328,20 @@ def test_pack_sequences_invariants(spark):
         docs.repartition(7), context=256, shard_budget=4096
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dedup_keep_best_prefers_quality(spark, sf_dir):
+    from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+    rows = QUERIES["dedup_keep_best"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1  # exactly one survivor per cluster
+        best = keepers[0]
+        # survivor has max quality (doc_id tiebreak)
+        for m in members:
+            assert (m.quality, -m.doc_id) <= (best.quality, -best.doc_id)
