@@ -1,0 +1,107 @@
+"""Format-generic read/write surface (CSV, JSON-lines, ORC, raw text).
+
+The bronze layer is parquet (sources/parquet.py, writers.py), but an
+engine users switch to needs the interchange formats around it:
+CSV/JSON for export-to-analysts and ingest-from-vendors, ORC for
+foreign lakehouses, and raw text files as the entry point of a
+training-data pipeline (one file = one document).
+
+All readers take an explicit schema where the format cannot carry one
+(CSV/JSON): schema inference is a full extra pass over the data at
+100 TB and infers drifting types run-to-run — the engine treats it as
+a bug, not a convenience (`infer=False` default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write ``df`` at ``path`` in ``fmt``; CSV gets headers by default
+    (the analyst-export convention)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(path)
+
+
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` as ``fmt``. CSV/JSON require ``schema`` unless
+    ``options['inferSchema']`` is explicitly passed — see module note."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", options.pop("header", "true"))
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json") and "inferSchema" not in options:
+        raise ValueError(
+            f"{fmt} read needs an explicit schema (inference is a full "
+            "extra data pass and type-unstable at scale); pass schema= "
+            "or inferSchema='true' to opt in deliberately"
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = True
+) -> DataFrame:
+    """Raw text files -> (doc_id, text): the training-data ingest entry
+    point. ``whole_files=True`` = one file is one document (wholetext,
+    id = file path); ``False`` = one LINE is one document (the jsonl
+    layout without the json), id = file path + md5 of the line — a
+    CONTENT key, because a positional line number would depend on task
+    split points (monotonically_increasing_id is partition-relative,
+    the repo-wide determinism rule forbids it as an identity).
+
+    Scale note: wholetext cannot split a file across tasks — fine for
+    document-sized files (the crawl-dump layout), wrong for one giant
+    file; the line mode splits normally.
+    """
+    if whole_files:
+        # NB: must be the text(wholetext=) parameter — the PySpark
+        # .text() reader overwrites a previously set "wholetext" option
+        # with its own default
+        return (
+            spark.read.text(path, wholetext=True)
+            .select(
+                F.input_file_name().alias("doc_id"),
+                F.col("value").alias("text"),
+            )
+        )
+    return (
+        spark.read.text(path)
+        .select(
+            F.concat(
+                F.input_file_name(), F.lit("#"), F.md5(F.col("value"))
+            ).alias("doc_id"),
+            F.col("value").alias("text"),
+        )
+    )

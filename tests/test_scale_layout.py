@@ -97,3 +97,70 @@ def test_merge_upsert_semantics(spark, tmp_path):
     merge_upsert(upd, path, keys=["name", "k"], partition_cols=["name"])
     again = sorted(map(tuple, spark.read.parquet(path).select("name", "k", "v").collect()))
     assert again == got
+
+
+def test_format_round_trips(spark, tmp_path):
+    from defimap_data_pipelines_spark.operators.cleaning import (  # noqa: F401
+        interpolate_linear,
+    )
+    from defimap_data_pipelines_spark.sources.formats import (
+        read_format,
+        write_format,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -2.0), (3, "c", 0.0)],
+        ["id", "s", "v"],
+    )
+    schema = "id long, s string, v double"
+    for fmt in ("parquet", "orc", "csv", "json"):
+        p = str(tmp_path / fmt)
+        write_format(df, p, fmt=fmt)
+        back = read_format(spark, p, fmt=fmt, schema=schema)
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, back.collect()))
+        if fmt == "csv":
+            # CSV cannot distinguish NULL from empty; normalize
+            a = [(i, s or None, v) for i, s, v in a]
+            b = [(i, s or None, v) for i, s, v in b]
+        assert a == b, fmt
+
+
+def test_csv_requires_explicit_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from defimap_data_pipelines_spark.sources.formats import (
+        read_format,
+        write_format,
+    )
+
+    df = spark.range(3).select(F.col("id"))
+    p = str(tmp_path / "c")
+    write_format(df, p, fmt="csv")
+    with _pytest.raises(ValueError, match="explicit schema"):
+        read_format(spark, p, fmt="csv")
+
+
+def test_text_corpus_modes(spark, tmp_path):
+    from defimap_data_pipelines_spark.sources.formats import (
+        read_text_corpus,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one body")
+    (d / "b.txt").write_text("line x\nline y")
+    whole = read_text_corpus(spark, str(d), whole_files=True).collect()
+    assert len(whole) == 2
+    texts = {r.doc_id.split("/")[-1]: r.text for r in whole}
+    assert texts["a.txt"] == "doc one body"
+    assert texts["b.txt"] == "line x\nline y"
+    lines = read_text_corpus(spark, str(d), whole_files=False).collect()
+    assert sorted(r.text for r in lines) == [
+        "doc one body", "line x", "line y"
+    ]
+    # content-keyed ids: stable under re-read and repartitioning
+    again = read_text_corpus(spark, str(d), whole_files=False).collect()
+    assert sorted(r.doc_id for r in lines) == sorted(
+        r.doc_id for r in again
+    )
