@@ -6637,6 +6637,130 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_COVERAGE_SQL = f"""
+    WITH counts AS (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+                   AS rnk,
+               SUM(n) OVER (ORDER BY n DESC, token ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT rnk AS vocab_size,
+           CAST(cum AS BIGINT) AS covered,
+           CAST(total AS BIGINT) AS total_occurrences,
+           CAST(cum AS DOUBLE) / total AS coverage
+    FROM ranked, tot
+    WHERE rnk IN (4, 8, 16)
+"""
+
+
+@register("vocab_coverage", VOCAB_COVERAGE_SQL)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-planning metric: fraction of all token OCCURRENCES
+    covered by the top-N vocabulary at checkpoint sizes — the curve
+    that decides a vocab size before training a tokenizer. Reuses the
+    two-pass parallel prefix rank (vocab_ids) and runs a SECOND
+    global_cumsum over the ranked counts for the running coverage; the
+    only driver data are the per-partition offsets and the one total
+    scalar (the documented Q15-style pattern)."""
+    from defimap_data_pipelines_spark.operators.packing import (
+        global_cumsum,
+    )
+    from defimap_data_pipelines_spark.operators.ranking import vocab_ids
+
+    vocab = vocab_ids(
+        read_table(spark, sf_dir, "documents"), min_count=1
+    )
+    total = vocab.agg(
+        F.sum("n_occurrences").cast("long").alias("t")
+    ).collect()[0]["t"]
+    cum = global_cumsum(
+        vocab, [F.col("token_id").asc()], "n_occurrences", out="_cum"
+    )
+    return (
+        cum.filter((F.col("token_id") + 1).isin(4, 8, 16))
+        .select(
+            (F.col("token_id") + 1).alias("vocab_size"),
+            F.col("_cum").cast("long").alias("covered"),
+            F.lit(total).cast("long").alias("total_occurrences"),
+            (F.col("_cum").cast("double") / F.lit(float(total))).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+CROSS_SOURCE_DUPS_SQL = f"""
+    WITH fp AS (
+        SELECT md5(array_to_string(({_TOKS})[1:2], ' ')) AS f, source,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               x.c * y.c AS np
+        FROM fp x JOIN fp y ON x.f = y.f AND x.source < y.source
+        UNION ALL
+        SELECT source, source, c * (c - 1) / 2 FROM fp WHERE c >= 2
+    )
+    SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS dup_pairs
+    FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("cross_source_dups", CROSS_SOURCE_DUPS_SQL)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source candidate-duplicate matrix under a BLOCKING key
+    (the entity-resolution blocking diagnostic): docs sharing an
+    opening-bigram block form candidate pairs; the matrix counts them
+    per source pair (and within each source) — which feeds overlap,
+    before picking per-source caps. Blocking keys are the standard
+    trick for bounding dup search (full md5 fingerprints yield the
+    exact-dup variant — same plan, swap the key: functions/text.py::
+    fingerprint). One block groupBy, a self-join keyed on the block
+    (group sizes bound fan-out), and a tiny (sources x sources)
+    aggregation."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    block = F.md5(
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, 2), " ")
+    )
+    fp = docs.groupBy(block.alias("f"), "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    x = fp.select(
+        "f", F.col("source").alias("source_a"), F.col("c").alias("ca")
+    )
+    y = fp.select(
+        "f", F.col("source").alias("source_b"), F.col("c").alias("cb")
+    )
+    cross = (
+        x.join(y, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b", (F.col("ca") * F.col("cb")).alias("np")
+        )
+    )
+    within = fp.filter(F.col("c") >= 2).select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("np"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("np").cast("long").alias("dup_pairs"))
+    )
+
+
 @register("pack_sequences", None)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (training batch assembly): first-fit-
