@@ -73,6 +73,12 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "gopher_rules",
     "bpe_merge_pairs",
+    "quality_classifier",
+    "ann_recall_eval",
+    "dedup_keep_best",
+    "pack_sequences",
+    "vocab_coverage",
+    "cross_source_dups",
 ]
 
 
