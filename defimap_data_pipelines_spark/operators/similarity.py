@@ -8,7 +8,12 @@
   for modest corpora or verification).
 - lsh_topk: the scale path — random-hyperplane LSH buckets candidates,
   exact cosine re-ranks within buckets. Hyperplanes are derived
-  deterministically from xxhash64 so no RNG state is shipped.
+  deterministically from md5 driver-side and inlined as literals, so
+  no RNG state is shipped and the oracle replays the same planes.
+- ivf_topk: inverted centroid lists with n_probe probing; the codebook
+  (default or trained) is collected once and assignment is a pure
+  projection.
+- semdedup_prune: SemDeDup — k-means-confined near-dup pruning.
 """
 
 from __future__ import annotations
