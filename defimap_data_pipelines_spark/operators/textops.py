@@ -266,6 +266,12 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle, no Python, scales as a mapper.
     """
     staged = _staged_tokens(docs, text_col)
+    flags = _gopher_flag_columns()
+    return staged.select("doc_id", *flags)
+
+
+def _gopher_flag_columns() -> list:
+    """The Gopher rule columns, over a frame staged with _norm/_toks."""
     n = F.size("_toks").cast("long")
     sum_len = (F.length("_norm") - n + F.lit(1)).cast("long")
     n_alpha = F.size(
@@ -281,8 +287,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     rule_mean_len = (sum_len >= 3 * n) & (sum_len <= 10 * n)
     rule_alpha = (10 * n_alpha) >= (8 * n)
     rule_stop = stop_distinct >= 2
-    return staged.select(
-        "doc_id",
+    return [
         n.alias("n_words"),
         (sum_len.cast("double") / n.cast("double")).alias("mean_word_len"),
         rule_word_count.alias("rule_word_count"),
@@ -292,7 +297,20 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (rule_word_count & rule_mean_len & rule_alpha & rule_stop).alias(
             "passes_gopher"
         ),
+    ]
+
+
+def with_gopher_pass(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All original columns + passes_gopher — the in-place form (same
+    rationale as with_quality_score: a filter should be a scan-side
+    predicate, not a doc_id self-join). Pure per-row expressions, so
+    it works unchanged on a STREAMING frame (stateless projection)."""
+    c = F.col(text_col)
+    staged = docs.select("*", normalize_text(c).alias("_norm")).select(
+        "*", F.split("_norm", " ").alias("_toks")
     )
+    pass_col = _gopher_flag_columns()[-1]
+    return staged.select(*docs.columns, pass_col)
 
 
 def bpe_merge_pairs(

@@ -6761,6 +6761,108 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents_stream_dir(sf_dir: str) -> str:
+    """FileStreamSource dir for the read-only documents parquet (same
+    symlink trick as _events_stream_dir)."""
+    link_dir = (
+        f"/tmp/spark_stream_documents_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = f"{link_dir}/documents.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    return link_dir
+
+
+STREAM_QUALITY_SQL = f"""
+    WITH staged AS (
+        SELECT source, {_NORM} AS norm FROM documents
+    ),
+    m AS (
+        SELECT source,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n,
+               CAST(length(norm) - len(string_split(norm, ' ')) + 1
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_filter(string_split(norm, ' '),
+                                    t -> regexp_matches(t, '[a-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_distinct(list_intersect(
+                    string_split(norm, ' '),
+                    ['the', 'a', 'of', 'and', 'to']))) AS BIGINT) AS stops
+        FROM staged
+    ),
+    flags AS (
+        SELECT source,
+               ((n >= 50 AND n <= 100000)
+                AND (sum_len >= 3 * n AND sum_len <= 10 * n)
+                AND (10 * n_alpha >= 8 * n)
+                AND (stops >= 2)) AS p
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS pass_rate
+    FROM flags GROUP BY source
+"""
+
+
+@register("stream_quality_exec", STREAM_QUALITY_SQL)
+def q_stream_quality_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality filter EXECUTED as a streaming job: documents
+    arrive through a file stream, the Gopher pass flag is a stateless
+    per-row projection (with_gopher_pass — rules are pure expressions,
+    so the same code runs batch and streaming), and the per-source
+    pass-rate aggregate runs in complete mode under
+    Trigger.AvailableNow. Must reproduce the batch oracle exactly —
+    integer rule arithmetic makes the flags microbatch-independent.
+    This is the ingest-time quality gate of a streaming curation
+    pipeline."""
+    from pyspark.sql import types as T
+
+    from defimap_data_pipelines_spark.operators.textops import (
+        with_gopher_pass,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    flagged = with_gopher_pass(docs)
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("passes_gopher"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+    )
+    name = f"_stream_quality_exec_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "source",
+        "n_docs",
+        "n_pass",
+        (F.col("n_pass").cast("double") / F.col("n_docs")).alias(
+            "pass_rate"
+        ),
+    )
+
+
 @register("pack_sequences", None)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (training batch assembly): first-fit-
