@@ -30,6 +30,10 @@ FLAGSHIP_BUDGETS = {
     # the split stamp itself is a projection; the registered query
     # aggregates per split on top (groupBy + AQE coalesce)
     "dataset_split": (2, 0),
+    # round-3 mappers: quality rules and the hashed classifier are
+    # pure scan-side expressions — any exchange is a regression
+    "gopher_rules": (0, 0),
+    "quality_classifier": (0, 0),
 }
 
 
@@ -45,12 +49,25 @@ def test_shuffle_budget(name, spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["embedding_neardup_pairs", "lsh_topk", "minhash_lsh_dedup", "ivf_topk"],
+    [
+        "embedding_neardup_pairs",
+        "lsh_topk",
+        "minhash_lsh_dedup",
+        "ivf_topk",
+        "semdedup_prune",
+        "dedup_keep_best",
+        "ann_recall_eval",
+    ],
 )
 def test_no_cartesian_in_ann_dedup_paths(name, spark, sf_dir):
     plan = _final_plan(name, spark, sf_dir)
     assert "CartesianProduct" not in plan
-    if name != "ivf_topk":
+    if name == "ann_recall_eval":
+        # the brute-force RECALL BASELINE side is a deliberate
+        # broadcast-queries-vs-corpus nested loop (bounded build: the
+        # 10-query frame); the LSH side must stay equi-join only
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+    elif name != "ivf_topk":
         assert "BroadcastNestedLoopJoin" not in plan
     else:
         # ivf's centroid assignment is a DELIBERATE K-row broadcast
