@@ -168,3 +168,52 @@ def curation_report(
             )
         )
     )
+
+
+def dedup_against_seen(
+    new_docs: DataFrame,
+    seen: DataFrame | None,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup at ingest: drop new documents whose
+    fingerprint already exists in the ``seen`` state table OR is
+    claimed by an earlier new doc, and return the updated state.
+
+    Returns ``(survivors, seen_after)`` where ``seen_after`` is the
+    union of the old state and the survivors' fingerprints — persist
+    it (e.g. idempotent_replace_range) and feed it to the next batch.
+    The invariant, asserted in tests: replaying a corpus in ANY batch
+    split yields exactly the batch-mode `dedup_exact` canonicals,
+    because within a batch the min-doc_id rule picks the same
+    canonical the global pass would (for ids that arrive in order).
+
+    Scale shape: state is one row per DISTINCT document (fingerprint +
+    canonical id — a few dozen bytes, not the text), the probe is a
+    broadcast-or-shuffle anti join on the fingerprint, and the
+    in-batch claim is the usual min-id groupBy. This is how a daily
+    crawl dedups against years of history without re-reading it: the
+    history rides as a compact key table, the text never moves again.
+    """
+    from defimap_data_pipelines_spark.functions.text import fingerprint
+
+    fp = new_docs.withColumn("_fp", fingerprint(F.col(text_col)))
+    if seen is not None:
+        fresh = fp.join(
+            seen.select(F.col("fingerprint").alias("_fp")), "_fp",
+            "left_anti",
+        )
+    else:
+        fresh = fp
+    canon = fresh.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = (
+        fresh.join(canon, ["_fp", "doc_id"], "left_semi")
+        .drop("_fp")
+    )
+    new_state = canon.select(
+        F.col("_fp").alias("fingerprint"),
+        F.col("doc_id").alias("canonical_id"),
+    )
+    seen_after = (
+        seen.unionByName(new_state) if seen is not None else new_state
+    )
+    return survivors, seen_after

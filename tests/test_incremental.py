@@ -196,3 +196,41 @@ def test_incremental_return_1y_equals_query(spark, sf_dir):
             # same grid-noise tolerance as the scalars test; the query's
             # round-9 output can flip its last digit across bases
             assert inc[k] == pytest.approx(v, rel=1e-6, abs=1e-7), k
+
+
+def test_incremental_dedup_equals_batch(spark):
+    """Replaying the corpus in any batch split must reproduce the
+    batch-mode exact-dedup canonicals (ids arrive in order, so the
+    min-id rule agrees)."""
+    from defimap_data_pipelines_spark.operators.corpus import (
+        dedup_against_seen,
+    )
+    from defimap_data_pipelines_spark.operators.dedup import exact_dedup
+
+    rows = []
+    for i in range(120):
+        # 40 distinct texts, each repeated 3x across the id space
+        rows.append((i, f"document body {i % 40} common tail"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    batch = {
+        r.canonical_id
+        for r in exact_dedup(docs).select("canonical_id").collect()
+    }
+
+    for split in ((40, 80), (1, 119), (60,)):
+        seen = None
+        survived = []
+        lo = 0
+        for hi in list(split) + [120]:
+            part = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            s, seen = dedup_against_seen(part, seen)
+            # cut lineage like a real daily job persisting its state
+            seen = seen.localCheckpoint()
+            survived += [r.doc_id for r in s.collect()]
+            lo = hi
+        assert set(survived) == batch, split
+        # state holds exactly one row per distinct doc
+        assert seen.count() == 40
