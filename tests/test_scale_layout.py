@@ -164,3 +164,57 @@ def test_text_corpus_modes(spark, tmp_path):
     assert sorted(r.doc_id for r in lines) == sorted(
         r.doc_id for r in again
     )
+
+
+def test_clustered_write_produces_prunable_footers(spark, tmp_path):
+    """The clustered layout's promise, checked at the parquet footer
+    level: per-file [min, max] ranges of the cluster key are narrow
+    and (near-)disjoint, so min/max pruning can skip files; an
+    unsorted write of the same data has every file spanning ~the full
+    key range (no file can ever be skipped)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from defimap_data_pipelines_spark.sources.writers import (
+        write_clustered,
+    )
+
+    df = (
+        spark.range(40_000)
+        .select(
+            (F.xxhash64("id") % 10_000).alias("key"), F.col("id").alias("v")
+        )
+    )
+    clustered = str(tmp_path / "clustered")
+    write_clustered(df, clustered, ["key"], max_records_per_file=5_000)
+    plain = str(tmp_path / "plain")
+    df.write.mode("overwrite").parquet(plain)
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "key"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    cr = ranges(clustered)
+    assert len(cr) > 4
+    # clustered: total footer coverage ~= key span (near-disjoint)
+    span = max(b for _, b in cr) - min(a for a, _ in cr)
+    covered = sum(b - a for a, b in cr)
+    assert covered <= span * 1.2, (covered, span)
+    # a point predicate prunes to at most 2 candidate files
+    probe = cr[len(cr) // 2][0]
+    candidates = [r for r in cr if r[0] <= probe <= r[1]]
+    assert len(candidates) <= 2, candidates
+    # unsorted: every file spans (almost) everything — nothing prunes
+    pr = ranges(plain)
+    wide = [r for r in pr if (r[1] - r[0]) > span * 0.9]
+    assert len(wide) == len(pr)
