@@ -1265,6 +1265,37 @@ def _hashed_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+_NEARDUP_LABEL_CACHE: dict = {}
+
+
+def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, component) labels over the t=0.35 exact-Jaccard
+    pair graph — the SAME cross-query sharing as the hashed-shingle
+    frame one level up: neardup_components, dedup_keep_best (and any
+    future cluster consumer) ask one question of the same graph, so
+    the pair generation + transitive closure runs once per session and
+    the label frame (two longs per clustered doc) stays cached."""
+    from defimap_data_pipelines_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+
+    key = (id(spark), sf_dir)
+    hit = _NEARDUP_LABEL_CACHE.get(key)
+    if hit is None:
+        pairs = ngram_jaccard_pairs(
+            read_table(spark, sf_dir, "documents"),
+            threshold=0.35,
+            shingles=_doc_shingles(spark, sf_dir),
+            hashed=_hashed_doc_shingles(spark, sf_dir),
+        ).select("doc_a", "doc_b")
+        hit = connected_components(pairs, "doc_a", "doc_b").cache()
+        _NEARDUP_LABEL_CACHE[key] = hit
+    return hit
+
+
 @register("ngram_jaccard_pairs", JACCARD_SQL)
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
@@ -4818,19 +4849,11 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph.py) over the exact-Jaccard edges. The oracle replays the
     closure with a recursive CTE — the iterative DataFrame algorithm
     under the exact-value gate."""
-    from defimap_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
     from defimap_data_pipelines_spark.operators.graph import (
         component_sizes,
-        connected_components,
     )
 
-    pairs = ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"),
-        threshold=0.35,
-        shingles=_doc_shingles(spark, sf_dir),
-        hashed=_hashed_doc_shingles(spark, sf_dir),
-    ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    labels = _neardup_labels(spark, sf_dir)
     return component_sizes(labels).select(
         F.col("node").alias("doc_id"), "component", "cluster_size"
     )
@@ -6600,22 +6623,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy choice."""
     from pyspark.sql import Window
 
-    from defimap_data_pipelines_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
-    from defimap_data_pipelines_spark.operators.graph import (
-        connected_components,
-    )
     from defimap_data_pipelines_spark.operators.textops import quality_score
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs,
-        threshold=0.35,
-        shingles=_doc_shingles(spark, sf_dir),
-        hashed=_hashed_doc_shingles(spark, sf_dir),
-    ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b").select(
+    labels = _neardup_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), "component"
     )
     q = quality_score(docs)
