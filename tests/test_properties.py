@@ -199,3 +199,92 @@ def test_vocab_ids_dense_and_ordered(spark, texts):
     assert [r.token_id for r in rows] == list(range(len(rows)))
     keys = [(-r.n_occurrences, r.token) for r in rows]
     assert keys == sorted(keys)
+
+
+_mixed_texts = st.lists(
+    st.lists(
+        st.sampled_from(
+            "the a of and to alpha beta 42 7 x9 zz".split()
+        ),
+        min_size=1,
+        max_size=30,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_mixed_texts)
+def test_gopher_rules_match_python_recomputation(spark, texts):
+    """Every Gopher flag equals a direct python recomputation of the
+    integer rules — the engine's expressions ARE the spec."""
+    from defimap_data_pipelines_spark.operators.textops import gopher_rules
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = t.lower().strip().split()
+        n = len(toks) if toks else 1
+        toks = toks or [""]
+        sum_len = sum(len(w) for w in toks)
+        n_alpha = sum(1 for w in toks if any(c.isalpha() for c in w))
+        stops = len(set(toks) & {"the", "a", "of", "and", "to"})
+        r = out[i]
+        assert r.n_words == n
+        assert r.rule_word_count == (50 <= n <= 100_000)
+        assert r.rule_mean_word_len == (3 * n <= sum_len <= 10 * n)
+        assert r.rule_alpha_fraction == (10 * n_alpha >= 8 * n)
+        assert r.rule_stopwords == (stops >= 2)
+        assert r.passes_gopher == (
+            r.rule_word_count
+            and r.rule_mean_word_len
+            and r.rule_alpha_fraction
+            and r.rule_stopwords
+        )
+
+
+@settings(max_examples=8, deadline=None)
+@given(_mixed_texts)
+def test_quality_classifier_matches_python_recomputation(spark, texts):
+    """Classifier keep decisions and logits equal the integer-exact
+    python recomputation (hashing, weights, micro-unit sums)."""
+    import hashlib
+
+    from defimap_data_pipelines_spark.operators.textops import (
+        classifier_weights,
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            columns=["doc_id", "text"],
+        )
+    )
+    w = classifier_weights()
+    out = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = (t.lower().strip().split() or [""])
+        acc = sum(
+            w[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256]
+            for tok in toks
+        )
+        r = out[i]
+        assert r.keep == (acc >= 0)
+        # Spark/DuckDB ROUND is half-away-from-zero; python round()
+        # is banker's — replicate the engines' mode
+        from decimal import ROUND_HALF_UP, Decimal
+
+        expect = float(
+            Decimal(repr(acc / 1e6 / len(toks))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(r.logit - expect) <= 1e-12
+        assert -1.0 <= r.logit <= 1.0
