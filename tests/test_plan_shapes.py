@@ -83,3 +83,23 @@ def test_gotk_scan_prunes_columns(spark, sf_dir):
 
     scans = re.findall(r"ReadSchema: struct<([^\n>]*)", plan)
     assert scans and all(len(s.split(",")) <= 3 for s in scans), scans
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["gotk", "risk", "minhash_lsh_dedup", "token_shards", "vocab_ids"],
+)
+def test_results_independent_of_aqe(name, spark, sf_dir):
+    """AQE re-plans joins/partitions at runtime; results must be
+    byte-identical with it off — the quantized-accumulation and
+    layout-independence contracts, checked against the physical
+    planner's other mode."""
+    q = QUERIES[name]
+    on = sorted(map(tuple, q(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        off = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert on == off
