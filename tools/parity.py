@@ -5,7 +5,7 @@ given SF dir, then compares row count, column names/dtypes, and exact
 values (rows sorted by all columns, columns sorted by name) — mirroring
 the driver's order-insensitive value hash.
 
-Usage: python tools/parity.py [sf_dir] [query ...]
+Usage: python tools/parity.py [--vanilla] [--window] [sf_dir] [query ...]\n  --window: run exactly the driver's 50-query checked window
 """
 
 from __future__ import annotations
@@ -100,8 +100,15 @@ def main() -> int:
     use_vanilla = "--vanilla" in argv
     if use_vanilla:
         argv.remove("--vanilla")
+    use_window = "--window" in argv
+    if use_window:
+        argv.remove("--window")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
-    names = argv[1:] or list(QUERIES)
+    if use_window:
+        # exactly the driver's checked surface: the first 50 registered
+        names = list(QUERIES)[:50]
+    else:
+        names = argv[1:] or list(QUERIES)
     spark = vanilla_spark() if use_vanilla else get_spark("parity")
     con = duck_connect(sf_dir)
     fails = [n for n in names if not compare(n, spark, con, sf_dir)]
