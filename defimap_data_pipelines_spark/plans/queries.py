@@ -6874,6 +6874,64 @@ def q_stream_quality_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMPERATURE_MIXTURE_SQL = """
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT *, POW(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM counts
+    ),
+    tot AS (SELECT SUM(w) AS z, SUM(n_tokens) AS all_tokens FROM powed)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / all_tokens, 6)
+               AS natural_share,
+           ROUND(w / z, 6) AS sample_share,
+           CAST(ROUND(w / z * all_tokens) AS BIGINT) AS target_tokens
+    FROM powed, tot
+"""
+
+
+@register("temperature_mixture", TEMPERATURE_MIXTURE_SQL)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling (the multilingual alpha-
+    sampling rule, Conneau & Lample 2019: p_i ∝ n_i^alpha with
+    alpha=0.5): flattens the natural token distribution so low-
+    resource sources are upsampled without drowning the head. Output
+    is the per-source sampling plan (natural vs sampled share, target
+    token budget). One groupBy over the corpus + a two-row broadcast
+    of the normalizers — a planning query that runs ahead of
+    mixture_resample at any scale."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    powed = counts.withColumn(
+        "_w", F.pow(F.col("n_tokens").cast("double"), F.lit(0.5))
+    )
+    tot = powed.agg(
+        F.sum("_w").alias("_z"),
+        F.sum("n_tokens").cast("long").alias("_all"),
+    )
+    return powed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("_all"), 6
+        ).alias("natural_share"),
+        F.round(F.col("_w") / F.col("_z"), 6).alias("sample_share"),
+        F.round(F.col("_w") / F.col("_z") * F.col("_all"))
+        .cast("long")
+        .alias("target_tokens"),
+    )
+
+
 @register("pack_sequences", None)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (training batch assembly): first-fit-
