@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "vocab_coverage",
     "cross_source_dups",
+    "temperature_mixture",
+    "stream_quality_exec",
 ]
 
 
