@@ -6932,6 +6932,69 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT_DISTANCE_PAIRS_SQL = f"""
+    WITH staged AS (
+        SELECT doc_id, {_NORM} AS norm,
+               md5(array_to_string(({_TOKS})[1:2], ' ')) AS blk
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.norm, b.norm) AS edit_distance
+        FROM staged a JOIN staged b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(edit_distance AS BIGINT) AS edit_distance
+    FROM cand WHERE edit_distance <= 150
+"""
+
+
+@register("edit_distance_pairs", EDIT_DISTANCE_PAIRS_SQL)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: candidates from the opening-
+    bigram blocking key (never all-pairs), verified with an exact
+    Levenshtein bound — the character-grain dedup flavor that catches
+    small in-place edits n-gram Jaccard dilutes. Distance is integer,
+    so the verify agrees across engines exactly. Same scale shape as
+    every dedup operator here: block groupJoin with bounded fan-out,
+    O(len^2) verify only on blocked candidates."""
+    from defimap_data_pipelines_spark.functions.text import (
+        normalize_text,
+        ws_tokens,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm"),
+        F.md5(
+            F.array_join(F.slice(ws_tokens(F.col("text")), 1, 2), " ")
+        ).alias("blk"),
+    )
+    a = staged.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("norm").alias("_na"),
+        "blk",
+    )
+    b = staged.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("norm").alias("_nb"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("_na"), F.col("_nb"))
+            .cast("long")
+            .alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 150)
+    )
+
+
 @register("pack_sequences", None)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (training batch assembly): first-fit-
