@@ -6995,6 +6995,43 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANG_SOURCE_MIXTURE_SQL = """
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, SUM(n_docs) AS tot FROM c GROUP BY source)
+    SELECT c.source, c.lang, c.n_docs, c.n_chars,
+           ROUND(CAST(c.n_docs AS DOUBLE) / t.tot, 6) AS doc_share
+    FROM c JOIN t USING (source)
+"""
+
+
+@register("lang_source_mixture", LANG_SOURCE_MIXTURE_SQL)
+def q_lang_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language composition per source (declared labels): doc and char
+    counts plus within-source share — the multilingual curation view
+    that pairs with temperature_mixture when sampling is per
+    (source, lang) cell. One groupBy + a broadcast of per-source
+    totals."""
+    d = read_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    t = c.groupBy("source").agg(F.sum("n_docs").alias("_tot"))
+    return c.join(F.broadcast(t), "source").select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("_tot"), 6
+        ).alias("doc_share"),
+    )
+
+
 @register("pack_sequences", None)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (training batch assembly): first-fit-
@@ -7033,6 +7070,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the window is asserted oracle-backed, so the driver's gate can
 # report 50/50 full value-hash checks (no rows-only entries burn a
 # checked slot).
+
+# Round-4 rotation candidates (oracle-backed, not yet driver-checked):
+# semdedup_prune, quality_classifier, dedup_keep_best, gopher_rules,
+# stream_quality_exec, ann_recall_eval, vocab_coverage,
+# cross_source_dups, temperature_mixture, edit_distance_pairs,
+# bpe_merge_pairs — swap for window entries that earn green rows in
+# CORRECTNESS_r03 (keep the 9 reference-parity flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
