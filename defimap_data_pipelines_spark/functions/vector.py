@@ -30,6 +30,16 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def sql_double_literal(v: float) -> str:
+    """repr-based float -> Spark-SQL double literal (exact round trip;
+    scientific/inf/nan forms routed through a CAST). Shared by every
+    parsed-SQL-string expression builder (codebooks, LSH planes)."""
+    s = repr(float(v))
+    if "e" in s or "E" in s or "inf" in s or "nan" in s:
+        return f"CAST('{s}' AS DOUBLE)"
+    return s + "D"
+
+
 def dot_literal(a: Column, vals) -> Column:
     """Dot product of an array column against a DRIVER-SIDE literal
     vector, as a flat multiply-add chain instead of a

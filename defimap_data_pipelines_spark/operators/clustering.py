@@ -50,11 +50,9 @@ def assign_clusters(
         (r["cluster"], list(r["c"])) for r in centroids.collect()
     )
 
-    def _dlit(v: float) -> str:
-        s = repr(float(v))
-        if "e" in s or "E" in s or "inf" in s or "nan" in s:
-            return f"CAST('{s}' AS DOUBLE)"
-        return s + "D"
+    from defimap_data_pipelines_spark.functions.vector import (
+        sql_double_literal as _dlit,
+    )
 
     # struct array literal: [(cluster, dist), ...] -> array_min picks the
     # (rounded) nearest with the cluster id as tiebreak. Built as ONE

@@ -102,7 +102,9 @@ def connected_components(
     # propagation join reshuffles only the (smaller, changing) label
     # frame — the 100 TB edge list stays put.
     sym = sym.repartition("a").localCheckpoint()
-    if sym.count() <= small_graph_edges:
+    # sym carries BOTH directions of every edge (2 rows per edge) —
+    # halve before comparing against the edge-denominated gate
+    if sym.count() <= 2 * small_graph_edges:
         return _driver_union_find(sym)
     labels = (
         sym.select(F.col("a").alias("node"))

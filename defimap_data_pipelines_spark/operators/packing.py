@@ -139,7 +139,8 @@ def pack_sequences(
     import pandas as pd
 
     sharded = assign_token_shards(docs.select(id_col, token_col),
-                                  token_col, budget=shard_budget)
+                                  token_col, budget=shard_budget,
+                                  order_col=id_col)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(

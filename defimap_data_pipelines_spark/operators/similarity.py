@@ -326,11 +326,9 @@ def ivf_topk(
 
     cnorms = {cid: _fold_norm(c) for cid, c in crows}
 
-    def _dlit(v: float) -> str:
-        s = repr(float(v))
-        if "e" in s or "E" in s or "inf" in s or "nan" in s:
-            return f"CAST('{s}' AS DOUBLE)"
-        return s + "D"
+    from defimap_data_pipelines_spark.functions.vector import (
+        sql_double_literal as _dlit,
+    )
 
     def _list_entries(vcol: str, ncol: str):
         # array of (-cosine, centroid_id) structs: ascending struct

@@ -4511,15 +4511,33 @@ def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, table: str) -> str:
     """FileStreamSource wants a directory; expose the single read-only
-    parquet file through a /tmp symlink dir, once per sf."""
-    link_dir = f"/tmp/spark_stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    parquet file through a /tmp symlink dir.
+
+    The dir name includes a hash of the FULL sf_dir path (two corpora
+    with the same basename must not share a link), and an existing
+    link is re-pointed if dangling or aimed at a different target
+    (os.path.exists follows symlinks, so a stale link would otherwise
+    silently stream the wrong corpus or crash on recreate)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    base = os.path.basename(sf_dir.rstrip("/"))
+    link_dir = f"/tmp/spark_stream_{table}_{base}_{tag}"
     os.makedirs(link_dir, exist_ok=True)
-    link = f"{link_dir}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    link = f"{link_dir}/{table}.parquet"
+    target = f"{sf_dir}/{table}.parquet"
+    if os.path.islink(link):
+        if os.readlink(link) != target:
+            os.unlink(link)
+    if not os.path.islink(link):
+        os.symlink(target, link)
     return link_dir
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _stream_dir(sf_dir, "events")
 
 
 STREAM_TUMBLING_SQL = """
@@ -6719,7 +6737,7 @@ CROSS_SOURCE_DUPS_SQL = f"""
                x.c * y.c AS np
         FROM fp x JOIN fp y ON x.f = y.f AND x.source < y.source
         UNION ALL
-        SELECT source, source, c * (c - 1) / 2 FROM fp WHERE c >= 2
+        SELECT source, source, (c * (c - 1)) // 2 FROM fp WHERE c >= 2
     )
     SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS dup_pairs
     FROM pairs GROUP BY 1, 2
@@ -6763,7 +6781,9 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = fp.filter(F.col("c") >= 2).select(
         F.col("source").alias("source_a"),
         F.col("source").alias("source_b"),
-        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("np"),
+        # integer DIV: the double-division form would round above 2^53
+        # docs per block and drift from the oracle's integer sum
+        F.expr("c * (c - 1) DIV 2").alias("np"),
     )
     return (
         cross.unionByName(within)
@@ -6773,16 +6793,7 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _documents_stream_dir(sf_dir: str) -> str:
-    """FileStreamSource dir for the read-only documents parquet (same
-    symlink trick as _events_stream_dir)."""
-    link_dir = (
-        f"/tmp/spark_stream_documents_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = f"{link_dir}/documents.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
-    return link_dir
+    return _stream_dir(sf_dir, "documents")
 
 
 STREAM_QUALITY_SQL = f"""

@@ -76,14 +76,20 @@ def read_text_corpus(
     """Raw text files -> (doc_id, text): the training-data ingest entry
     point. ``whole_files=True`` = one file is one document (wholetext,
     id = file path); ``False`` = one LINE is one document (the jsonl
-    layout without the json), id = file path + md5 of the line — a
-    CONTENT key, because a positional line number would depend on task
-    split points (monotonically_increasing_id is partition-relative,
-    the repo-wide determinism rule forbids it as an identity).
+    layout without the json), id = file path + md5 of the line + an
+    occurrence index — a CONTENT key (a positional line number would
+    depend on task split points; monotonically_increasing_id is
+    partition-relative, the repo-wide determinism rule forbids it as
+    an identity). Repeated identical lines in one file get distinct
+    ids via the occurrence suffix; since the rows are byte-identical,
+    which physical row gets which suffix is immaterial, and the id
+    SET is deterministic.
 
     Scale note: wholetext cannot split a file across tasks — fine for
     document-sized files (the crawl-dump layout), wrong for one giant
-    file; the line mode splits normally.
+    file; the line mode splits normally (the occurrence window
+    shuffles on (file, line-hash) — duplicate-line groups only, never
+    a global order).
     """
     if whole_files:
         # NB: must be the text(wholetext=) parameter — the PySpark
@@ -96,12 +102,22 @@ def read_text_corpus(
                 F.col("value").alias("text"),
             )
         )
-    return (
-        spark.read.text(path)
-        .select(
-            F.concat(
-                F.input_file_name(), F.lit("#"), F.md5(F.col("value"))
-            ).alias("doc_id"),
-            F.col("value").alias("text"),
+    from pyspark.sql import Window
+
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("_file"),
+        F.md5(F.col("value")).alias("_h"),
+        F.col("value").alias("text"),
+    )
+    occ = (
+        F.row_number().over(
+            Window.partitionBy("_file", "_h").orderBy(F.lit(1))
         )
+        - 1
+    )
+    return lines.select(
+        F.concat_ws("#", "_file", "_h", occ.cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
     )

@@ -418,3 +418,44 @@ def test_interval_join_binned_matches_naive(spark):
             ).select("lid", "rid").collect()
         )
         assert got == expect, f"bin_size={b}"
+
+
+def test_literal_vector_helpers_bit_identical(spark):
+    """The flat-chain helpers (kept as the measured trade-off record —
+    see functions/vector.py) must stay BIT-identical to the fold forms
+    they document, and the SQL double-literal formatter must round-trip
+    every repr shape exactly."""
+    from pyspark.sql import functions as F
+
+    from defimap_data_pipelines_spark.functions.vector import (
+        dot,
+        dot_literal,
+        sq_dist_literal,
+        sql_double_literal,
+    )
+    from defimap_data_pipelines_spark.operators.clustering import _sq_dist
+
+    vals = [0.1 * i - 1.7 for i in range(16)] + [1e-5, -3.25e17, 0.0]
+    arr = F.array(*[F.lit(float(x)) for x in vals])
+    df = spark.range(5).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(vals))),
+            lambda i: i.cast("double") * 0.37 + F.col("id").cast("double"),
+        ).alias("v")
+    )
+    rows = df.select(
+        dot(F.col("v"), arr).alias("fold_dot"),
+        dot_literal(F.col("v"), vals).alias("flat_dot"),
+        _sq_dist(F.col("v"), arr).alias("fold_sq"),
+        sq_dist_literal(F.col("v"), vals).alias("flat_sq"),
+    ).collect()
+    for r in rows:
+        assert r.fold_dot == r.flat_dot  # bitwise, not approx
+        assert r.fold_sq == r.flat_sq
+    lit_rows = spark.range(1).select(
+        *[
+            (F.expr(sql_double_literal(x)) == F.lit(float(x))).alias(f"e{i}")
+            for i, x in enumerate(vals)
+        ]
+    ).collect()[0]
+    assert all(lit_rows)
