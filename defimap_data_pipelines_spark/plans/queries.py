@@ -7043,6 +7043,103 @@ def q_lang_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_DRIFT_SQL = """
+    WITH pooled AS (
+        SELECT event_id, value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    tot AS (SELECT CAST(SUM(ia) AS BIGINT) AS na,
+                   CAST(SUM(ib) AS BIGINT) AS nb FROM pooled),
+    cums AS (
+        SELECT value,
+               SUM(ia) OVER (ORDER BY value, event_id
+                             ROWS UNBOUNDED PRECEDING) AS ca,
+               SUM(ib) OVER (ORDER BY value, event_id
+                             ROWS UNBOUNDED PRECEDING) AS cb
+        FROM pooled
+    ),
+    ends AS (
+        SELECT value, CAST(MAX(ca) AS BIGINT) AS a_end,
+               CAST(MAX(cb) AS BIGINT) AS b_end
+        FROM cums GROUP BY value
+    ),
+    diffs AS (
+        SELECT value, ABS(a_end * nb - b_end * na) AS d
+        FROM ends, tot
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(CAST(MAX(d) AS DOUBLE) / (na * nb), 6) AS ks_stat,
+           MIN(CASE WHEN d = (SELECT MAX(d) FROM diffs)
+                    THEN value END) AS at_value
+    FROM diffs, tot GROUP BY na, nb
+"""
+
+
+@register("ks_drift", KS_DRIFT_SQL)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT two-sample Kolmogorov-Smirnov statistic
+    (distribution-drift detection between event populations): the sup
+    of |F_a - F_b| over the pooled order. Two scale moves make it
+    exact and distributed: the pooled CDF ranks come from the two-pass
+    parallel prefix sum (never a single-task global window), and the
+    max is selected on the INTEGER cross-product |cumA*nB - cumB*nA| —
+    fp enters only in the one final division, so the argmax (and the
+    reported threshold value) is engine-independent. The classic
+    monitoring primitive for 'did this source's distribution shift'."""
+    from defimap_data_pipelines_spark.operators.packing import (
+        global_cumsum,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pooled = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ia"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ib"),
+    )
+    tot = pooled.agg(
+        F.sum("ia").cast("long").alias("na"),
+        F.sum("ib").cast("long").alias("nb"),
+    ).collect()[0]
+    na, nb = tot["na"], tot["nb"]
+    order = [F.col("value").asc(), F.col("event_id").asc()]
+    with_ca = global_cumsum(pooled, list(order), "ia", out="_ca")
+    with_cb = global_cumsum(with_ca, list(order), "ib", out="_cb")
+    ends = with_cb.groupBy("value").agg(
+        F.max("_ca").cast("long").alias("a_end"),
+        F.max("_cb").cast("long").alias("b_end"),
+    )
+    diffs = ends.select(
+        "value",
+        F.abs(
+            F.col("a_end") * F.lit(nb) - F.col("b_end") * F.lit(na)
+        ).alias("d"),
+    )
+    best = diffs.agg(
+        F.max(F.struct(F.col("d"), (-F.col("value")).alias("negv"))).alias(
+            "_m"
+        )
+    )
+    return best.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(
+            F.col("_m.d").cast("double") / F.lit(float(na * nb)), 6
+        ).alias("ks_stat"),
+        (-F.col("_m.negv")).alias("at_value"),
+    )
+
+
 @register("pack_sequences", None)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (training batch assembly): first-fit-

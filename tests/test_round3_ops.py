@@ -345,3 +345,27 @@ def test_dedup_keep_best_prefers_quality(spark, sf_dir):
         # survivor has max quality (doc_id tiebreak)
         for m in members:
             assert (m.quality, -m.doc_id) <= (best.quality, -best.doc_id)
+
+
+def test_ks_drift_matches_scipy_formula(spark, sf_dir):
+    """The integer-exact KS statistic equals a direct numpy
+    recomputation of sup|F_a - F_b| on the same data."""
+    import numpy as np
+
+    from defimap_data_pipelines_spark.plans.queries import QUERIES, read_table
+
+    row = QUERIES["ks_drift"](spark, sf_dir).collect()[0]
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = np.sort([r.value for r in ev if r.event_type == "click"])
+    b = np.sort([r.value for r in ev if r.event_type == "purchase"])
+    pooled = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, pooled, side="right") / len(a)
+    fb = np.searchsorted(b, pooled, side="right") / len(b)
+    ks = np.max(np.abs(fa - fb))
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.ks_stat - round(ks, 6)) <= 2e-6
