@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "cross_source_dups",
     "temperature_mixture",
     "stream_quality_exec",
+    "edit_distance_pairs",
+    "lang_source_mixture",
+    "ks_drift",
 ]
 
 
