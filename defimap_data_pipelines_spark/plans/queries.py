@@ -6954,6 +6954,7 @@ EDIT_DISTANCE_PAIRS_SQL = f"""
                levenshtein(a.norm, b.norm) AS edit_distance
         FROM staged a JOIN staged b
           ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE ABS(length(a.norm) - length(b.norm)) <= 150
     )
     SELECT doc_a, doc_b, CAST(edit_distance AS BIGINT) AS edit_distance
     FROM cand WHERE edit_distance <= 150
@@ -6966,9 +6967,14 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram blocking key (never all-pairs), verified with an exact
     Levenshtein bound — the character-grain dedup flavor that catches
     small in-place edits n-gram Jaccard dilutes. Distance is integer,
-    so the verify agrees across engines exactly. Same scale shape as
-    every dedup operator here: block groupJoin with bounded fan-out,
-    O(len^2) verify only on blocked candidates."""
+    so the verify agrees across engines exactly. Two standard prunes
+    keep the verify cheap without changing the result set: the length
+    lower bound (|len(a)-len(b)| > d implies distance > d) drops
+    candidates before any DP runs; the thresholded/banded levenshtein
+    variant was MEASURED SLOWER here (threshold ~ doc length makes
+    the band as wide as the table, plus per-row overhead: 11.6 s ->
+    17 s at sf0.1), so the full DP stays — at real near-dup bounds
+    (d << len) the banded form is the right choice."""
     from defimap_data_pipelines_spark.functions.text import (
         normalize_text,
         ws_tokens,
@@ -6992,10 +6998,24 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("_nb"),
         "blk",
     )
-    return (
+    cand = (
         a.join(b, "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
+        .filter(F.abs(F.length("_na") - F.length("_nb")) <= 150)
+    )
+    # barrier before the verify: without it the optimizer pushes the
+    # levenshtein predicate INTO the broadcast join condition, where it
+    # runs interpreted on every blk-colliding pair BEFORE the cheap
+    # doc_a<doc_b / length prunes and AGAIN in the output projection —
+    # measured 18 s vs 2 s at sf0.1. The candidate set is a few MB
+    # (bytes-small, CPU-huge), so materializing it is free; the
+    # repartition also spreads the O(len^2) DP across all cores
+    # instead of AQE's coalesced single partition.
+    cand = cand.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    ).localCheckpoint()
+    return (
+        cand.select(
             "doc_a",
             "doc_b",
             F.levenshtein(F.col("_na"), F.col("_nb"))
