@@ -53,6 +53,7 @@ def _curation_stages(
     jaccard_threshold: float,
     use_minhash: bool,
     hashed: DataFrame | None,
+    pairs_full: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(docs_q, docs_e, losers): the three curation stage frames.
 
@@ -66,6 +67,16 @@ def _curation_stages(
     before pairing. Signatures and pair candidates are per-doc, so
     restricting a full-corpus frame yields exactly the survivor-only
     pairs — the persisted-shingle-table reuse pattern at scale.
+
+    ``pairs_full``: optional precomputed FULL-CORPUS verified pair
+    frame (doc_a, doc_b, jaccard) at the SAME threshold and pairing
+    strategy. The pair relation is pairwise (signatures, band
+    collisions and the exact-Jaccard verify each depend only on the
+    two endpoint docs), so pairs among the survivors equal the full
+    pair set semi-joined to survivors on both endpoints — the pairing
+    pass is skipped entirely. The CLUSTERING still reruns on the
+    filtered pairs: removed docs can bridge clusters, so full-corpus
+    component labels would be wrong.
     """
     from pyspark.sql import Window
 
@@ -102,18 +113,29 @@ def _curation_stages(
         .cache()
     )
 
-    pair_fn = minhash_lsh_candidates if use_minhash else ngram_jaccard_pairs
-    # cache: the narrowed frame feeds both the signature pass and the
-    # exact-Jaccard verify pass; uncached, each consumer would redo the
-    # survivor join against the full-corpus frame
-    hashed_e = (
-        hashed.join(docs_e.select("doc_id"), "doc_id").cache()
-        if hashed is not None
-        else None
-    )
-    pairs = pair_fn(
-        docs_e, text_col, threshold=jaccard_threshold, hashed=hashed_e
-    )
+    if pairs_full is not None:
+        ids = docs_e.select("doc_id")
+        pairs = pairs_full.join(
+            ids, pairs_full["doc_a"] == ids["doc_id"], "left_semi"
+        )
+        pairs = pairs.join(
+            ids, pairs["doc_b"] == ids["doc_id"], "left_semi"
+        )
+    else:
+        pair_fn = (
+            minhash_lsh_candidates if use_minhash else ngram_jaccard_pairs
+        )
+        # cache: the narrowed frame feeds both the signature pass and
+        # the exact-Jaccard verify pass; uncached, each consumer would
+        # redo the survivor join against the full-corpus frame
+        hashed_e = (
+            hashed.join(docs_e.select("doc_id"), "doc_id").cache()
+            if hashed is not None
+            else None
+        )
+        pairs = pair_fn(
+            docs_e, text_col, threshold=jaccard_threshold, hashed=hashed_e
+        )
     clusters = dedup_clusters(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
@@ -128,11 +150,13 @@ def clean_corpus(
     jaccard_threshold: float = 0.5,
     use_minhash: bool = True,
     hashed: DataFrame | None = None,
+    pairs_full: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-filter + dedup pass: returns surviving documents
     (see :func:`_curation_stages` for the stage semantics)."""
     _, docs_e, losers = _curation_stages(
-        docs, text_col, min_quality, jaccard_threshold, use_minhash, hashed
+        docs, text_col, min_quality, jaccard_threshold, use_minhash,
+        hashed, pairs_full,
     )
     return docs_e.join(losers, "doc_id", "left_anti")
 
@@ -144,6 +168,7 @@ def curation_report(
     jaccard_threshold: float = 0.5,
     use_minhash: bool = True,
     hashed: DataFrame | None = None,
+    pairs_full: DataFrame | None = None,
 ) -> DataFrame:
     """One-row funnel report of the curation pass: how many documents
     survive each stage (the observability every production corpus
@@ -152,7 +177,8 @@ def curation_report(
     Columns: n_input, n_quality, n_exact, n_final.
     """
     docs_q, docs_e, losers = _curation_stages(
-        docs, text_col, min_quality, jaccard_threshold, use_minhash, hashed
+        docs, text_col, min_quality, jaccard_threshold, use_minhash,
+        hashed, pairs_full,
     )
     return (
         docs.agg(F.count(F.lit(1)).cast("long").alias("n_input"))

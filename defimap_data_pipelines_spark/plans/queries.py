@@ -1457,6 +1457,33 @@ def q_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- rows-only entries (not SQL-expressible: engine-native hashing) ----
 
 
+_MINHASH_PAIR_CACHE: dict = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached FULL-CORPUS verified minhash pair frame at the curation
+    threshold (0.35): minhash_lsh_dedup, clean_corpus, curation_report
+    and training_dataset all consume the same pair relation, and the
+    pair set is pairwise in its endpoints, so one banded-LSH +
+    exact-verify pass per session serves every consumer (the pair twin
+    of the hashed-shingle cache)."""
+    from defimap_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    key = (id(spark), sf_dir)
+    hit = _MINHASH_PAIR_CACHE.get(key)
+    if hit is None:
+        hit = minhash_lsh_candidates(
+            read_table(spark, sf_dir, "documents"),
+            threshold=0.35,
+            shingles=_doc_shingles(spark, sf_dir),
+            hashed=_hashed_doc_shingles(spark, sf_dir),
+        ).cache()
+        _MINHASH_PAIR_CACHE[key] = hit
+    return hit
+
+
 @register("minhash_lsh_dedup", JACCARD_SQL)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified by exact Jaccard.
@@ -1470,14 +1497,7 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds. 64 hashes / 16 bands give band-match probability
     ~1-(1-s^4)^16: >99.9% at s=0.7, and the verified threshold 0.35
     pairs here all sit above s=0.5."""
-    from defimap_data_pipelines_spark.operators.dedup import minhash_lsh_candidates
-
-    return minhash_lsh_candidates(
-        read_table(spark, sf_dir, "documents"),
-        threshold=0.35,
-        shingles=_doc_shingles(spark, sf_dir),
-        hashed=_hashed_doc_shingles(spark, sf_dir),
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 @register("simhash_xxhash_pairs")
@@ -2239,6 +2259,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.3,
         jaccard_threshold=0.35,
         use_minhash=True,
+        pairs_full=_minhash_pairs(spark, sf_dir),
     )
     return out.select("doc_id", "lang", "source", "n_chars")
 
@@ -4477,10 +4498,11 @@ def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.3,
         jaccard_threshold=0.35,
         use_minhash=True,
-        # reuse the session-cached full-corpus hashed-shingle frame
-        # (shared with the jaccard/minhash queries); clean_corpus
-        # narrows it to the quality+exact-dedup survivors
-        hashed=_hashed_doc_shingles(spark, sf_dir),
+        # reuse the session-cached full-corpus PAIR frame (shared with
+        # minhash_lsh_dedup/clean_corpus/curation_report): the pair
+        # relation is pairwise, so the survivor pairs are a semi-join,
+        # and the whole signature+banding+verify pass is skipped
+        pairs_full=_minhash_pairs(spark, sf_dir),
     )
     # cache: tagged feeds three consumers (the shard operator's totals
     # collect, its final offset join, and the report groupBy) — without
@@ -5503,7 +5525,7 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.3,
         jaccard_threshold=0.35,
         use_minhash=True,
-        hashed=_hashed_doc_shingles(spark, sf_dir),
+        pairs_full=_minhash_pairs(spark, sf_dir),
     )
 
 
