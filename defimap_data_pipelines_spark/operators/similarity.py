@@ -478,6 +478,7 @@ def semdedup_prune(
     tau: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -499,8 +500,12 @@ def semdedup_prune(
     """
     from defimap_data_pipelines_spark.operators.clustering import kmeans_fit
 
-    assigned = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
-                          vec_col=vec_col, keep_vec=True)
+    if assigned is None:
+        # ``assigned``: optional precomputed (vec_id, e, cluster) fit
+        # (kmeans_fit keep_vec=True output) so one clustering serves
+        # every consumer — the k-means twin of the pair-frame cache
+        assigned = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
+                              vec_col=vec_col, keep_vec=True)
     staged = assigned.select(
         "cluster",
         F.col("vec_id"),

@@ -3494,6 +3494,27 @@ KMEANS_SQL = f"""
 """
 
 
+_KMEANS_FIT_CACHE: dict = {}
+
+
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached 2-round k=8 Lloyd fit over the embeddings (vec_id, e,
+    cluster, dist) — kmeans_clusters and semdedup_prune consume the
+    same assignment, so the iterative fit (two checkpointed passes)
+    runs once per session."""
+    from defimap_data_pipelines_spark.operators.clustering import kmeans_fit
+
+    key = (id(spark), sf_dir)
+    hit = _KMEANS_FIT_CACHE.get(key)
+    if hit is None:
+        hit = kmeans_fit(
+            read_table(spark, sf_dir, "embeddings"), k=8, iters=2,
+            keep_vec=True,
+        ).cache()
+        _KMEANS_FIT_CACHE[key] = hit
+    return hit
+
+
 @register("kmeans_clusters", KMEANS_SQL)
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd rounds of deterministic KMeans (k=8, seeded by the 8
@@ -3503,11 +3524,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centroid literals; distances are grid-rounded before the
     argmin so both engines break ties identically (see
     operators/clustering.py for the full determinism contract)."""
-    from defimap_data_pipelines_spark.operators.clustering import kmeans_fit
-
-    assigned = kmeans_fit(
-        read_table(spark, sf_dir, "embeddings"), k=8, iters=2
-    )
+    assigned = _kmeans_assigned(spark, sf_dir)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
         (
@@ -6526,7 +6543,10 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup_prune,
     )
 
-    return semdedup_prune(read_table(spark, sf_dir, "embeddings"))
+    return semdedup_prune(
+        read_table(spark, sf_dir, "embeddings"),
+        assigned=_kmeans_assigned(spark, sf_dir),
+    )
 
 
 def _quality_classifier_sql(dim: int = 256) -> str:
