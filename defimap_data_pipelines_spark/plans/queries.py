@@ -2995,7 +2995,7 @@ _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 DATASET_SPLIT_SQL = f"""
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs
     FROM (
         SELECT {split_case_sql('doc_id', _SPLIT_WEIGHTS)} AS split,
@@ -3027,7 +3027,7 @@ _STRATA_FRACTIONS = {"en": 0.05, "de": 0.2, "fr": 0.5}
 STRATIFIED_SAMPLE_SQL = f"""
     SELECT lang,
            COUNT(*) AS n_sampled,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE {bucket_sql('doc_id')} <
           CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 2000
@@ -3072,7 +3072,7 @@ TOKEN_SHARDS_SQL = """
     )
     SELECT CAST(FLOOR((cum - n_tok) / 4096.0) AS BIGINT) AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM c
@@ -3183,11 +3183,11 @@ PII_REDACTION_SQL = f"""
         FROM documents
     )
     SELECT doc_id % 10 AS bucket,
-           SUM(len(regexp_extract_all(text2, '{_EMAIL_RE}'))) AS n_emails,
-           SUM(len(regexp_extract_all(text2, '{_PHONE_RE}'))) AS n_phones,
-           SUM(CAST(length(regexp_replace(regexp_replace(text2,
+           CAST(SUM(len(regexp_extract_all(text2, '{_EMAIL_RE}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text2, '{_PHONE_RE}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(CAST(length(regexp_replace(regexp_replace(text2,
                    '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)) AS redacted_chars
+                   '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)) AS BIGINT) AS redacted_chars
     FROM aug
     GROUP BY 1
 """
@@ -3294,7 +3294,7 @@ DATE_SPINE_SQL = f"""
            COUNT(*) AS n_days,
            CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
                AS n_observed,
-           SUM(CAST(ROUND(price * 100) AS BIGINT)) AS price_checksum
+           CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) AS price_checksum
     FROM filled
     GROUP BY name
 """
@@ -3370,7 +3370,7 @@ FUNNEL_SQL = """
     SELECT (SELECT COUNT(*) FROM s1) AS n_view,
            (SELECT COUNT(*) FROM s2) AS n_view_click,
            (SELECT COUNT(*) FROM s3) AS n_full_funnel,
-           (SELECT COALESCE(SUM(t3 - t1), 0) FROM s3) AS total_convert_us
+           CAST((SELECT COALESCE(SUM(t3 - t1), 0) FROM s3) AS BIGINT) AS total_convert_us
 """
 
 
@@ -4487,7 +4487,7 @@ def _training_dataset_sql() -> str:
         SELECT split,
                COALESCE(shard, -1) AS shard,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               SUM(n_tok) AS total_tokens
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens
         FROM tagged LEFT JOIN train_shards USING (doc_id)
         GROUP BY split, COALESCE(shard, -1)
     """
@@ -6078,7 +6078,7 @@ def _mixture_sql() -> str:
         FROM weighted
     )
     SELECT source, n_docs,
-           ROUND(mixture_weight, 6) AS mixture_weight,
+           CAST(ROUND(mixture_weight, 6) AS DOUBLE) AS mixture_weight,
            ROUND(CASE WHEN mixture_weight > 0
                       THEN LEAST(1.0, mixture_weight
                                * (SELECT MIN(implied_total) FROM scaled)

@@ -55,3 +55,21 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         else:
             mism = (av.astype(str) != bv.astype(str)).sum()
         assert mism == 0, f"col {c}: {mism}/{len(a)} value mismatches"
+
+
+def test_no_decimal_columns_in_any_oracle_output(duck):
+    """Structural guard for the round-3 driver failure class.
+
+    DuckDB's SUM over BIGINT returns HUGEINT (arrow decimal128(38,0)),
+    which value-compares equal to Spark's int64 but hashes differently in
+    the driver's dtype-sensitive value hash — r3 lost 4 window slots to
+    exactly this.  Every oracle SQL must CAST such aggregates so that NO
+    oracle result schema contains a decimal column, ever.
+    """
+    offenders = {}
+    for name, sql in sorted(ORACLE.items()):
+        schema = duck.execute(sql).arrow().schema
+        decs = [f"{f.name}:{f.type}" for f in schema if str(f.type).startswith("decimal")]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, f"oracle SQL emits decimal columns: {offenders}"
