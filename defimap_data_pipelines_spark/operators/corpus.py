@@ -205,13 +205,19 @@ def dedup_against_seen(
     fingerprint already exists in the ``seen`` state table OR is
     claimed by an earlier new doc, and return the updated state.
 
+    PRECONDITION — ids must arrive in nondecreasing order across
+    batches. Under that ordering, replaying a corpus in ANY batch
+    split yields exactly the batch-mode `dedup_exact` canonicals
+    (asserted in tests), because within a batch the min-doc_id rule
+    picks the same canonical the global pass would. If a SMALLER-id
+    duplicate arrives in a LATER batch, it is dropped (first-seen
+    wins) instead of becoming the canonical, so the replay diverges
+    from batch mode — tests/test_incremental.py documents this
+    out-of-order divergence explicitly.
+
     Returns ``(survivors, seen_after)`` where ``seen_after`` is the
     union of the old state and the survivors' fingerprints — persist
     it (e.g. idempotent_replace_range) and feed it to the next batch.
-    The invariant, asserted in tests: replaying a corpus in ANY batch
-    split yields exactly the batch-mode `dedup_exact` canonicals,
-    because within a batch the min-doc_id rule picks the same
-    canonical the global pass would (for ids that arrive in order).
 
     Scale shape: state is one row per DISTINCT document (fingerprint +
     canonical id — a few dozen bytes, not the text), the probe is a

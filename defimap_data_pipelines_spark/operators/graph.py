@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 #: edge sets are SPARSE by construction (LSH emits only verified
 #: pairs), so in practice even petabyte corpora produce edge frames
 #: far below this; the BSP path stays the default above it.
-SMALL_GRAPH_EDGES = 1_000_000
+#: 100k (not 1M): node ids are often string fingerprints/paths, and
+#: collect() of 2x100k symmetrized string-pair rows is ~tens of MB of
+#: Python objects — comfortably safe on any driver, while 2M rows of
+#: long paths could reach hundreds of MB (round-3 advice).
+SMALL_GRAPH_EDGES = 100_000
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
@@ -92,7 +96,8 @@ def connected_components(
     below ``small_graph_edges`` the closure runs as driver union-find
     (one job instead of diameter-many shuffle rounds), above it the
     BSP loop runs unchanged. Both paths produce identical labels
-    (differential-tested in tests/test_properties.py).
+    (differential-tested in
+    tests/test_round2_ops.py::test_cc_union_find_and_bsp_agree).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))

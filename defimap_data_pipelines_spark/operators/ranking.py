@@ -186,6 +186,7 @@ def vocab_ids(
     docs: DataFrame,
     text_col: str = "text",
     min_count: int = 2,
+    with_running_total: bool = False,
 ) -> DataFrame:
     """Frequency-ranked vocabulary with DENSE integer ids — the
     tokenizer-training precursor (id 0 = most frequent token; ties
@@ -199,6 +200,11 @@ def vocab_ids(
     per-partition totals (numPartitions longs on the driver). Exact,
     layout-independent, and the heavy corpus tokenization stays one
     map-side-combined groupBy.
+
+    ``with_running_total=True`` adds a ``running_occurrences`` column
+    (inclusive cumsum of n_occurrences in token_id order) riding the
+    SAME prefix-sum pass as the rank — multi-column global_cumsum, so
+    vocab_coverage costs zero extra shuffles over vocab_ids.
     """
     from defimap_data_pipelines_spark.operators.packing import global_cumsum
 
@@ -208,14 +214,19 @@ def vocab_ids(
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
     )
+    vals = ["_one", "n_occurrences"] if with_running_total else "_one"
+    outs = ["_rank", "running_occurrences"] if with_running_total else "_rank"
     ranked = global_cumsum(
         counts.withColumn("_one", F.lit(1).cast("long")),
         [F.col("n_occurrences").desc(), F.col("token").asc()],
-        "_one",
-        out="_rank",
+        vals,
+        out=outs,
     )
-    return ranked.select(
+    cols = [
         (F.col("_rank") - 1).cast("long").alias("token_id"),
-        "token",
-        "n_occurrences",
-    )
+        F.col("token"),
+        F.col("n_occurrences"),
+    ]
+    if with_running_total:
+        cols.append(F.col("running_occurrences").cast("long"))
+    return ranked.select(*cols)

@@ -353,8 +353,14 @@ def ivf_topk(
                 "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
                 "0.0D, (acc, w) -> acc + w)"
             )
+            # coalesce NULL negcos (zero-norm centroid or vector ->
+            # try_divide NULL) to +inf so degenerate centroids sort LAST
+            # in the ascending struct order — matching the previous
+            # row_number(cosine DESC) behavior where NULL cosines lost
             parts.append(
-                f"struct(-try_divide({d}, {ncol} * {_dlit(cnorms[cid])}) "
+                f"struct(coalesce(-try_divide({d}, "
+                f"{ncol} * {_dlit(cnorms[cid])}), "
+                f"CAST('Infinity' AS DOUBLE)) "
                 f"AS negcos, {cid} AS centroid_id)"
             )
         return F.expr("array(" + ",".join(parts) + ")")

@@ -6736,34 +6736,32 @@ VOCAB_COVERAGE_SQL = f"""
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-planning metric: fraction of all token OCCURRENCES
     covered by the top-N vocabulary at checkpoint sizes — the curve
-    that decides a vocab size before training a tokenizer. Reuses the
-    two-pass parallel prefix rank (vocab_ids) and runs a SECOND
-    global_cumsum over the ranked counts for the running coverage; the
-    only driver data are the per-partition offsets and the one total
-    scalar (the documented Q15-style pattern)."""
-    from defimap_data_pipelines_spark.operators.packing import (
-        global_cumsum,
-    )
+    that decides a vocab size before training a tokenizer. The running
+    coverage rides the SAME prefix-sum pass as the rank (multi-column
+    global_cumsum inside vocab_ids) — one range shuffle total, where
+    round 3 paid two; the only driver data are the per-partition
+    offsets and the one total scalar (the documented Q15-style
+    pattern)."""
     from defimap_data_pipelines_spark.operators.ranking import vocab_ids
 
     vocab = vocab_ids(
-        read_table(spark, sf_dir, "documents"), min_count=1
+        read_table(spark, sf_dir, "documents"),
+        min_count=1,
+        with_running_total=True,
     )
     total = vocab.agg(
         F.sum("n_occurrences").cast("long").alias("t")
     ).collect()[0]["t"]
-    cum = global_cumsum(
-        vocab, [F.col("token_id").asc()], "n_occurrences", out="_cum"
-    )
     return (
-        cum.filter((F.col("token_id") + 1).isin(4, 8, 16))
+        vocab.filter((F.col("token_id") + 1).isin(4, 8, 16))
         .select(
             (F.col("token_id") + 1).alias("vocab_size"),
-            F.col("_cum").cast("long").alias("covered"),
+            F.col("running_occurrences").cast("long").alias("covered"),
             F.lit(total).cast("long").alias("total_occurrences"),
-            (F.col("_cum").cast("double") / F.lit(float(total))).alias(
-                "coverage"
-            ),
+            (
+                F.col("running_occurrences").cast("double")
+                / F.lit(float(total))
+            ).alias("coverage"),
         )
     )
 
@@ -7175,9 +7173,12 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     na, nb = tot["na"], tot["nb"]
     order = [F.col("value").asc(), F.col("event_id").asc()]
-    with_ca = global_cumsum(pooled, list(order), "ia", out="_ca")
-    with_cb = global_cumsum(with_ca, list(order), "ib", out="_cb")
-    ends = with_cb.groupBy("value").agg(
+    # both indicator cumsums share ONE range shuffle + totals collect
+    # (multi-column global_cumsum — round-3 verdict item 5)
+    with_c = global_cumsum(
+        pooled, list(order), ["ia", "ib"], out=["_ca", "_cb"]
+    )
+    ends = with_c.groupBy("value").agg(
         F.max("_ca").cast("long").alias("a_end"),
         F.max("_cb").cast("long").alias("b_end"),
     )
@@ -7241,12 +7242,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # report 50/50 full value-hash checks (no rows-only entries burn a
 # checked slot).
 
-# Round-4 rotation candidates (oracle-backed, not yet driver-checked):
-# semdedup_prune, quality_classifier, dedup_keep_best, gopher_rules,
-# stream_quality_exec, ann_recall_eval, vocab_coverage,
-# cross_source_dups, temperature_mixture, edit_distance_pairs,
-# bpe_merge_pairs — swap for window entries that earn green rows in
-# CORRECTNESS_r03 (keep the 9 reference-parity flagships first).
+# Round-5 rotation candidates (oracle-backed, still never driver-checked
+# after the round-4 rotation below): embedding_allpairs_exact, bool_aggs,
+# stats_moments, date_arith, minmax_by, grouping_sets_id, nulls_ordering,
+# limit_offset, price_histogram, interval_count_join, dq_checks,
+# revenue_share, weighted_moving_avg, zscore_anomalies, pareto_frontier,
+# rolling_active_users, event_transitions, drawdown_series,
+# rolling_volatility, return_correlation_matrix, benford_digit_check,
+# multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
+# q13_count_distribution was checked r4 — swap these in for r4 greens
+# (keep the 9 reference-parity flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
@@ -7259,50 +7264,52 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # round-2 flagships never yet driver-checked
+    # r3 hash-fails, oracle SQL fixed this round — must re-earn green
     "training_dataset",
-    "neardup_components",
-    "bm25_search",
-    "tfidf_top_terms",
-    "unigram_perplexity",
-    "decontamination_overlap",
-    "token_chunks",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q21_waiting_supplier",
-    "stream_tumbling_exec",
-    "stream_sessions_exec",
-    "stream_sliding_exec",
-    "stream_join_exec",
-    "stream_dedup_exec",
-    # changed this round: now oracle-backed / bucketed
-    "simhash_pairs",
-    "rolling_hash_fingerprint",
-    "hll_distinct_users",
-    "embedding_neardup_pairs",
-    # LLM-pipeline surface not yet driver-checked
-    "clean_corpus",
-    "curation_report",
-    "source_mixture_plan",
-    "vector_stats",
-    "corpus_quality_by_source",
-    "line_dedup",
     "stratified_sample",
     "token_shards",
-    "doc_repetition",
     "pii_redaction",
-    "kmeans_clusters",
-    "lsh_topk",
-    "char_entropy",
-    "sentence_split_udtf",
-    "multimodal_framesample",
-    "substring_dedup",
-    "exact_median_distributed",
-    "vocab_ids",
-    "mixture_resample",
-    "bucketed_join_agg",
-    "asof_next_purchase",
+    # round-3 flagships earning their first driver rows
+    "semdedup_prune",
+    "quality_classifier",
+    "dedup_keep_best",
+    "gopher_rules",
+    "stream_quality_exec",
+    "ann_recall_eval",
+    "vocab_coverage",
+    "cross_source_dups",
+    "temperature_mixture",
+    "edit_distance_pairs",
+    "bpe_merge_pairs",
+    # changed this round (latent decimal fixes / ADVICE fixes / rework)
+    "dataset_split",
+    "date_spine_ffill",
+    "event_funnel",
+    "ivf_topk_trained",
+    "ks_drift",
+    "multimodal_decode",
+    # TPC-H variants never yet driver-checked
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q11_important_value",
+    "q12_priority_split",
+    "q13_count_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q20_dominant_supplier",
+    "q22_inactive_customers",
+    "gotk_sql",
+    # time-series / scale surface never yet driver-checked
+    "resample_weekly_ohlc",
+    "winsorized_stats",
+    "cohort_retention",
+    "salted_join_agg",
+    "embedding_quantize_int8",
 ]
 
 

@@ -234,3 +234,43 @@ def test_incremental_dedup_equals_batch(spark):
         assert set(survived) == batch, split
         # state holds exactly one row per distinct doc
         assert seen.count() == 40
+
+
+def test_incremental_dedup_out_of_order_divergence(spark):
+    """Documents the dedup_against_seen precondition: when a SMALLER-id
+    duplicate arrives in a LATER batch, first-seen wins (the later,
+    smaller id is dropped), so the replay diverges from batch-mode
+    exact_dedup, whose canonical is always the global min id. This is
+    the documented out-of-order divergence in the operator docstring,
+    not a bug — ingest pipelines assign monotone ids."""
+    from defimap_data_pipelines_spark.operators.corpus import (
+        dedup_against_seen,
+    )
+    from defimap_data_pipelines_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (0, "alpha")],
+        ["doc_id", "text"],
+    )
+    batch = {
+        r.canonical_id
+        for r in exact_dedup(docs).select("canonical_id").collect()
+    }
+    assert batch == {0, 2}  # global min id canonicalizes "alpha" to 0
+
+    # replay: batch 1 = ids {1,2,3}, batch 2 = the out-of-order id 0
+    seen = None
+    s1, seen = dedup_against_seen(
+        docs.filter(F.col("doc_id") >= 1), seen
+    )
+    seen = seen.localCheckpoint()
+    s2, seen = dedup_against_seen(
+        docs.filter(F.col("doc_id") == 0), seen
+    )
+    survived = {r.doc_id for r in s1.collect()} | {
+        r.doc_id for r in s2.collect()
+    }
+    # first-seen wins: id 1 is the incremental canonical for "alpha";
+    # the late-arriving smaller id 0 is dropped -> diverges from batch
+    assert survived == {1, 2}
+    assert survived != batch
