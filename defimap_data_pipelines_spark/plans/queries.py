@@ -1532,13 +1532,14 @@ MULTIMODAL_SQL = """
 """
 
 
-@register("multimodal_decode", MULTIMODAL_SQL)
-def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column plumbing: Arrow-batched mapInPandas decode
-    over the opaque payload column. The codec is a deterministic
-    sha256-derived stand-in (no image/audio libs in this container), so
-    even the Python decode path is fully oracle-checked — DuckDB
-    replays the digest-derived metadata from the same utf-8 bytes."""
+@register("multimodal_digest_features", MULTIMODAL_SQL)
+def q_multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing with the digest STAND-IN codec
+    (the fallback decode_media uses for compressed formats): Arrow-
+    batched mapInPandas over the opaque payload column; DuckDB replays
+    the sha256-derived metadata from the same utf-8 bytes, so even the
+    Python fallback path is fully oracle-checked. The REAL codec path
+    is ``multimodal_decode`` below."""
     from defimap_data_pipelines_spark.operators.multimodal import (
         decode_media,
         docs_as_media,
@@ -1546,6 +1547,60 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return decode_media(
         docs_as_media(read_table(spark, sf_dir, "documents")), codec="stub"
+    )
+
+
+# Real-codec decode: synth_real_media writes VALID BMP/PPM/WAV bytes
+# with closed-form dimensions, decode_real_media parses the actual
+# bytes back with stdlib struct codecs (operators/multimodal.py), and
+# the oracle replays dims + exact byte sizes from the same closed
+# forms — any header-layout or endianness bug in builder OR parser
+# breaks the value hash. n_bytes formulas: BMP = 54-byte header +
+# 4-aligned rows; PPM = ASCII header (digit-count dependent) + 3wh;
+# WAV = 44-byte header + 2 bytes/sample.
+MULTIMODAL_REAL_SQL = """
+    WITH m AS (
+        SELECT doc_id AS media_id, CAST(doc_id % 3 AS INTEGER) AS k,
+               CAST(1 + (doc_id * 7) % 31 AS INTEGER) AS bw,
+               CAST(1 + (doc_id * 11) % 17 AS INTEGER) AS bh,
+               CAST(1 + (doc_id * 5) % 29 AS INTEGER) AS pw,
+               CAST(1 + (doc_id * 3) % 13 AS INTEGER) AS ph,
+               CAST(16 + (doc_id * 13) % 480 AS BIGINT) AS ns
+        FROM documents
+    )
+    SELECT media_id,
+           CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'ppm' END
+               AS format,
+           CASE k WHEN 1 THEN bw WHEN 2 THEN pw END AS width,
+           CASE k WHEN 1 THEN bh WHEN 2 THEN ph END AS height,
+           CASE k WHEN 0 THEN CAST(ns * 2 * 1000 // 16000 AS BIGINT) END
+               AS duration_ms,
+           CAST(CASE k
+                WHEN 0 THEN 44 + 2 * ns
+                WHEN 1 THEN 54 + ((3 * bw + 3) // 4 * 4) * bh
+                ELSE 3 + length(CAST(pw AS VARCHAR)) + 1
+                       + length(CAST(ph AS VARCHAR)) + 5 + 3 * pw * ph
+                END AS BIGINT) AS n_bytes
+    FROM m
+"""
+
+
+@register("multimodal_decode", MULTIMODAL_REAL_SQL)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, stdlib-only: valid BMP/PPM/WAV payload bytes
+    are parsed back by struct-based header codecs
+    (operators/multimodal.py::decode_real_media) inside Arrow-batched
+    mapInPandas — no fake features anywhere in this path. The oracle
+    recomputes width/height/duration and the exact byte size in closed
+    form, so a builder/parser disagreement at any byte offset fails
+    the value hash."""
+    from defimap_data_pipelines_spark.operators.multimodal import (
+        decode_real_media,
+        synth_real_media,
+    )
+
+    return decode_real_media(
+        synth_real_media(read_table(spark, sf_dir, "documents"))
     )
 
 
@@ -7250,7 +7305,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_active_users, event_transitions, drawdown_series,
 # rolling_volatility, return_correlation_matrix, benford_digit_check,
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
-# q13_count_distribution was checked r4 — swap these in for r4 greens
+# multimodal_digest_features (new r4) — swap these in for r4 greens
 # (keep the 9 reference-parity flagships first).
 
 _DRIVER_WINDOW = [
