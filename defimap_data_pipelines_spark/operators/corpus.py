@@ -249,3 +249,149 @@ def dedup_against_seen(
         seen.unionByName(new_state) if seen is not None else new_state
     )
     return survivors, seen_after
+
+
+class CurationState:
+    """Compact persisted state for :func:`clean_corpus_incremental` —
+    one row per historical docs_e survivor, never the text:
+
+    - ``fingerprints``: (fingerprint, canonical_id) exact-dedup state
+      (same shape dedup_against_seen persists);
+    - ``hashed``: (doc_id, _hh array<bigint>) hashed shingles of every
+      quality+exact survivor (the persisted-shingle-silver-table
+      pattern — signatures rebuild from 8-byte hashes, not text);
+    - ``pairs``: (doc_a, doc_b, jaccard) all verified near-dup pairs
+      among historical survivors.
+
+    At 100 TB each member is a Delta/parquet table the daily job
+    MERGEs into; here they ride as DataFrames (localCheckpoint between
+    batches plays the persist role in tests).
+    """
+
+    def __init__(self, fingerprints: DataFrame, hashed: DataFrame,
+                 pairs: DataFrame):
+        self.fingerprints = fingerprints
+        self.hashed = hashed
+        self.pairs = pairs
+
+    def checkpointed(self) -> "CurationState":
+        return CurationState(
+            self.fingerprints.localCheckpoint(),
+            self.hashed.localCheckpoint(),
+            self.pairs.localCheckpoint(),
+        )
+
+
+def clean_corpus_incremental(
+    new_docs: DataFrame,
+    state: CurationState | None,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+) -> tuple[DataFrame, CurationState]:
+    """Incremental clean_corpus: cure an APPENDED batch against
+    persisted curation state so that append-then-cure equals
+    cure-from-scratch (tests/test_incremental.py asserts the
+    equivalence), without ever re-reading historical text.
+
+    Same PRECONDITION as dedup_against_seen: doc ids arrive in
+    nondecreasing order across batches (so first-seen == global
+    min-id canonical).
+
+    Returns ``(survivor_ids, new_state)`` where survivor_ids is the
+    CURRENT full survivor set as (doc_id) — a new batch can demote a
+    previously surviving document (a bridge doc can merge two old
+    clusters), which is why the output is the full set, not a delta;
+    diff against the previous materialization to get retractions.
+
+    Scale shape per batch: one scan of the NEW text only (quality +
+    fingerprint + shingles), one anti-join against the fingerprint
+    state, a band-bucket join of the new signatures against old+new
+    signatures (never old×old again), exact-Jaccard verify of the new
+    candidates, and re-clustering of the (sparse) verified pair set.
+    The pair relation is pairwise in its endpoints, so
+    old-pairs ∪ new-touching-pairs is exactly the from-scratch pair
+    set — the same argument _curation_stages uses for pairs_full.
+    """
+    from defimap_data_pipelines_spark.operators.dedup import (
+        _verify_jaccard,
+        doc_shingles,
+        hashed_shingles,
+        minhash_signatures,
+    )
+    from defimap_data_pipelines_spark.operators.textops import (
+        with_quality_score,
+    )
+
+    docs_q = (
+        with_quality_score(new_docs, text_col)
+        .filter(F.col("quality_score") >= min_quality)
+        .drop("quality_score")
+    )
+    fresh, fp_after = dedup_against_seen(
+        docs_q, state.fingerprints if state else None, text_col
+    )
+    hashed_new = hashed_shingles(
+        doc_shingles(fresh, text_col)
+    ).localCheckpoint()
+    hashed_all = (
+        state.hashed.unionByName(hashed_new) if state else hashed_new
+    )
+
+    # band the new signatures against old+new: every pair touching a
+    # new doc is found; old-old pairs already live in state.pairs
+    num_hashes, bands = 64, 16
+    r = num_hashes // bands
+    sig_all = minhash_signatures(None, text_col, hashed=hashed_all)
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("sig", b * r + i)
+                                    for i in range(1, r + 1)
+                                ],
+                                F.lit(b),
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    b_all = banded(sig_all).localCheckpoint()
+    new_ids = hashed_new.select("doc_id")
+    b_new = b_all.join(new_ids, "doc_id", "left_semi")
+    cand = (
+        b_new.select(F.col("doc_id").alias("doc_n"), "band", "bucket")
+        .join(
+            b_all.select(F.col("doc_id").alias("doc_x"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_n") != F.col("doc_x"))
+        .select(
+            F.least("doc_n", "doc_x").alias("doc_a"),
+            F.greatest("doc_n", "doc_x").alias("doc_b"),
+        )
+        .distinct()
+    )
+    new_pairs = _verify_jaccard(cand, hashed_all, jaccard_threshold)
+    pairs_all = (
+        state.pairs.unionByName(new_pairs) if state else new_pairs
+    )
+
+    clusters = dedup_clusters(pairs_all)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    survivor_ids = hashed_all.select("doc_id").join(
+        losers, "doc_id", "left_anti"
+    )
+    return survivor_ids, CurationState(fp_after, hashed_all, pairs_all)

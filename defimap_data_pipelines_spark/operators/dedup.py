@@ -237,8 +237,14 @@ def minhash_signatures(
     # (A per-row transform() formulation looks cheaper but Catalyst's
     # projection collapse re-inlines the shingle array into all 64
     # lambdas when the input frame isn't cached — 30x slower.)
-    src = shingles if shingles is not None else doc_shingles(docs, text_col, n)
-    hs = hashed if hashed is not None else hashed_shingles(src)
+    if hashed is not None:
+        hs = hashed  # docs may be None: signatures need only the hashes
+    else:
+        src = (
+            shingles if shingles is not None
+            else doc_shingles(docs, text_col, n)
+        )
+        hs = hashed_shingles(src)
     post = hs.select("doc_id", F.explode("_hh").alias("h"))
     aggs = [
         F.min(F.xxhash64("h", F.lit(i))).alias(f"_h{i}")

@@ -274,3 +274,42 @@ def test_incremental_dedup_out_of_order_divergence(spark):
     # the late-arriving smaller id 0 is dropped -> diverges from batch
     assert survived == {1, 2}
     assert survived != batch
+
+
+def test_incremental_clean_corpus_equals_batch(spark, sf_dir):
+    """Append-then-cure == cure-from-scratch: replaying the documents
+    table through clean_corpus_incremental in batches (in-order ids)
+    yields exactly the batch-mode clean_corpus survivor set, including
+    demotions where a later bridge doc merges two earlier clusters."""
+    from defimap_data_pipelines_spark.operators.corpus import (
+        clean_corpus,
+        clean_corpus_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {
+        r.doc_id for r in clean_corpus(docs).select("doc_id").collect()
+    }
+
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    for split in (cuts, [ids[1]], [ids[len(ids) // 2]]):
+        state, survivors = None, None
+        lo = None
+        for hi in list(split) + [None]:
+            part = docs
+            if lo is not None:
+                part = part.filter(F.col("doc_id") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("doc_id") < hi)
+            survivors, state = clean_corpus_incremental(part, state)
+            state = state.checkpointed()
+            lo = hi
+        inc = {r.doc_id for r in survivors.collect()}
+        assert inc == batch, (
+            f"split {split}: {len(inc)} vs {len(batch)}; "
+            f"only-inc={sorted(inc - batch)[:5]} "
+            f"only-batch={sorted(batch - inc)[:5]}"
+        )
