@@ -224,3 +224,48 @@ def deterministic_group_cap(
         .filter(F.col(out_col) <= k)
         .drop("_salt", "_r1")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    key: str = "doc_id",
+    shard_size: int | None = None,
+    out: str = "position",
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every epoch
+    permutes the corpus by ``md5(epoch || '|' || key)`` — a different,
+    reproducible total order per epoch with no RNG state to persist
+    (the property a distributed data loader needs: any worker can
+    recompute any epoch's order from the epoch number alone).
+
+    ``out`` is the 0-based global position in the epoch order;
+    ``shard_size`` additionally assigns ``shard = position //
+    shard_size`` (contiguous ranges of the shuffled order -> shard
+    files). The global rank comes from the two-pass parallel prefix
+    sum (packing.global_cumsum), never a single-task global window,
+    and md5 keys replay exactly in a SQL oracle — no floats anywhere.
+    """
+    from defimap_data_pipelines_spark.operators.packing import (
+        global_cumsum,
+    )
+
+    keyed = df.withColumn(
+        "_ek",
+        F.md5(F.concat_ws("|", F.lit(epoch).cast("string"),
+                          F.col(key).cast("string"))),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_cumsum(
+        keyed,
+        [F.col("_ek").asc(), F.col(key).asc()],
+        "_one",
+        out="_rank",
+    )
+    ranked = ranked.withColumn(out, (F.col("_rank") - 1).cast("long")).drop(
+        "_ek", "_one", "_rank"
+    )
+    if shard_size is not None:
+        ranked = ranked.withColumn(
+            "shard", (F.col(out) / F.lit(shard_size)).cast("long")
+        )
+    return ranked

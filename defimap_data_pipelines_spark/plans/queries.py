@@ -7258,6 +7258,122 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_SHUFFLE_SQL = """
+    WITH ordered AS (
+        SELECT e.epoch, d.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.epoch
+                   ORDER BY md5(CAST(e.epoch AS VARCHAR) || '|'
+                                || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+               ) - 1 AS position
+        FROM documents d CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+           CAST(position AS BIGINT) AS position,
+           CAST(position // 512 AS BIGINT) AS shard
+    FROM ordered
+"""
+
+
+@register("epoch_shuffle", EPOCH_SHUFFLE_SQL)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle
+    (operators/sampling.py::epoch_shuffle): each epoch is a different
+    reproducible md5 permutation of the corpus — the distributed data
+    loader's 'recompute any epoch's order from the epoch number alone'
+    contract. Positions come from the two-pass parallel prefix sum
+    (no single-task global window); no floats or RNG anywhere, so the
+    full (epoch, position, shard) assignment replays exactly in SQL.
+    The oracle's ROW_NUMBER over a global ORDER BY is precisely the
+    single-task plan this operator exists to avoid."""
+    from defimap_data_pipelines_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    frames = [
+        epoch_shuffle(docs, epoch=e, shard_size=512).select(
+            F.lit(e).cast("int").alias("epoch"),
+            "doc_id",
+            "position",
+            "shard",
+        )
+        for e in (0, 1)
+    ]
+    return frames[0].unionByName(frames[1])
+
+
+def _cms_sql() -> str:
+    from defimap_data_pipelines_spark.operators.sketches import (
+        DEPTH,
+        WIDTH,
+        cms_bucket_sql,
+    )
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT token, {r} AS row, {cms_bucket_sql('token', r, WIDTH)}"
+        f" AS bucket FROM toks"
+        for r in range(DEPTH)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM toks GROUP BY token
+    ),
+    cells AS ({cell_rows}),
+    counters AS (
+        SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cells GROUP BY row, bucket
+    ),
+    probes AS (
+        SELECT token, exact_n FROM exact
+        ORDER BY exact_n DESC, token ASC LIMIT 20
+    )
+    SELECT p.token, p.exact_n,
+           CAST(MIN(k.c) AS BIGINT) AS cms_estimate
+    FROM probes p
+    JOIN cells pc ON pc.token = p.token
+    JOIN counters k ON k.row = pc.row AND k.bucket = pc.bucket
+    GROUP BY p.token, p.exact_n
+    """
+
+
+@register("cms_heavy_hitters", _cms_sql())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top-20
+    tokens (operators/sketches.py): the counter grid is depth*width
+    rows total (KBs at any corpus size, built by one map-side-combined
+    groupBy), probes broadcast-join against it, and the md5-derived
+    bucket hashes make the sketch — including its collision
+    OVERestimates — bit-exact in both engines, so this is a strong
+    value-hash check of a probabilistic structure, not a bound check.
+    Companion to the HLL distinct sketch (hll_distinct_users)."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+    from defimap_data_pipelines_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+    )
+    counters = cms_counters(toks)
+    probes = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    return cms_estimate(counters, probes).join(probes, "token").select(
+        "token", "exact_n", "cms_estimate"
+    )
+
+
 @register("pack_sequences", None)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (training batch assembly): first-fit-
@@ -7305,8 +7421,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_active_users, event_transitions, drawdown_series,
 # rolling_volatility, return_correlation_matrix, benford_digit_check,
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
-# multimodal_digest_features (new r4) — swap these in for r4 greens
-# (keep the 9 reference-parity flagships first).
+# multimodal_digest_features, epoch_shuffle, cms_heavy_hitters (new r4)
+# — swap these in for r4 greens (keep the 9 reference-parity
+# flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
