@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "edit_distance_pairs",
     "lang_source_mixture",
     "ks_drift",
+    # round-4 additions
+    "multimodal_decode",
+    "epoch_shuffle",
+    "cms_heavy_hitters",
 ]
 
 
