@@ -228,7 +228,7 @@ def deterministic_group_cap(
 
 def epoch_shuffle(
     df: DataFrame,
-    epoch: int,
+    epoch: int | list[int],
     key: str = "doc_id",
     shard_size: int | None = None,
     out: str = "position",
@@ -245,27 +245,45 @@ def epoch_shuffle(
     files). The global rank comes from the two-pass parallel prefix
     sum (packing.global_cumsum), never a single-task global window,
     and md5 keys replay exactly in a SQL oracle — no floats anywhere.
+
+    ``epoch`` may be a LIST of epochs: all of them then share ONE
+    prefix-sum pass (an ``epoch`` output column is added). Ordering by
+    (epoch, md5 key) makes the global rank epoch-contiguous, and every
+    epoch holds exactly |df| rows, so the within-epoch position is
+    just ``rank - 1 - epoch_index * n`` — a projection, not another
+    shuffle. Planning E epochs costs one range shuffle instead of E.
     """
     from defimap_data_pipelines_spark.operators.packing import (
         global_cumsum,
     )
 
-    keyed = df.withColumn(
+    epochs = epoch if isinstance(epoch, list) else [epoch]
+    single = not isinstance(epoch, list)
+    n = df.count()
+    exploded = df.withColumn(
+        "epoch",
+        F.explode(F.array(*[F.lit(e).cast("int") for e in epochs])),
+    )
+    keyed = exploded.withColumn(
         "_ek",
-        F.md5(F.concat_ws("|", F.lit(epoch).cast("string"),
+        F.md5(F.concat_ws("|", F.col("epoch").cast("string"),
                           F.col(key).cast("string"))),
     ).withColumn("_one", F.lit(1).cast("long"))
+    # epoch_index in registration order (epochs need not be 0..E-1)
+    eidx = F.array_position(
+        F.array(*[F.lit(e).cast("int") for e in epochs]), F.col("epoch")
+    ) - 1
     ranked = global_cumsum(
         keyed,
-        [F.col("_ek").asc(), F.col(key).asc()],
+        [F.col("epoch").asc(), F.col("_ek").asc(), F.col(key).asc()],
         "_one",
         out="_rank",
     )
-    ranked = ranked.withColumn(out, (F.col("_rank") - 1).cast("long")).drop(
-        "_ek", "_one", "_rank"
-    )
+    ranked = ranked.withColumn(
+        out, (F.col("_rank") - 1 - eidx * F.lit(n)).cast("long")
+    ).drop("_ek", "_one", "_rank")
     if shard_size is not None:
         ranked = ranked.withColumn(
             "shard", (F.col(out) / F.lit(shard_size)).cast("long")
         )
-    return ranked
+    return ranked.drop("epoch") if single else ranked

@@ -7292,16 +7292,10 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    frames = [
-        epoch_shuffle(docs, epoch=e, shard_size=512).select(
-            F.lit(e).cast("int").alias("epoch"),
-            "doc_id",
-            "position",
-            "shard",
-        )
-        for e in (0, 1)
-    ]
-    return frames[0].unionByName(frames[1])
+    # both epochs share ONE prefix-sum pass (epoch-contiguous ranks)
+    return epoch_shuffle(docs, epoch=[0, 1], shard_size=512).select(
+        "epoch", "doc_id", "position", "shard"
+    )
 
 
 def _cms_sql() -> str:

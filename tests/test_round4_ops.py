@@ -257,3 +257,19 @@ def test_cms_estimate_bounds(spark):
     assert sum(o <= bound for o in overs) >= len(overs) * 0.9, (
         DEPTH, WIDTH, sorted(overs)[-5:], bound,
     )
+
+
+def test_epoch_shuffle_multi_equals_single(spark):
+    """The shared-pass multi-epoch form must equal per-epoch calls."""
+    from defimap_data_pipelines_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    multi = {
+        (r.epoch, r.doc_id): r.position
+        for r in epoch_shuffle(docs, epoch=[0, 3]).collect()
+    }
+    for e in (0, 3):
+        single = {r.doc_id: r.position
+                  for r in epoch_shuffle(docs, epoch=e).collect()}
+        assert all(multi[(e, d)] == p for d, p in single.items())
+    assert len(multi) == 1000
