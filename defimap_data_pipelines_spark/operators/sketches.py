@@ -51,12 +51,23 @@ def cms_counters(
     token_col: str = "token",
     depth: int = DEPTH,
     width: int = WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (row, bucket, c) counters from a token stream
-    (one input row per token OCCURRENCE). One explode to ``depth``
-    (row, bucket) cells per occurrence, one map-side-combined groupBy;
-    output is at most depth*width rows regardless of corpus size."""
+    (one input row per token OCCURRENCE — or, with ``weight_col``, one
+    row per DISTINCT token carrying its occurrence count: the cell
+    sums are identical, so a pipeline that already aggregated exact
+    counts feeds the pre-reduced frame and skips a second corpus
+    pass). One explode to ``depth`` (row, bucket) cells per input row,
+    one map-side-combined groupBy; output is at most depth*width rows
+    regardless of corpus size."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
     cells = tokens.select(
+        w.alias("_w"),
         F.explode(
             F.array(
                 *[
@@ -69,10 +80,10 @@ def cms_counters(
                     for r in range(depth)
                 ]
             )
-        ).alias("rb")
+        ).alias("rb"),
     )
     return cells.groupBy("rb.row", "rb.bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        F.sum("_w").cast("long").alias("c")
     )
 
 

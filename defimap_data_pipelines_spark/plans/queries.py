@@ -7356,13 +7356,18 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents")
         .select(F.explode(ws_tokens(F.col("text"))).alias("token"))
     )
-    counters = cms_counters(toks)
-    probes = (
+    # ONE corpus tokenize pass: the exact per-token counts feed both
+    # the sketch build (weighted cells sum to the same counters) and
+    # the probe selection — cached because three consumers read it
+    exact = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
-        .limit(20)
+        .cache()
     )
+    counters = cms_counters(exact, weight_col="exact_n")
+    probes = exact.orderBy(
+        F.col("exact_n").desc(), F.col("token").asc()
+    ).limit(20)
     return cms_estimate(counters, probes).join(probes, "token").select(
         "token", "exact_n", "cms_estimate"
     )
