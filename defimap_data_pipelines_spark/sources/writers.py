@@ -187,3 +187,64 @@ def write_clustered(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Table-maintenance compaction: rewrite a parquet directory whose
+    long-running incremental appends have accumulated many small files
+    into ~``target_bytes`` files, preserving the partition layout and
+    (optionally) re-clustering rows by ``sort_cols`` so footer min/max
+    pruning keeps working after the rewrite.
+
+    Small files are the classic slow poison of incremental lakehouse
+    tables (every append adds a file per partition per task; a year of
+    daily appends = thousands of footers per scan, task-per-file
+    scheduling, and dead pushdown). This is the vanilla-parquet
+    stand-in for Delta's OPTIMIZE: stage the compacted copy next to
+    the table, then atomically swap directories — readers see either
+    the old layout or the new, never a half-written mix.
+
+    Returns {files_before, files_after, bytes} for observability.
+    The file-count target derives from the table's actual byte size
+    (one directory listing — metadata only, no data read).
+    """
+    import math
+    import os
+    import shutil
+
+    def _list(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [os.path.join(root, f) for f in files
+                    if f.endswith(".parquet")]
+        return out
+
+    before = _list(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols)
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    staged = path.rstrip("/") + "._compacting"
+    w = out.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(staged)
+    old = path.rstrip("/") + "._pre_compact"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_list(path)),
+        "bytes": total,
+    }

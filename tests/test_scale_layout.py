@@ -218,3 +218,45 @@ def test_clustered_write_produces_prunable_footers(spark, tmp_path):
     pr = ranges(plain)
     wide = [r for r in pr if (r[1] - r[0]) > span * 0.9]
     assert len(wide) == len(pr)
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction: 40 tiny appended files -> ~target-sized files,
+    identical data, partition layout preserved, pruning-friendly
+    clustering restored when sort_cols given."""
+    from defimap_data_pipelines_spark.sources.writers import (
+        compact_small_files,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    # simulate 40 incremental appends of 50 rows each
+    for batch in range(40):
+        (
+            spark.range(batch * 50, batch * 50 + 50)
+            .select(
+                F.col("id"),
+                (F.col("id") % 4).cast("string").alias("name"),
+                (F.col("id") * 2).alias("v"),
+            )
+            .write.mode("append")
+            .partitionBy("name")
+            .parquet(path)
+        )
+    before = spark.read.parquet(path)
+    rows_before = sorted((r.id, r.v) for r in before.collect())
+
+    stats = compact_small_files(
+        spark, path, target_bytes=1 << 20,
+        partition_cols=["name"], sort_cols=["id"],
+    )
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"] / 4
+
+    after = spark.read.parquet(path)
+    rows_after = sorted((r.id, r.v) for r in after.collect())
+    assert rows_after == rows_before
+    # partition layout preserved (directory-level name=... pruning)
+    import os
+
+    assert any(d.startswith("name=") for d in os.listdir(path))
