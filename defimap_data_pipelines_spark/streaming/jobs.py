@@ -396,3 +396,67 @@ def stream_gotk_incremental(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_curation_incremental(
+    doc_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821
+    """Corpus curation as a streaming pipeline: foreachBatch + the
+    incremental clean_corpus state step (operators/corpus.py::
+    clean_corpus_incremental). Each microbatch of newly-crawled docs
+    is quality-filtered, deduped against the persisted CurationState
+    (fingerprints + hashed shingles + verified pairs — never the
+    text), and the CURRENT full survivor-id set overwrites out_dir
+    (a later batch can demote an earlier survivor when a bridge doc
+    merges two clusters, so the output is a snapshot, not an append).
+
+    Same equivalence contract as the batch operator: after any split
+    of an in-id-order corpus into microbatches, out_dir equals the
+    from-scratch clean_corpus survivor set (test_streaming.py).
+
+    foreachBatch, not transformWithState: the step is DataFrame joins
+    against compact state tables — per-key Python state would move
+    the banding/verify work out of the JVM.
+    """
+    from defimap_data_pipelines_spark.operators.corpus import (
+        CurationState,
+        clean_corpus_incremental,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        state = None
+        if os.path.exists(os.path.join(state_dir, "fingerprints")):
+            state = CurationState(
+                spark.read.parquet(os.path.join(state_dir, "fingerprints")),
+                spark.read.parquet(os.path.join(state_dir, "hashed")),
+                spark.read.parquet(os.path.join(state_dir, "pairs")),
+            )
+        survivors, state = clean_corpus_incremental(batch, state)
+        # pin before overwriting the tables they were read from
+        survivors = survivors.localCheckpoint()
+        state = state.checkpointed()
+        survivors.write.mode("overwrite").parquet(out_dir)
+        state.fingerprints.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "fingerprints")
+        )
+        state.hashed.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "hashed")
+        )
+        state.pairs.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "pairs")
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -493,3 +493,58 @@ def test_stream_join_checkpoint_restart_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert pairs == [(1, 101), (2, 102), (4, 103)]
+
+
+def test_stream_curation_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch curation pipeline over in-order microbatches
+    lands exactly the batch clean_corpus survivor set in out_dir."""
+    import os
+    import time
+
+    from defimap_data_pipelines_spark.operators.corpus import clean_corpus
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        stream_curation_incremental,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+    batch = {r.doc_id for r in clean_corpus(docs).select("doc_id").collect()}
+
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[0], ids[len(ids) // 3], ids[2 * len(ids) // 3], None]
+    arrivals = str(tmp_path / "docs_arriving")
+    os.makedirs(arrivals)
+    # one file per in-order chunk; mtimes force discovery order
+    for i in range(3):
+        lo, hi = cuts[i], cuts[i + 1]
+        part = docs.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        chunk_dir = str(tmp_path / f"chunk{i}")
+        part.coalesce(1).write.parquet(chunk_dir)
+        src = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(arrivals, f"{i:02d}.parquet")
+        os.rename(os.path.join(chunk_dir, src), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+    )
+    q = stream_curation_incremental(
+        stream,
+        str(tmp_path / "cur_state"),
+        str(tmp_path / "cur_out"),
+        str(tmp_path / "cur_ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "cur_out")).collect()
+    }
+    assert got == batch and len(got) > 0
