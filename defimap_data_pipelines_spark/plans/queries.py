@@ -7258,6 +7258,84 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+PIVOT_WIDE_SQL = f"""
+    SELECT user_id % 100 AS user_bucket,
+           {", ".join(
+               "CAST(COALESCE(SUM(CASE WHEN event_type = '" + t
+               + "' THEN 1 END), 0) AS BIGINT) AS n_" + t
+               for t in _PIVOT_TYPES
+           )}
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register("pivot_wide", PIVOT_WIDE_SQL)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long -> wide): per-user-bucket event counts, one column
+    per event type, via the native groupBy().pivot() with EXPLICIT
+    pivot values — without them Spark runs an extra distinct() job
+    just to discover the columns (the classic pivot scale trap; at
+    100 TB that discovery pass is a full extra scan)."""
+    ev = read_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "user_bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+UNPIVOT_LONG_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL}),
+    wide AS (
+        SELECT name,
+               CAST(SUM(CAST(ROUND(atoken_supply * 100) AS BIGINT))
+                    AS BIGINT) AS supply_cents,
+               CAST(SUM(CAST(ROUND(asset_price * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM raw_data GROUP BY name
+    )
+    SELECT name, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (supply_cents, price_cents, n_rows))
+"""
+
+
+@register("unpivot_long", UNPIVOT_LONG_SQL)
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide -> long): per-strategy metric columns back
+    to (name, metric, value) rows via the native DataFrame.unpivot —
+    a pure per-row expansion, zero shuffles beyond the aggregate
+    feeding it (integer-quantized sums keep the values exact in both
+    engines)."""
+    raw = orders_raw_series(spark, sf_dir)
+    wide = raw.groupBy("name").agg(
+        F.sum(F.round(F.col("atoken_supply") * 100).cast("long"))
+        .cast("long")
+        .alias("supply_cents"),
+        F.sum(F.round(F.col("asset_price") * 100).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["name"],
+        ["supply_cents", "price_cents", "n_rows"],
+        "metric",
+        "value",
+    )
+
+
 EPOCH_SHUFFLE_SQL = """
     WITH ordered AS (
         SELECT e.epoch, d.doc_id,
@@ -7420,9 +7498,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_active_users, event_transitions, drawdown_series,
 # rolling_volatility, return_correlation_matrix, benford_digit_check,
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
-# multimodal_digest_features, epoch_shuffle, cms_heavy_hitters (new r4)
-# — swap these in for r4 greens (keep the 9 reference-parity
-# flagships first).
+# multimodal_digest_features, epoch_shuffle, cms_heavy_hitters,
+# pivot_wide, unpivot_long (new r4) — swap these in for r4 greens
+# (keep the 9 reference-parity flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
