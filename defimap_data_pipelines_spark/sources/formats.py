@@ -121,3 +121,62 @@ def read_text_corpus(
         ),
         "text",
     )
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str,
+    quarantine_dir: str | None = None,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Vendor-feed ingestion with corrupt-record QUARANTINE: read
+    CSV/JSON in PERMISSIVE mode with an explicit ``_corrupt_record``
+    column and split the result into ``(valid, corrupt)``.
+
+    The production failure mode this exists for: one malformed line in
+    a 100 TB vendor drop must neither kill the job (FAILFAST) nor
+    silently vanish (DROPMALFORMED) — it lands in the quarantine frame
+    with its raw bytes intact for replay after the upstream fix.
+    ``quarantine_dir`` persists the corrupt rows immediately
+    (append-mode parquet of (raw_record)); either way the corrupt
+    frame is returned for counting/alerting.
+
+    Spark caveat encoded here: since 2.3, filtering on the corrupt
+    column alone of a lazily-parsed frame is disallowed — the parsed
+    frame must be cached first, which also guarantees the
+    valid/corrupt split reads the input once, not twice.
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError("quarantine reads are for csv/json feeds")
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if "_corrupt_record" not in schema.fieldNames():
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
+    r = (
+        spark.read.format(fmt)
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if fmt == "csv":
+        r = r.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        r = r.option(k, v)
+    parsed = r.load(path).cache()
+    valid = parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    if quarantine_dir is not None:
+        corrupt.write.mode("append").parquet(quarantine_dir)
+    return valid, corrupt

@@ -273,3 +273,53 @@ def test_epoch_shuffle_multi_equals_single(spark):
                   for r in epoch_shuffle(docs, epoch=e).collect()}
         assert all(multi[(e, d)] == p for d, p in single.items())
     assert len(multi) == 1000
+
+
+# ---------------------------------------------------------------------------
+# corrupt-record quarantine ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_read_jsonl_with_quarantine(spark, tmp_path):
+    from defimap_data_pipelines_spark.sources.formats import (
+        read_with_quarantine,
+    )
+
+    src = tmp_path / "feed.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": "NOT A NUMBER", "text": 3}\n'
+        "this is not json at all\n"
+        '{"doc_id": 4, "text": "ok four"}\n'
+    )
+    qdir = str(tmp_path / "quarantine")
+    valid, corrupt = read_with_quarantine(
+        spark, str(src), "json", "doc_id long, text string",
+        quarantine_dir=qdir,
+    )
+    assert {r.doc_id for r in valid.collect()} == {1, 2, 4}
+    bad = [r.raw_record for r in corrupt.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)  # raw bytes preserved
+    # quarantine persisted for replay-after-fix
+    assert spark.read.parquet(qdir).count() == 2
+
+
+def test_read_csv_with_quarantine(spark, tmp_path):
+    from defimap_data_pipelines_spark.sources.formats import (
+        read_with_quarantine,
+    )
+
+    src = tmp_path / "feed.csv"
+    src.write_text(
+        "doc_id,n\n"
+        "1,10\n"
+        "2,notanumber\n"
+        "3,30\n"
+    )
+    valid, corrupt = read_with_quarantine(
+        spark, str(src), "csv", "doc_id long, n long"
+    )
+    assert {(r.doc_id, r.n) for r in valid.collect()} == {(1, 10), (3, 30)}
+    assert [r.raw_record for r in corrupt.collect()] == ["2,notanumber"]
