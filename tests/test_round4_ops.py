@@ -323,3 +323,61 @@ def test_read_csv_with_quarantine(spark, tmp_path):
     )
     assert {(r.doc_id, r.n) for r in valid.collect()} == {(1, 10), (3, 30)}
     assert [r.raw_record for r in corrupt.collect()] == ["2,notanumber"]
+
+
+# ---------------------------------------------------------------------------
+# WARC crawl ingestion
+# ---------------------------------------------------------------------------
+
+
+def _fixture_warc() -> bytes:
+    from defimap_data_pipelines_spark.sources.warc import warc_record_bytes
+
+    return (
+        warc_record_bytes("warcinfo", b"software: test-crawler")
+        + warc_record_bytes(
+            "response",
+            b"<html><body>hello crawl</body></html>",
+            target_uri="https://example.com/a",
+            content_type="application/http; msgtype=response",
+        )
+        + warc_record_bytes(
+            "response",
+            bytes(range(256)) * 4,  # binary payload survives verbatim
+            target_uri="https://example.com/b",
+            content_type="application/octet-stream",
+        )
+    )
+
+
+def test_parse_warc_roundtrip_and_salvage():
+    from defimap_data_pipelines_spark.sources.warc import parse_warc_bytes
+
+    raw = _fixture_warc()
+    recs = parse_warc_bytes(raw)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[1]["target_uri"] == "https://example.com/a"
+    assert recs[2]["payload"] == bytes(range(256)) * 4
+    assert recs[2]["content_length"] == 1024
+    # truncated tail: strict raises, salvage keeps the whole records
+    cut = raw[: len(raw) - 600]
+    with pytest.raises(ValueError):
+        parse_warc_bytes(cut)
+    salvaged = parse_warc_bytes(cut, strict=False)
+    assert [r["warc_type"] for r in salvaged] == ["warcinfo", "response"]
+
+
+def test_read_warc_over_spark(spark, tmp_path):
+    from defimap_data_pipelines_spark.sources.warc import read_warc
+
+    for i in range(3):
+        (tmp_path / f"seg{i}.warc").write_bytes(_fixture_warc())
+    df = read_warc(spark, str(tmp_path / "*.warc"))
+    rows = df.collect()
+    assert len(rows) == 9  # 3 records x 3 segment files
+    resp = [r for r in rows if r.warc_type == "response"]
+    assert len(resp) == 6
+    assert all(r.target_uri.startswith("https://example.com/") for r in resp)
+    # payload bytes survive the Arrow hop verbatim
+    binary = [r for r in resp if r.content_type == "application/octet-stream"]
+    assert all(bytes(r.payload) == bytes(range(256)) * 4 for r in binary)
