@@ -400,3 +400,47 @@ def quality_classifier(
         ).alias("logit"),
         (acc >= 0).alias("keep"),
     )
+
+
+# regex stages of the HTML -> text extraction, shared verbatim by the
+# Spark expressions and the DuckDB oracle replay. Dialect-portability
+# rules: (?is) flags, non-greedy spans and simple classes parse in
+# both Java regex and RE2, but RE2 has NO backreferences — hence the
+# script/style pair is written as explicit alternation, not
+# <(script|style)...</\1>
+HTML_DROP_BLOCKS = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>"
+)
+HTML_TAG = r"(?s)<[^>]*>"
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: it is the escape's escape
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Boilerplate-free text from raw HTML, as pure JVM expressions:
+    drop <script>/<style> blocks (content and all), strip remaining
+    tags to spaces, decode the common entities (&amp; decoded LAST so
+    '&amp;lt;' correctly yields the literal '&lt;'), collapse
+    whitespace. The trafilatura-lite step of crawl ingestion — runs
+    scan-side at WARC-payload scale with no Python worker."""
+    out = F.regexp_replace(col, HTML_DROP_BLOCKS, " ")
+    out = F.regexp_replace(out, HTML_TAG, " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` for oracle SQL."""
+    out = f"regexp_replace({expr}, '{HTML_DROP_BLOCKS}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{HTML_TAG}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        lit = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

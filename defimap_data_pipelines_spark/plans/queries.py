@@ -7258,6 +7258,66 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_extract_sql() -> str:
+    from defimap_data_pipelines_spark.operators.textops import (
+        html_to_text_sql,
+    )
+
+    html = (
+        "'<html><head><title>doc</title>"
+        "<script type=\"text/javascript\">var id=' || doc_id || "
+        "';</script><style>p{color:red}</style></head>"
+        "<body><h1>Doc ' || doc_id || '</h1><p>' || text || "
+        "'</p><div class=\"footer\">&amp;copy; 2024 "
+        "&lt;crawler&gt;</div></body></html>'"
+    )
+    ext = html_to_text_sql(f"({html})")
+    return f"""
+        SELECT doc_id,
+               CAST(length({ext}) AS BIGINT) AS n_chars,
+               substr({ext}, 1, 40) AS head,
+               md5({ext}) AS text_md5
+        FROM documents
+    """
+
+
+@register("html_text_extract", _html_extract_sql())
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-payload text extraction: script/style blocks dropped
+    (content and all), tags stripped, entities decoded, whitespace
+    collapsed — pure JVM regex expressions
+    (operators/textops.py::html_to_text), the step between read_warc
+    and the curation operators. The HTML is synthesized
+    deterministically around each document (no HTML column in the
+    testdata) and BOTH engines run the identical regex pipeline, so
+    the full extracted text is value-hash-checked via md5."""
+    from defimap_data_pipelines_spark.operators.textops import html_to_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>doc</title>'
+            '<script type="text/javascript">var id='
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><style>p{color:red}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><div class="footer">&amp;copy; 2024 '
+            "&lt;crawler&gt;</div></body></html>"
+        ),
+    )
+    ext = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(ext).cast("long").alias("n_chars"),
+        F.substring(ext, 1, 40).alias("head"),
+        F.md5(ext).alias("text_md5"),
+    )
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 PIVOT_WIDE_SQL = f"""
@@ -7499,8 +7559,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_volatility, return_correlation_matrix, benford_digit_check,
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
 # multimodal_digest_features, epoch_shuffle, cms_heavy_hitters,
-# pivot_wide, unpivot_long (new r4) — swap these in for r4 greens
-# (keep the 9 reference-parity flagships first).
+# pivot_wide, unpivot_long, html_text_extract (new r4) — swap these
+# in for r4 greens (keep the 9 reference-parity flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)

@@ -381,3 +381,25 @@ def test_read_warc_over_spark(spark, tmp_path):
     # payload bytes survive the Arrow hop verbatim
     binary = [r for r in resp if r.content_type == "application/octet-stream"]
     assert all(bytes(r.payload) == bytes(range(256)) * 4 for r in binary)
+
+
+def test_html_to_text_edge_cases(spark):
+    """Entity order (&amp; last), multiline script bodies, case-
+    insensitive tags, nested-looking markup."""
+    from defimap_data_pipelines_spark.operators.textops import html_to_text
+
+    cases = [
+        (
+            "<SCRIPT>\nvar a = '<p>not text</p>';\n</SCRIPT>real",
+            "real",
+        ),
+        ("<style media='x'>.a{}</style>body<br/>text", "body text"),
+        ("&amp;lt; stays escaped-once", "&lt; stays escaped-once"),
+        ("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;b", "a <tag> \"q\" 's' b"),
+        ("no markup at   all", "no markup at all"),
+    ]
+    df = spark.createDataFrame(cases, ["html", "want"]).withColumn(
+        "got", html_to_text(F.col("html"))
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.html, r.got, r.want)
