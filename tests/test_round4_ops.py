@@ -403,3 +403,56 @@ def test_html_to_text_edge_cases(spark):
     )
     for r in df.collect():
         assert r.got == r.want, (r.html, r.got, r.want)
+
+
+def test_crawl_chain_warc_to_curation(spark, tmp_path):
+    """The full crawl ingest chain end-to-end: WARC segments ->
+    read_warc -> html_to_text -> clean_corpus. Duplicate pages across
+    segments collapse to one canonical; boilerplate never reaches the
+    dedup."""
+    from defimap_data_pipelines_spark.operators.corpus import clean_corpus
+    from defimap_data_pipelines_spark.operators.textops import html_to_text
+    from defimap_data_pipelines_spark.sources.warc import (
+        read_warc,
+        warc_record_bytes,
+    )
+
+    def page(body: str) -> bytes:
+        return (
+            "<html><head><script>track();</script></head>"
+            f"<body><p>{body}</p></body></html>"
+        ).encode()
+
+    texts = [
+        f"unique page body number {i} with plenty of distinct words "
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        for i in range(8)
+    ]
+    for seg in range(2):
+        raw = b""
+        for i, t in enumerate(texts):
+            # page 3 is mirrored in BOTH segments (a cross-host dup)
+            if seg == 1 and i != 3:
+                continue
+            raw += warc_record_bytes(
+                "response", page(t),
+                target_uri=f"https://host{seg}.test/{i}",
+            )
+        (tmp_path / f"seg{seg}.warc").write_bytes(raw)
+
+    recs = read_warc(spark, str(tmp_path / "*.warc"))
+    docs = recs.filter(F.col("warc_type") == "response").select(
+        F.concat_ws("#", "file", F.col("record_offset").cast("string"))
+        .alias("url_key"),
+        html_to_text(F.decode(F.col("payload"), "utf-8")).alias("text"),
+    )
+    # content-keyed monotone ids (arrival order by file then offset)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("url_key")  # 9 rows — test-only global window
+    docs = docs.withColumn("doc_id", F.row_number().over(w))
+    survivors = clean_corpus(docs, min_quality=0.0, jaccard_threshold=0.5)
+    out = [r.text for r in survivors.collect()]
+    assert len(out) == 8  # the mirrored page deduped
+    assert all("track();" not in t and "<p>" not in t for t in out)
+    assert sorted(out) == sorted(texts)
