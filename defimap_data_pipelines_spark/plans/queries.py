@@ -7258,6 +7258,102 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_decontamination_sql() -> str:
+    from defimap_data_pipelines_spark.operators.sketches import (
+        BLOOM_K,
+        bloom_bit_sql,
+    )
+
+    bench_pred = f"{bucket_sql('doc_id')} < 500"
+    bit_cols = ", ".join(
+        f"{bloom_bit_sql('shingle', i)} AS b{i}" for i in range(BLOOM_K)
+    )
+    bit_union = " UNION ALL ".join(
+        f"SELECT {bloom_bit_sql('shingle', i)} AS bit FROM bench"
+        for i in range(BLOOM_K)
+    )
+    all_in = " AND ".join(
+        f"b{i} IN (SELECT bit FROM bits)" for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(length(t) - 7, 1) + 1),
+                   i -> array_to_string(t[i:i+7], ' ')))) AS shingle
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE {bench_pred}),
+    train AS (SELECT doc_id, shingle FROM sh WHERE NOT ({bench_pred})),
+    bits AS (SELECT DISTINCT bit FROM ({bit_union})),
+    probe AS (SELECT doc_id, shingle, {bit_cols} FROM train),
+    flagged AS (
+        SELECT p.doc_id,
+               CASE WHEN {all_in} THEN 1 ELSE 0 END AS bloom_hit,
+               CASE WHEN p.shingle IN (SELECT shingle FROM bench)
+                    THEN 1 ELSE 0 END AS true_hit
+        FROM probe p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(true_hit) AS BIGINT) AS n_true_hits
+    FROM flagged
+    GROUP BY doc_id
+    HAVING SUM(bloom_hit) > 0
+    """
+
+
+@register("bloom_decontamination", _bloom_decontamination_sql())
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, BLOOM-FILTER form (the scale path
+    when the benchmark shingle set no longer fits a broadcast join):
+    the bench set folds into a 2048-bit md5 bloom (32 driver longs,
+    operators/sketches.py::bloom_build), and the probe is a pure
+    literal-array projection over the training corpus — zero joins,
+    zero shuffles until the per-doc rollup. Output keeps the exact-
+    membership count next to the bloom count, so false positives are
+    visible data, not hidden error: n_bloom_hits >= n_true_hits
+    always, and both engines reproduce the SAME false positives
+    because the bit arithmetic is md5-replayed (the oracle represents
+    the bloom as the set of set bits — DuckDB raises on 1<<63, noted
+    in docs/SCALE_NOTES.md)."""
+    from defimap_data_pipelines_spark.functions.text import word_shingles
+    from defimap_data_pipelines_spark.operators.sampling import hash_bucket
+    from defimap_data_pipelines_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("_b"),
+        F.explode(word_shingles(F.col("text"), 8)).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    bench = sh.filter(F.col("_b") < 500).select("shingle").distinct()
+    train = sh.filter(~(F.col("_b") < 500)).select("doc_id", "shingle")
+
+    bloom = bloom_build(bench, "shingle")
+    probed = bloom_probe(train, "shingle", bloom, out="_hit")
+    exact = probed.join(
+        bench.withColumn("_true", F.lit(1)), "shingle", "left"
+    )
+    return (
+        exact.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("_hit").cast("long")).cast("long")
+            .alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("_true"), F.lit(0)).cast("long"))
+            .cast("long")
+            .alias("n_true_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )
+
+
 def _html_extract_sql() -> str:
     from defimap_data_pipelines_spark.operators.textops import (
         html_to_text_sql,
@@ -7559,8 +7655,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_volatility, return_correlation_matrix, benford_digit_check,
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
 # multimodal_digest_features, epoch_shuffle, cms_heavy_hitters,
-# pivot_wide, unpivot_long, html_text_extract (new r4) — swap these
-# in for r4 greens (keep the 9 reference-parity flagships first).
+# pivot_wide, unpivot_long, html_text_extract, bloom_decontamination
+# (new r4) — swap these in for r4 greens (keep the 9 reference-parity
+# flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)

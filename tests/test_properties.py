@@ -288,3 +288,40 @@ def test_quality_classifier_matches_python_recomputation(spark, texts):
         )
         assert abs(r.logit - expect) <= 1e-12
         assert -1.0 <= r.logit <= 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata", "warcinfo"]),
+            st.binary(min_size=0, max_size=512),
+            st.one_of(st.none(), st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1, max_size=60,
+            )),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_serialize_parse_roundtrip(records):
+    """Any record sequence (arbitrary binary payloads, incl. payloads
+    containing CRLF CRLF and fake 'WARC/' magic) round-trips through
+    the serializer+parser exactly — Content-Length framing, not
+    delimiter scanning, is what makes binary payloads safe."""
+    from defimap_data_pipelines_spark.sources.warc import (
+        parse_warc_bytes,
+        warc_record_bytes,
+    )
+
+    raw = b"".join(
+        warc_record_bytes(t, p, target_uri=u) for t, p, u in records
+    )
+    parsed = parse_warc_bytes(raw)
+    assert len(parsed) == len(records)
+    for rec, (t, p, u) in zip(parsed, records):
+        assert rec["warc_type"] == t
+        assert rec["payload"] == p
+        assert rec["target_uri"] == u
+        assert rec["content_length"] == len(p)

@@ -456,3 +456,49 @@ def test_crawl_chain_warc_to_curation(spark, tmp_path):
     assert len(out) == 8  # the mirrored page deduped
     assert all("track();" not in t and "<p>" not in t for t in out)
     assert sorted(out) == sorted(texts)
+
+
+# ---------------------------------------------------------------------------
+# bloom filter sketch
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from defimap_data_pipelines_spark.operators.sketches import (
+        BLOOM_BITS,
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"member {i} token",) for i in range(2000)], ["key"]
+    )
+    bloom = bloom_build(members, "key")
+    assert len(bloom) == BLOOM_BITS // 4
+
+    # no false negatives, ever
+    hits = bloom_probe(members, "key", bloom).collect()
+    assert all(r.bloom_hit for r in hits)
+
+    # false positives bounded: 2000*3 bits in 131072 -> p_set ~4.5%,
+    # FP ~ p_set^3 ~ 1e-4; allow 10x slack over 20k probes
+    others = spark.createDataFrame(
+        [(f"outsider {i} token",) for i in range(20000)], ["key"]
+    )
+    fp = sum(
+        1 for r in bloom_probe(others, "key", bloom).collect() if r.bloom_hit
+    )
+    assert fp <= 20, fp
+
+
+def test_bloom_empty_set(spark):
+    from defimap_data_pipelines_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    empty = spark.createDataFrame([], "key string")
+    bloom = bloom_build(empty, "key")
+    assert set(bloom) == {"0"}
+    probes = spark.createDataFrame([("anything",)], ["key"])
+    assert not bloom_probe(probes, "key", bloom).collect()[0].bloom_hit
