@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "epoch_shuffle",
     "cms_heavy_hitters",
+    "bloom_decontamination",
+    "html_text_extract",
+    "pivot_wide",
 ]
 
 

@@ -161,14 +161,13 @@ def bloom_build(
     key_col: str,
     bits: int = BLOOM_BITS,
     k: int = BLOOM_K,
-) -> str:
-    """Aggregate a key set into a bloom bitset, returned as a HEX
-    string of bits/4 nibbles (bit b lives in nibble b//4 at in-nibble
-    position b%4). The distributed part is one groupBy over nibble
-    ids (at most bits/4 groups); the driver packs the nibble masks
-    into the string — like the k-means/IVF codebooks, small enough to
-    inline as a plan literal so the probe is a pure projection."""
-    nibbles = (
+) -> list[int]:
+    """Aggregate a key set into a bloom bitset of bits/64 longs (bit b
+    lives in word b//64 at in-word position b%64). The distributed
+    part is one groupBy over word ids (at most bits/64 groups); like
+    the k-means/IVF codebooks the result is small enough to inline as
+    a plan literal so the probe is a pure projection."""
+    words = (
         keys.select(
             F.explode(
                 F.array(
@@ -177,42 +176,51 @@ def bloom_build(
             ).alias("bit")
         )
         .select(
-            (F.col("bit") / 4).cast("int").alias("nib"),
-            F.expr("shiftleft(1, CAST(bit % 4 AS INT))").alias("mask"),
+            (F.col("bit") / 64).cast("int").alias("word"),
+            # shiftleft's numBits arg must be a Column-in-SQL: the
+            # PySpark helper only takes a literal int
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
+            ).alias("mask"),
         )
-        .groupBy("nib")
+        .groupBy("word")
         .agg(F.bit_or("mask").alias("m"))
     )
-    got = {r["nib"]: r["m"] for r in nibbles.collect()}
-    return "".join(format(got.get(i, 0), "x") for i in range(bits // 4))
+    got = {r["word"]: r["m"] for r in words.collect()}
+    return [got.get(w, 0) for w in range(bits // 64)]
 
 
 def bloom_probe(
     df: DataFrame,
     key_col: str,
-    bloom: str,
+    bloom: list[int],
     out: str = "bloom_hit",
     bits: int = BLOOM_BITS,
     k: int = BLOOM_K,
 ) -> DataFrame:
     """Membership probe against an inlined bloom bitset: true iff ALL
-    k bits are set. The bitset is ONE string constant in the plan
-    (32 KB at the default size — a single UTF8String, no per-element
-    codegen), probed with substring+conv; parsed as one SQL
-    expression (the plan-construction lesson), zero shuffles."""
-    assert len(bloom) == bits // 4
+    k bits are set, parsed as ONE SQL expression (the
+    plan-construction lesson), zero shuffles.
+
+    Representation lesson (measured at sf0.1): the bitset must be an
+    array<bigint> LITERAL — all 2048 elements are foldable, so
+    Catalyst's ConstantFolding collapses the CreateArray into a single
+    ArrayData constant and element_at is O(1). The tempting hex-STRING
+    constant is quadratic poison instead: substring() on a UTF8String
+    is O(position) (character indexing scans bytes), so probing a
+    32 KB string literal cost ~26 s where this form costs ~2 s. And
+    per-element Column construction (2048 F.lit calls) would pay the
+    usual py4j tax — one parsed string, folded once, is the shape."""
+    assert len(bloom) == bits // 64
+    arr = "array(" + ",".join(f"{w}L" for w in bloom) + ")"
     checks = []
     for i in range(k):
         bit = (
             f"CAST(conv(substring(md5(concat_ws('|', '{i}', `{key_col}`)),"
             f" 1, 8), 16, 10) AS BIGINT) % {bits}"
         )
-        nib = (
-            f"conv(substring('{bloom}',"
-            f" CAST(({bit}) DIV 4 AS INT) + 1, 1), 16, 10)"
-        )
         checks.append(
-            f"(shiftright(CAST({nib} AS INT),"
-            f" CAST(({bit}) % 4 AS INT)) & 1) = 1"
+            f"(shiftright(element_at({arr}, CAST(({bit}) DIV 64 AS INT) + 1),"
+            f" CAST(({bit}) % 64 AS INT)) & 1L) = 1L"
         )
     return df.withColumn(out, F.expr(" AND ".join(checks)))

@@ -7327,18 +7327,30 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
+    # word_shingles is per-doc distinct already (array_distinct) — no
+    # dedup shuffle needed on the exploded frame. Cached: the bench
+    # side (bloom build collect) and the train probe each consume it;
+    # uncached, the corpus tokenizes twice (measured ~2x the query).
     sh = d.select(
         "doc_id",
         hash_bucket(F.col("doc_id")).alias("_b"),
         F.explode(word_shingles(F.col("text"), 8)).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
-    bench = sh.filter(F.col("_b") < 500).select("shingle").distinct()
+    ).cache()
+    # cache: the distinct bench shingle set feeds BOTH the bloom build
+    # (a collect) and the exact-membership broadcast — uncached, each
+    # would re-tokenize the bench slice from the corpus scan
+    bench = (
+        sh.filter(F.col("_b") < 500).select("shingle").distinct().cache()
+    )
     train = sh.filter(~(F.col("_b") < 500)).select("doc_id", "shingle")
 
     bloom = bloom_build(bench, "shingle")
     probed = bloom_probe(train, "shingle", bloom, out="_hit")
+    # exact-membership tag: explicit broadcast — the bench shingle set
+    # is ~5% of the corpus's distinct shingles; letting it drift to a
+    # sort-merge join would shuffle the whole probe stream
     exact = probed.join(
-        bench.withColumn("_true", F.lit(1)), "shingle", "left"
+        F.broadcast(bench.withColumn("_true", F.lit(1))), "shingle", "left"
     )
     return (
         exact.groupBy("doc_id")

@@ -474,7 +474,7 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
         [(f"member {i} token",) for i in range(2000)], ["key"]
     )
     bloom = bloom_build(members, "key")
-    assert len(bloom) == BLOOM_BITS // 4
+    assert len(bloom) == BLOOM_BITS // 64
 
     # no false negatives, ever
     hits = bloom_probe(members, "key", bloom).collect()
@@ -499,6 +499,6 @@ def test_bloom_empty_set(spark):
 
     empty = spark.createDataFrame([], "key string")
     bloom = bloom_build(empty, "key")
-    assert set(bloom) == {"0"}
+    assert set(bloom) == {0}
     probes = spark.createDataFrame([("anything",)], ["key"])
     assert not bloom_probe(probes, "key", bloom).collect()[0].bloom_hit
