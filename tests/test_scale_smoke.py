@@ -282,3 +282,51 @@ def test_ann_lsh_topk_recall_at_10x(spark, big_vecs):
     n_good = labeled.filter(F.col("nc") == F.col("qc")).count()
     recall = n_good / (n_q * k)
     assert recall >= 0.98, f"top-k recall {recall:.4f}"
+
+
+def test_prefix_sum_machinery_at_10x(spark):
+    """The two-pass parallel prefix sum (token shards, vocab ranks,
+    epoch shuffle positions) at 600k rows — closed-form exactness and
+    layout-independence across partition counts, far beyond the
+    oracle-checked SFs."""
+    from defimap_data_pipelines_spark.operators.packing import (
+        assign_token_shards,
+        global_cumsum,
+    )
+    from defimap_data_pipelines_spark.operators.sampling import epoch_shuffle
+
+    n = 600_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).cast("long").alias("n_tok"),
+    )
+    # exact closed form regardless of how the range partitioner cuts
+    for parts in (8, 32, 127):
+        cum = global_cumsum(docs, "doc_id", "n_tok", out="c",
+                            num_partitions=parts)
+        last = cum.orderBy(F.col("doc_id").desc()).limit(1).collect()[0]
+        expect = sum(i % 97 + 1 for i in range(n))
+        assert last.c == expect, parts
+
+    # shard assignment: contiguity + budget bounds hold at volume
+    sharded = assign_token_shards(docs, "n_tok", budget=100_000)
+    stats = sharded.groupBy("shard").agg(
+        F.sum("n_tok").alias("t"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.count(F.lit(1)).alias("c"),
+    ).orderBy("shard").collect()
+    for i, r in enumerate(stats[:-1]):
+        assert r.t >= 100_000 - 97  # every non-final shard ~full
+        assert r.hi < stats[i + 1].lo  # shards are contiguous id ranges
+        assert r.hi - r.lo + 1 == r.c  # and gap-free
+
+    # epoch shuffle: a permutation at volume, shards contiguous
+    pos = epoch_shuffle(docs.select("doc_id"), epoch=7, shard_size=4096)
+    agg = pos.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("position").alias("d"),
+        F.min("position").alias("mn"),
+        F.max("position").alias("mx"),
+    ).collect()[0]
+    assert (agg.n, agg.d, agg.mn, agg.mx) == (n, n, 0, n - 1)
