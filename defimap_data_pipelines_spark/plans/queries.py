@@ -7258,6 +7258,54 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIMODAL_FEATURES_SQL = """
+    WITH m AS (
+        SELECT doc_id AS media_id, CAST(doc_id % 3 AS INTEGER) AS k,
+               CAST(doc_id % 251 AS BIGINT) AS f,
+               CAST(1 + (doc_id * 7) % 31 AS BIGINT)
+                   * (1 + (doc_id * 11) % 17) AS bwh,
+               CAST(1 + (doc_id * 5) % 29 AS BIGINT)
+                   * (1 + (doc_id * 3) % 13) AS pwh,
+               CAST(16 + (doc_id * 13) % 480 AS BIGINT) AS ns
+        FROM documents
+    )
+    SELECT media_id,
+           CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'ppm' END
+               AS format,
+           CAST(CASE k WHEN 0 THEN ns
+                       WHEN 1 THEN 3 * bwh ELSE 3 * pwh END
+                AS BIGINT) AS n_units,
+           CAST(CASE k
+                WHEN 0 THEN ns * (CASE WHEN f < 128 THEN f * 257
+                                       ELSE f * 257 - 65536 END)
+                WHEN 1 THEN 3 * bwh * f
+                ELSE 3 * pwh * f
+                END AS BIGINT) AS unit_sum
+    FROM m
+"""
+
+
+@register("multimodal_features", MULTIMODAL_FEATURES_SQL)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL content-level feature extraction: the Python workers walk
+    the actual pixel rows (BMP bottom-up, padding excluded), PPM
+    raster bytes, and signed PCM-16LE samples
+    (operators/multimodal.py::extract_media_features) — integer sums,
+    so the oracle replays them in closed form from the payload recipe
+    (a PCM-16 sample of repeated fill byte f decodes to f*257, signed:
+    f >= 128 wraps to f*257 - 65536). Together with multimodal_decode
+    this makes both the header AND the content path of the media
+    pipeline value-hash-checked real code."""
+    from defimap_data_pipelines_spark.operators.multimodal import (
+        extract_media_features,
+        synth_real_media,
+    )
+
+    return extract_media_features(
+        synth_real_media(read_table(spark, sf_dir, "documents"))
+    )
+
+
 def _bloom_decontamination_sql() -> str:
     from defimap_data_pipelines_spark.operators.sketches import (
         BLOOM_K,
@@ -7667,9 +7715,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_volatility, return_correlation_matrix, benford_digit_check,
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
 # multimodal_digest_features, epoch_shuffle, cms_heavy_hitters,
-# pivot_wide, unpivot_long, html_text_extract, bloom_decontamination
-# (new r4) — swap these in for r4 greens (keep the 9 reference-parity
-# flagships first).
+# pivot_wide, unpivot_long, html_text_extract, bloom_decontamination,
+# multimodal_features (new r4) — swap these in for r4 greens (keep
+# the 9 reference-parity flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)

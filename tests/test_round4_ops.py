@@ -502,3 +502,27 @@ def test_bloom_empty_set(spark):
     assert set(bloom) == {0}
     probes = spark.createDataFrame([("anything",)], ["key"])
     assert not bloom_probe(probes, "key", bloom).collect()[0].bloom_hit
+
+
+def test_extract_media_features_pixel_exact(spark):
+    """Content features on hand-built payloads: BMP padding bytes are
+    EXCLUDED from the pixel sum; WAV samples decode signed."""
+    from defimap_data_pipelines_spark.operators.multimodal import (
+        _bmp_bytes,
+        _wav_bytes,
+        extract_media_features,
+    )
+    import struct
+
+    # w=3 -> stride 12, 3 padding bytes per row carry the same fill;
+    # a correct parser sums 3*3*2 pixel bytes only
+    bmp = bytearray(_bmp_bytes(3, 2, fill=7))
+    wav = _wav_bytes(5, fill=200)  # sample 200|200<<8 = 51400 -> signed -14136
+    media = spark.createDataFrame(
+        [(1, bmp), (2, bytearray(wav))], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert (rows[1].n_units, rows[1].unit_sum) == (18, 18 * 7)
+    expect_sample = struct.unpack("<h", bytes([200, 200]))[0]
+    assert expect_sample == 200 * 257 - 65536
+    assert (rows[2].n_units, rows[2].unit_sum) == (5, 5 * expect_sample)
