@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "bloom_decontamination",
     "html_text_extract",
     "pivot_wide",
+    "multimodal_features",
 ]
 
 
