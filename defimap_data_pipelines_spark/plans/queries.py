@@ -7258,6 +7258,64 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_SQL = """
+    WITH c AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    cut AS (
+        SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS q FROM c
+    )
+    SELECT CAST(
+               CASE WHEN cents > q[3] THEN 3
+                    WHEN cents > q[2] THEN 2
+                    WHEN cents > q[1] THEN 1 ELSE 0 END AS INTEGER
+           ) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM c, cut
+    GROUP BY 1
+"""
+
+
+@register("equidepth_histogram", EQUIDEPTH_SQL)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quartile buckets — the complement of the
+    equi-width price_histogram): exact interpolated quartile cutpoints
+    in one percentile aggregate (3 doubles to the driver), then a
+    pure-projection bucket stamp + one groupBy. Determinism note: the
+    quantiles run on integer CENTS with dyadic fractions (.25/.5/.75),
+    so the interpolation is EXACT in binary — any algebraically
+    equivalent quantile formula in either engine yields bit-identical
+    cutpoints, making boundary membership engine-independent (floats
+    + non-dyadic fractions would not survive this)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    c = l.select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    q = c.agg(
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("q")
+    ).collect()[0]["q"]
+    bucket = (
+        F.when(F.col("cents") > q[2], 3)
+        .when(F.col("cents") > q[1], 2)
+        .when(F.col("cents") > q[0], 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )
+
+
 MULTIMODAL_FEATURES_SQL = """
     WITH m AS (
         SELECT doc_id AS media_id, CAST(doc_id % 3 AS INTEGER) AS k,
@@ -7716,8 +7774,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
 # multimodal_digest_features, epoch_shuffle, cms_heavy_hitters,
 # pivot_wide, unpivot_long, html_text_extract, bloom_decontamination,
-# multimodal_features (new r4) — swap these in for r4 greens (keep
-# the 9 reference-parity flagships first).
+# multimodal_features, equidepth_histogram (new r4) — swap these in
+# for r4 greens (keep the 9 reference-parity flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
