@@ -240,3 +240,68 @@ def component_sizes(labels: DataFrame) -> DataFrame:
     return labels.join(F.broadcast(sizes), "component").select(
         "node", "component", "cluster_size"
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic: damping
+    0.85 as the rational 17/20, ranks in ``scale``-denominated integer
+    units, per-edge contribution floor((r(u) * 17) / (20 * deg(u))).
+
+    Iterative graph algorithms usually live under the rows-only
+    contract; this formulation is instead bit-reproducible on ANY
+    engine (integer division only, no float accumulation), so a fixed
+    unrolling replays exactly in SQL — the oracle-able variant of the
+    family. Dangling-node mass is dropped (not redistributed), part of
+    the spec.
+
+    Scale shape per iteration: one join of ranks against the (static,
+    pre-partitioned) edge frame + one groupBy — the BSP step of the
+    CC loop with sums instead of mins; localCheckpoint pins each
+    round. iters is a CONSTANT (fixed-point detection would need a
+    convergence count per round); 100 TB practice runs a handful of
+    rounds anyway.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # static join side: partition once, reuse every round
+    ed = e.join(deg, "u").repartition("u").localCheckpoint()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    init = scale // n
+    base = (3 * scale) // (20 * n)
+    ranks = nodes.withColumn("r", F.lit(init).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed["u"] == ranks["node"])
+            .select(
+                F.col("v").alias("node"),
+                # integer `div`, NOT `/`+cast: float division of 1e13-
+                # scale ints can land an ulp below an exact integer
+                # quotient and floor one off — DuckDB's // is exact
+                F.expr("(r * 17L) div (20L * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -7258,6 +7258,73 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
+    head = f"""
+    WITH e AS (
+        SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, {scale} // n AS r FROM nodes, nn)
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT nodes.node,
+               (3 * CAST({scale} AS BIGINT)) // (20 * (SELECT n FROM nn))
+               + COALESCE(SUM((p.r * 17) // (20 * deg.d)), 0) AS r
+        FROM nodes
+        LEFT JOIN sym ON sym.v = nodes.node
+        LEFT JOIN deg ON deg.u = sym.u
+        LEFT JOIN r{i - 1} p ON p.node = sym.u
+        GROUP BY nodes.node
+    )""")
+    return (
+        head + "," + ",".join(steps) + f"""
+    SELECT node, CAST(r AS BIGINT) AS rank
+    FROM r{iters}
+    ORDER BY rank DESC, node ASC LIMIT 20
+    """
+    )
+
+
+@register("pagerank_top20", _pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer<->supplier purchase
+    graph, in EXACT integer arithmetic (damping 17/20, scale-
+    denominated integer ranks, integer division only —
+    operators/graph.py::pagerank_quantized). Iterative graph
+    algorithms normally carry the rows-only contract; the quantized
+    recurrence is engine-bit-reproducible, so a 3-round unrolled CTE
+    replays it exactly — the oracle-able member of the family. Top-20
+    by rank (desc, node asc)."""
+    from defimap_data_pipelines_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"),
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    ranks = pagerank_quantized(sym, src="u", dst="v", iters=3)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+
+
 EQUIDEPTH_SQL = """
     WITH c AS (
         SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
@@ -7774,8 +7841,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
 # multimodal_digest_features, epoch_shuffle, cms_heavy_hitters,
 # pivot_wide, unpivot_long, html_text_extract, bloom_decontamination,
-# multimodal_features, equidepth_histogram (new r4) — swap these in
-# for r4 greens (keep the 9 reference-parity flagships first).
+# multimodal_features, equidepth_histogram, pagerank_top20 (new r4)
+# — swap these in for r4 greens (keep the 9 reference-parity
+# flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)

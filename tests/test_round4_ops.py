@@ -526,3 +526,30 @@ def test_extract_media_features_pixel_exact(spark):
     expect_sample = struct.unpack("<h", bytes([200, 200]))[0]
     assert expect_sample == 200 * 257 - 65536
     assert (rows[2].n_units, rows[2].unit_sum) == (5, 5 * expect_sample)
+
+
+def test_pagerank_quantized_invariants(spark):
+    """Hand-checkable graph: a 4-cycle has uniform rank by symmetry;
+    a hub pointed to by many spokes outranks the spokes; total mass
+    never exceeds the initial (dangling/floor loss only shrinks)."""
+    from defimap_data_pipelines_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["u", "v"]
+    )
+    r = {x.node: x.rank for x in
+         pagerank_quantized(cyc, "u", "v", iters=4).collect()}
+    assert len(set(r.values())) == 1  # symmetry -> identical ranks
+
+    hub = spark.createDataFrame(
+        [(f"spoke{i}", "hub") for i in range(10)]
+        + [("hub", "spoke0")],
+        ["u", "v"],
+    )
+    h = {x.node: x.rank for x in
+         pagerank_quantized(hub, "u", "v", iters=3).collect()}
+    assert h["hub"] > max(v for k, v in h.items() if k != "hub")
+    scale = 1_000_000_000_000
+    assert sum(h.values()) <= scale
