@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "html_text_extract",
     "pivot_wide",
     "multimodal_features",
+    "equidepth_histogram",
+    "pagerank_top20",
 ]
 
 

@@ -7331,7 +7331,7 @@ EQUIDEPTH_SQL = """
         FROM lineitem
     ),
     cut AS (
-        SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS q FROM c
+        SELECT quantile_disc(cents, [0.25, 0.5, 0.75]) AS q FROM c
     )
     SELECT CAST(
                CASE WHEN cents > q[3] THEN 3
@@ -7349,23 +7349,27 @@ EQUIDEPTH_SQL = """
 @register("equidepth_histogram", EQUIDEPTH_SQL)
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH histogram (quartile buckets — the complement of the
-    equi-width price_histogram): exact interpolated quartile cutpoints
-    in one percentile aggregate (3 doubles to the driver), then a
-    pure-projection bucket stamp + one groupBy. Determinism note: the
-    quantiles run on integer CENTS with dyadic fractions (.25/.5/.75),
-    so the interpolation is EXACT in binary — any algebraically
-    equivalent quantile formula in either engine yields bit-identical
-    cutpoints, making boundary membership engine-independent (floats
-    + non-dyadic fractions would not survive this)."""
+    equi-width price_histogram): exact type-1 quartile cutpoints from
+    the DISTRIBUTED bucket-refinement quantile operator
+    (operators/quantiles.py — never the single-buffer percentile that
+    sorts the whole column in one task), then a pure-projection bucket
+    stamp + one groupBy. Cutpoints are integer cents at dyadic q, so
+    boundary membership is engine-exact; oracle = quantile_disc."""
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        exact_grouped_quantiles,
+    )
+
     l = read_table(spark, sf_dir, "lineitem")
     c = l.select(
+        F.lit(0).alias("_g"),
         F.round(F.col("l_extendedprice") * 100)
         .cast("long")
-        .alias("cents")
+        .alias("cents"),
     )
-    q = c.agg(
-        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("q")
-    ).collect()[0]["q"]
+    qrows = exact_grouped_quantiles(
+        c, "_g", "cents", [0.25, 0.5, 0.75]
+    ).collect()
+    q = [r["quantile"] for r in sorted(qrows, key=lambda r: r["q"])]
     bucket = (
         F.when(F.col("cents") > q[2], 3)
         .when(F.col("cents") > q[1], 2)
