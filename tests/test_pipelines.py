@@ -194,3 +194,27 @@ def test_ingest_samples_at_resolved_block(spark):
     expected = {str(r.date): float(r.block) for r in dim.collect()}
     got = out.select("date", "atoken_supply").collect()
     assert all(expected[str(r.date)] == r.atoken_supply for r in got)
+
+
+def test_run_curation_demo(spark, sf_dir, tmp_path, monkeypatch):
+    """The end-to-end curation demo tool: runs, writes all artifacts,
+    and the dataset card is internally consistent."""
+    import importlib
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    run_curation = importlib.import_module("run_curation")
+    out = str(tmp_path / "cur")
+    monkeypatch.setattr(sys, "argv", ["run_curation.py", sf_dir, out])
+    run_curation.main()
+
+    card = json.load(open(os.path.join(out, "dataset_card.json")))
+    assert card["curation_funnel"]["n_final"] == sum(card["splits"].values())
+    assert card["splits"]["train"] > 0 and card["train_tokens"] > 0
+    shards = spark.read.parquet(os.path.join(out, "train_shards"))
+    assert shards.count() == card["splits"]["train"]
+    assert {f.name for f in shards.schema.fields} >= {"doc_id", "text", "shard"}
+    bins = spark.read.parquet(os.path.join(out, "packed_bins"))
+    assert bins.select("shard", "bin").distinct().count() == card["n_packed_bins"]
