@@ -7258,6 +7258,63 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAPS_ISLANDS_SQL = f"""
+    WITH raw_data AS ({RAW_SERIES_SQL}),
+    d AS (SELECT DISTINCT name, date FROM raw_data),
+    grp AS (
+        SELECT name, date,
+               date - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY name ORDER BY date) AS INTEGER) AS island_key
+        FROM d
+    ),
+    islands AS (
+        SELECT name, MIN(date) AS island_start, MAX(date) AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM grp GROUP BY name, island_key
+    )
+    SELECT name,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(n_days) AS BIGINT) AS longest_island,
+           MIN(island_start) AS first_day,
+           MAX(island_end) AS last_day,
+           CAST(SUM(n_days) AS BIGINT) AS days_observed
+    FROM islands
+    GROUP BY name
+"""
+
+
+@register("gaps_islands", GAPS_ISLANDS_SQL)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: segment each strategy's observed dates into
+    maximal consecutive-day runs via the classic date-minus-row_number
+    constant-key trick (one window per strategy partition — never a
+    global order), then roll islands up per strategy. The monitoring
+    primitive behind 'how fragmented is this series' / 'find the
+    outages'; complements date_spine_ffill, which FILLS the gaps this
+    query measures."""
+    from pyspark.sql import Window
+
+    raw = orders_raw_series(spark, sf_dir)
+    d = raw.select("name", "date").distinct()
+    w = Window.partitionBy("name").orderBy("date")
+    grp = d.withColumn(
+        "island_key",
+        F.date_sub(F.col("date"), F.row_number().over(w)),
+    )
+    islands = grp.groupBy("name", "island_key").agg(
+        F.min("date").alias("island_start"),
+        F.max("date").alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return islands.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("n_days").cast("long").alias("longest_island"),
+        F.min("island_start").alias("first_day"),
+        F.max("island_end").alias("last_day"),
+        F.sum("n_days").cast("long").alias("days_observed"),
+    )
+
+
 def _pagerank_sql(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
     head = f"""
     WITH e AS (
@@ -7845,9 +7902,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
 # multimodal_digest_features, epoch_shuffle, cms_heavy_hitters,
 # pivot_wide, unpivot_long, html_text_extract, bloom_decontamination,
-# multimodal_features, equidepth_histogram, pagerank_top20 (new r4)
-# — swap these in for r4 greens (keep the 9 reference-parity
-# flagships first).
+# multimodal_features, equidepth_histogram, pagerank_top20,
+# gaps_islands (new r4) — swap these in for r4 greens (keep the 9
+# reference-parity flagships first).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
