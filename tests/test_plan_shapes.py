@@ -151,3 +151,19 @@ def test_epoch_shuffle_single_range_exchange(spark, sf_dir):
     )
     plan = ranged._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("rangepartitioning") == 1
+
+
+def test_equidepth_has_no_single_buffer_percentile(spark, sf_dir):
+    """equidepth_histogram must use the distributed bucket-refinement
+    cutpoints — Spark's percentile aggregate (one task buffering the
+    whole column) appearing anywhere in the plan is a regression."""
+    plan = _final_plan("equidepth_histogram", spark, sf_dir)
+    assert "percentile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_no_cartesian(spark, sf_dir):
+    plan = _final_plan("pagerank_top20", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    # top-20 presentation must be TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
