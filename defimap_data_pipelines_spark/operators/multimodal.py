@@ -275,6 +275,15 @@ def decode_media(
                 if fmt in ("bmp", "ppm"):
                     w, h, _ = _STDLIB_PARSERS[fmt](raw)
                     nf = 1
+                elif fmt == "wav":
+                    # _parse_wav validates + yields duration; this
+                    # schema has no duration column so only the
+                    # decode succeeding matters (width/height are
+                    # meaningless for audio) — round-4 advice: auto
+                    # must not fall through to strict/fake when a
+                    # stdlib codec can decode.
+                    _parse_wav(raw)
+                    w, h, nf = None, None, 1
                 elif pil is not None and kind == "image":
                     w, h, nf = pil(raw)
                 elif strict:

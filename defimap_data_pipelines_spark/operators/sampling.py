@@ -257,8 +257,14 @@ def epoch_shuffle(
         global_cumsum,
     )
 
-    epochs = epoch if isinstance(epoch, list) else [epoch]
+    # Sort + de-duplicate: the global rank below is ordered by epoch
+    # VALUE ascending, so the subtracted per-epoch offset must use the
+    # epoch's rank among SORTED distinct epochs — an unsorted or
+    # duplicated list (e.g. [3, 1]) would otherwise map epoch 1 to
+    # offset 1*n while its ranks start at 0, yielding negative
+    # positions (round-4 advice item).
     single = not isinstance(epoch, list)
+    epochs = sorted(set(epoch if isinstance(epoch, list) else [epoch]))
     n = df.count()
     exploded = df.withColumn(
         "epoch",
@@ -269,7 +275,8 @@ def epoch_shuffle(
         F.md5(F.concat_ws("|", F.col("epoch").cast("string"),
                           F.col(key).cast("string"))),
     ).withColumn("_one", F.lit(1).cast("long"))
-    # epoch_index in registration order (epochs need not be 0..E-1)
+    # epoch_index among sorted distinct epochs (values need not be
+    # 0..E-1, but the offset must follow the rank sort order above)
     eidx = F.array_position(
         F.array(*[F.lit(e).cast("int") for e in epochs]), F.col("epoch")
     ) - 1

@@ -128,10 +128,13 @@ def cms_estimate(
 #: 2^17 bits: at the tested corpus scales the bench shingle set loads
 #: the filter to a few percent, so the k=3 false-positive rate is
 #: ~1e-4 and the probe output is dominated by TRUE contamination.
-#: The filter travels as a hex STRING literal (bits/4 chars = 32 KB)
-#: — one string constant in the plan, NOT a bits/64-element array
-#: literal, which at this size would flirt with Janino's 64 KB method
-#: limit (the measured codegen cliff in functions/vector.py).
+#: The filter travels as a bits/64-element array<bigint> LITERAL
+#: (2048 longs) that constant-folds to one ArrayData with O(1)
+#: element_at — NOT a hex string probed via substring(pos, 1), which
+#: is O(position) per call (UTF8 character indexing) and measured 13×
+#: slower (26 s vs 2 s at sf0.1; see bloom_probe's docstring). The
+#: Janino 64 KB cliff applies to generated CODE, not folded constant
+#: DATA, so thousands of array elements are safe.
 BLOOM_BITS = 131072
 BLOOM_K = 3
 

@@ -7543,7 +7543,7 @@ def _bloom_decontamination_sql() -> str:
 def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination, BLOOM-FILTER form (the scale path
     when the benchmark shingle set no longer fits a broadcast join):
-    the bench set folds into a 2048-bit md5 bloom (32 driver longs,
+    the bench set folds into a 131072-bit md5 bloom (2048 driver longs,
     operators/sketches.py::bloom_build), and the probe is a pure
     literal-array projection over the training corpus — zero joins,
     zero shuffles until the per-doc rollup. Output keeps the exact-

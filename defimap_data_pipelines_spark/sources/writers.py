@@ -207,8 +207,18 @@ def compact_small_files(
     daily appends = thousands of footers per scan, task-per-file
     scheduling, and dead pushdown). This is the vanilla-parquet
     stand-in for Delta's OPTIMIZE: stage the compacted copy next to
-    the table, then atomically swap directories — readers see either
-    the old layout or the new, never a half-written mix.
+    the table, then swap directories via two renames. Readers that
+    hold an open listing see a consistent layout, but the swap is NOT
+    crash-atomic: dying between the two renames leaves the table at
+    ``<path>._pre_compact`` and nothing at ``path`` (POSIX cannot
+    atomically replace a non-empty directory). Recovery is a single
+    rename back; a real lakehouse needs a commit log (Delta/Iceberg)
+    for this, which is exactly why they exist.
+
+    LOCAL FILESYSTEM PATHS ONLY: ``os.walk``/``os.rename`` don't
+    speak s3://, hdfs://, or file:// URIs — a scheme-qualified path
+    would silently list zero files and then fail the rename, so it is
+    rejected up front (round-4 advice item).
 
     Returns {files_before, files_after, bytes} for observability.
     The file-count target derives from the table's actual byte size
@@ -216,7 +226,16 @@ def compact_small_files(
     """
     import math
     import os
+    import re
     import shutil
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        raise ValueError(
+            "compact_small_files operates on local filesystem paths "
+            f"only (os.walk/os.rename cannot reach {path!r}); for "
+            "object stores use the engine-native OPTIMIZE of a table "
+            "format with a commit log"
+        )
 
     def _list(p):
         out = []

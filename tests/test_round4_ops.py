@@ -135,6 +135,21 @@ def test_decode_media_auto_uses_real_parser_for_bmp(spark):
     assert (r.width, r.height, r.n_frames) == (21, 9, 1)
 
 
+def test_decode_media_auto_routes_wav_even_strict(spark):
+    """A WAV payload must take the stdlib parser in the auto tier —
+    strict=True previously raised despite _parse_wav being able to
+    decode it (round-4 advice item)."""
+    from defimap_data_pipelines_spark.operators.multimodal import decode_media
+
+    media = spark.createDataFrame(
+        [(9, "audio", bytearray(_wav_bytes(4000)))],
+        "media_id long, kind string, payload binary",
+    )
+    r = decode_media(media, codec="auto", strict=True).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (None, None, 1)
+    assert r.n_bytes == 44 + 2 * 4000
+
+
 # ---------------------------------------------------------------------------
 # multi-column global_cumsum
 # ---------------------------------------------------------------------------
@@ -273,6 +288,25 @@ def test_epoch_shuffle_multi_equals_single(spark):
                   for r in epoch_shuffle(docs, epoch=e).collect()}
         assert all(multi[(e, d)] == p for d, p in single.items())
     assert len(multi) == 1000
+
+
+def test_epoch_shuffle_unsorted_duplicated_epoch_list(spark):
+    """Unsorted / duplicated epoch lists must not yield negative
+    positions: the per-epoch offset follows sorted distinct epochs
+    (round-4 advice item)."""
+    from defimap_data_pipelines_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    messy = {
+        (r.epoch, r.doc_id): r.position
+        for r in epoch_shuffle(docs, epoch=[3, 1, 3]).collect()
+    }
+    assert len(messy) == 400  # duplicates collapsed
+    assert all(0 <= p < 200 for p in messy.values())
+    for e in (1, 3):
+        single = {r.doc_id: r.position
+                  for r in epoch_shuffle(docs, epoch=e).collect()}
+        assert all(messy[(e, d)] == p for d, p in single.items())
 
 
 # ---------------------------------------------------------------------------

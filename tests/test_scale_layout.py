@@ -260,3 +260,16 @@ def test_compact_small_files(spark, tmp_path):
     import os
 
     assert any(d.startswith("name=") for d in os.listdir(path))
+
+
+def test_compact_small_files_rejects_uri_schemes(spark, tmp_path):
+    """os.walk/os.rename can't reach scheme-qualified URIs — the old
+    behavior was a silent zero-file listing then a rename failure
+    (round-4 advice item)."""
+    from defimap_data_pipelines_spark.sources.writers import (
+        compact_small_files,
+    )
+
+    for uri in ("s3://bucket/tbl", "hdfs://nn/tbl", f"file://{tmp_path}"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            compact_small_files(spark, uri)
