@@ -7892,19 +7892,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # report 50/50 full value-hash checks (no rows-only entries burn a
 # checked slot).
 
-# Round-5 rotation candidates (oracle-backed, still never driver-checked
-# after the round-4 rotation below): embedding_allpairs_exact, bool_aggs,
-# stats_moments, date_arith, minmax_by, grouping_sets_id, nulls_ordering,
-# limit_offset, price_histogram, interval_count_join, dq_checks,
-# revenue_share, weighted_moving_avg, zscore_anomalies, pareto_frontier,
-# rolling_active_users, event_transitions, drawdown_series,
-# rolling_volatility, return_correlation_matrix, benford_digit_check,
-# multimodal_resize, source_cap, lang_source_mixture, scd2_intervals,
-# multimodal_digest_features, epoch_shuffle, cms_heavy_hitters,
-# pivot_wide, unpivot_long, html_text_extract, bloom_decontamination,
-# multimodal_features, equidepth_histogram, pagerank_top20,
-# gaps_islands (new r4) — swap these in for r4 greens (keep the 9
-# reference-parity flagships first).
+# Round-5 rotation: after four rounds, 123 of 159 oracle-backed
+# queries have earned a driver-green row; the 36 below are the
+# complete remainder (verified against CORRECTNESS_r01-r04), so this
+# window finishes the job — after r5, every oracle-backed query in the
+# repo will have been value-hash-checked by the driver at least once.
+# The 9 reference-parity flagships stay first per the standing rule;
+# the final 5 slots carry queries changed or added this round.
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
@@ -7917,52 +7911,51 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # r3 hash-fails, oracle SQL fixed this round — must re-earn green
-    "training_dataset",
-    "stratified_sample",
-    "token_shards",
-    "pii_redaction",
-    # round-3 flagships earning their first driver rows
-    "semdedup_prune",
-    "quality_classifier",
-    "dedup_keep_best",
-    "gopher_rules",
-    "stream_quality_exec",
-    "ann_recall_eval",
-    "vocab_coverage",
-    "cross_source_dups",
-    "temperature_mixture",
-    "edit_distance_pairs",
-    "bpe_merge_pairs",
-    # changed this round (latent decimal fixes / ADVICE fixes / rework)
+    # round-4 operators earning their first driver rows
+    "pagerank_top20",
+    "equidepth_histogram",
+    "bloom_decontamination",
+    "cms_heavy_hitters",
+    "epoch_shuffle",
+    "multimodal_features",
+    "multimodal_digest_features",
+    "multimodal_resize",
+    "html_text_extract",
+    "pivot_wide",
+    "unpivot_long",
+    "gaps_islands",
+    # the long-carried never-checked tail (r2/r3 registrations)
+    "embedding_allpairs_exact",
+    "bool_aggs",
+    "stats_moments",
+    "date_arith",
+    "minmax_by",
+    "grouping_sets_id",
+    "nulls_ordering",
+    "limit_offset",
+    "price_histogram",
+    "interval_count_join",
+    "dq_checks",
+    "scd2_intervals",
+    "revenue_share",
+    "weighted_moving_avg",
+    "zscore_anomalies",
+    "pareto_frontier",
+    "rolling_active_users",
+    "event_transitions",
+    "drawdown_series",
+    "rolling_volatility",
+    "return_correlation_matrix",
+    "benford_digit_check",
+    "source_cap",
+    "lang_source_mixture",
+    # changed this round (ADVICE fixes touching their operators) —
+    # swapped for new round-5 queries as they are registered
+    "multimodal_decode",
     "dataset_split",
-    "date_spine_ffill",
-    "event_funnel",
     "ivf_topk_trained",
     "ks_drift",
-    "multimodal_decode",
-    # TPC-H variants never yet driver-checked
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q7_volume_shipping",
-    "q10_returned_revenue",
-    "q11_important_value",
-    "q12_priority_split",
-    "q13_count_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q20_dominant_supplier",
-    "q22_inactive_customers",
-    "gotk_sql",
-    # time-series / scale surface never yet driver-checked
-    "resample_weekly_ohlc",
-    "winsorized_stats",
-    "cohort_retention",
-    "salted_join_agg",
-    "embedding_quantize_int8",
+    "training_dataset",
 ]
 
 
