@@ -7660,6 +7660,82 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WARC_GZ_EXTRACT_SQL = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM documents
+"""
+
+
+@register("warc_gz_extract", WARC_GZ_EXTRACT_SQL)
+def q_warc_gz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ``.warc.gz`` wire-format round trip, value-hash-checked:
+    every document serializes to a WARC response record, records
+    gzip-compress into per-record members packed ~1/32nd of the corpus
+    per container (applyInPandas builder), and the containers parse
+    BACK through the multi-member walker
+    (sources/warc.py::parse_warc_gz_bytes) before the payload digests
+    are compared against the source table by the oracle — any byte
+    slip in the record serializer, the gzip member framing, or the
+    offset-rebasing walker breaks the md5s.
+
+    Scale shape: containers build and parse within a partition (no
+    shuffle besides the bucket groupBy); at crawl scale the builder
+    half IS how shards are written and the parser half is the
+    binaryFile read path, parallel across segment files."""
+    import hashlib
+
+    import pandas as pd
+
+    from defimap_data_pipelines_spark.sources.warc import (
+        gzip_member_bytes,
+        parse_warc_gz_bytes,
+        warc_record_bytes,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.withColumn("_b", (F.col("doc_id") % 32).cast("int"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            gzip_member_bytes(
+                warc_record_bytes(
+                    "response",
+                    str(txt).encode("utf-8"),
+                    target_uri=f"doc://{int(did)}",
+                    content_type="text/plain",
+                )
+            )
+            for did, txt in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame({"container": [b"".join(members)]})
+
+    containers = docs.groupBy("_b").applyInPandas(
+        build, "container binary"
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(rec["target_uri"][6:]),
+                    int(rec["content_length"]),
+                    hashlib.md5(rec["payload"]).hexdigest(),
+                )
+                for c in pdf["container"]
+                for rec in parse_warc_gz_bytes(bytes(c))
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content_length", "payload_md5"]
+            )
+
+    return containers.mapInPandas(
+        parse, "doc_id long, content_length long, payload_md5 string"
+    )
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 PIVOT_WIDE_SQL = f"""
@@ -7951,7 +8027,7 @@ _DRIVER_WINDOW = [
     "lang_source_mixture",
     # changed this round (ADVICE fixes touching their operators) —
     # swapped for new round-5 queries as they are registered
-    "multimodal_decode",
+    "warc_gz_extract",
     "dataset_split",
     "ivf_topk_trained",
     "ks_drift",
