@@ -3676,6 +3676,55 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_topk_persisted", IVF_TRAINED_SQL)
+def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fit-once / probe-daily workflow: the trained IVF codebook
+    round-trips through a persisted models/ parquet table
+    (pipelines/models.py::ModelStore) between training and probing.
+    Shares ivf_topk_trained's oracle EXACTLY — the loaded codebook
+    must reproduce the inline-trained value hashes bit-for-bit, which
+    pins the parquet round trip (doubles are IEEE bits in parquet) as
+    well as the probe. At 100 TB this split is the whole point:
+    training scans the corpus once on day 1; every later batch loads
+    the K-row artifact and probes with a pure projection."""
+    from pyspark.sql import Window
+
+    from defimap_data_pipelines_spark.operators.clustering import (
+        assign_clusters,
+        update_centroids,
+    )
+    from defimap_data_pipelines_spark.operators.similarity import ivf_topk
+    from defimap_data_pipelines_spark.pipelines.models import (
+        ModelStore,
+        default_store_root,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    init = (
+        v.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("cluster"),
+            F.col("e").alias("c"),
+        )
+    )
+    trained = update_centroids(assign_clusters(v, init))
+    store = ModelStore(default_store_root(sf_dir))
+    store.save_centroids(trained, "ivf_codebook")
+    loaded = store.load_centroids(spark, "ivf_codebook")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, centroids=loaded
+    )
+    return out.select(
+        "query_id", "vec_id", r(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 INTERVAL_JOIN_SQL = """
     WITH err AS (
         SELECT event_id, user_id,
@@ -7540,7 +7589,9 @@ def _bloom_decontamination_sql() -> str:
 
 
 @register("bloom_decontamination", _bloom_decontamination_sql())
-def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bloom_decontamination(
+    spark: SparkSession, sf_dir: str, bloom_roundtrip=None
+) -> DataFrame:
     """Benchmark decontamination, BLOOM-FILTER form (the scale path
     when the benchmark shingle set no longer fits a broadcast join):
     the bench set folds into a 131072-bit md5 bloom (2048 driver longs,
@@ -7579,6 +7630,8 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(~(F.col("_b") < 500)).select("doc_id", "shingle")
 
     bloom = bloom_build(bench, "shingle")
+    if bloom_roundtrip is not None:
+        bloom = bloom_roundtrip(bloom)
     probed = bloom_probe(train, "shingle", bloom, out="_hit")
     # exact-membership tag: explicit broadcast — the bench shingle set
     # is ~5% of the corpus's distinct shingles; letting it drift to a
@@ -7598,6 +7651,36 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_bloom_hits") > 0)
     )
+
+
+@register("bloom_persisted_probe", _bloom_decontamination_sql())
+def q_bloom_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom_decontamination with the filter PERSISTED between build
+    and probe (pipelines/models.py::ModelStore.save_bloom/load_bloom)
+    — the decontaminate-every-shard workflow, where one release's
+    benchmark filter is built once and probed by every curation batch.
+    Shares the inline variant's oracle exactly: the loaded 2048-long
+    bitset must reproduce the same hits AND the same false positives,
+    value-hash-pinning the parquet round trip of the words plus the
+    bits/k metadata columns."""
+    from defimap_data_pipelines_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+    )
+    from defimap_data_pipelines_spark.pipelines.models import (
+        ModelStore,
+        default_store_root,
+    )
+
+    store = ModelStore(default_store_root(sf_dir))
+
+    def roundtrip(words: list[int]) -> list[int]:
+        store.save_bloom(spark, words, "bench_bloom", BLOOM_BITS, BLOOM_K)
+        loaded, bits, k = store.load_bloom(spark, "bench_bloom")
+        assert (bits, k) == (BLOOM_BITS, BLOOM_K)
+        return loaded
+
+    return q_bloom_decontamination(spark, sf_dir, bloom_roundtrip=roundtrip)
 
 
 def _html_extract_sql() -> str:
@@ -8028,8 +8111,8 @@ _DRIVER_WINDOW = [
     # changed this round (ADVICE fixes touching their operators) —
     # swapped for new round-5 queries as they are registered
     "warc_gz_extract",
-    "dataset_split",
-    "ivf_topk_trained",
+    "ivf_topk_persisted",
+    "bloom_persisted_probe",
     "ks_drift",
     "training_dataset",
 ]

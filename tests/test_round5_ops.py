@@ -92,6 +92,104 @@ def test_parse_warc_gz_multi_record_member_tolerated():
     assert all(r["record_offset"] == 0 for r in recs)
 
 
+# ---------------------------------------------------------------------------
+# persisted model artifacts (pipelines/models.py)
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_roundtrip_bitexact_and_identical_assignments(
+    spark, tmp_path, sf_dir
+):
+    from defimap_data_pipelines_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+        update_centroids,
+    )
+    from defimap_data_pipelines_spark.pipelines.models import ModelStore
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    fitted = update_centroids(
+        kmeans_fit(emb, k=4, iters=1, keep_vec=True)
+    )
+    store = ModelStore(str(tmp_path / "models"))
+    store.save_centroids(fitted, "cb")
+    loaded = store.load_centroids(spark, "cb")
+    orig = {r.cluster: r.c for r in fitted.collect()}
+    back = {r.cluster: r.c for r in loaded.collect()}
+    assert orig == back  # bit-exact doubles through parquet
+    a = sorted(
+        (r.vec_id, r.cluster) for r in assign_clusters(v, fitted).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster) for r in assign_clusters(v, loaded).collect()
+    )
+    assert a == b
+
+
+def test_bloom_roundtrip_and_validation(spark, tmp_path):
+    from defimap_data_pipelines_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_build,
+    )
+    from defimap_data_pipelines_spark.pipelines.models import ModelStore
+
+    keys = spark.range(300).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("tok")
+    )
+    words = bloom_build(keys, "tok")
+    store = ModelStore(str(tmp_path / "models"))
+    store.save_bloom(spark, words, "bl", BLOOM_BITS, BLOOM_K)
+    loaded, bits, k = store.load_bloom(spark, "bl")
+    assert loaded == words and bits == BLOOM_BITS and k == BLOOM_K
+    with pytest.raises(Exception):
+        store.load_bloom(spark, "missing")
+
+
+def test_cms_roundtrip_identical_estimates(spark, tmp_path):
+    from defimap_data_pipelines_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+    from defimap_data_pipelines_spark.pipelines.models import ModelStore
+
+    toks = spark.range(1000).select(
+        F.concat(F.lit("t"), (F.col("id") % 37)).alias("token")
+    )
+    counters = cms_counters(toks)
+    store = ModelStore(str(tmp_path / "models"))
+    store.save_cms(counters, "cms", depth=4, width=1024)
+    loaded, depth, width = store.load_cms(spark, "cms")
+    assert (depth, width) == (4, 1024)
+    probes = spark.createDataFrame([("t0",), ("t5",)], "token string")
+    a = sorted(map(tuple, cms_estimate(counters, probes).collect()))
+    b = sorted(map(tuple, cms_estimate(loaded, probes).collect()))
+    assert a == b
+
+
+def test_fit_or_load_skips_refit(spark, tmp_path):
+    from defimap_data_pipelines_spark.pipelines.models import (
+        ModelStore,
+        fit_or_load_frame,
+    )
+
+    store = ModelStore(str(tmp_path / "models"))
+    calls = []
+
+    def fit():
+        calls.append(1)
+        return spark.createDataFrame([(1, 2.0)], "cluster int, v double")
+
+    first = fit_or_load_frame(store, spark, "art", fit)
+    second = fit_or_load_frame(store, spark, "art", fit)
+    assert len(calls) == 1  # second call loaded, did not refit
+    assert first.collect() == second.collect()
+
+
 def test_read_warc_mixed_plain_and_gz_directory(spark, tmp_path):
     from defimap_data_pipelines_spark.sources.warc import read_warc
 
