@@ -150,6 +150,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected connected components by alternating large-star /
     small-star contraction (the MapReduce CC algorithm of Kiveris et
@@ -210,8 +211,10 @@ def connected_components_star(
         ).unionByName(linked.select("u", F.col("m").alias("v")))
         return rewired.filter(F.col("u") != F.col("v")).distinct()
 
+    rounds = 0
     for _ in range(max_iter):
         e2 = small_star(large_star(e)).localCheckpoint()
+        rounds += 1
         changed = (
             e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
         )
@@ -222,6 +225,8 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star: no convergence in {max_iter} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixed point is a star forest: every non-root points at its
     # component min; roots get self-labels via the node frame.
     roots = nodes.join(

@@ -330,3 +330,75 @@ def test_prefix_sum_machinery_at_10x(spark):
         F.max("position").alias("mx"),
     ).collect()[0]
     assert (agg.n, agg.d, agg.mn, agg.mx) == (n, n, 0, n - 1)
+
+
+def test_star_contraction_adversarial_skew_chain_plus_clique(spark):
+    """The graph twin of the curation smoke (round-4 verdict item):
+    one giant near-clique (the skewed dup-cluster shape — extreme
+    degree concentration) fused to a 20k-node chain (extreme
+    DIAMETER, where min-label BSP would need 20k rounds), plus a 30k-
+    spoke hub. Star contraction must label all of it in O(log^2 n)
+    rounds — measured, not assumed: the stats hook records the actual
+    round count — and the labels have closed forms to compare
+    against (no oracle engine needed)."""
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n_chain, k_clique, n_spokes = 20_000, 250, 30_000
+    chain = spark.range(n_chain - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    # clique ids live ABOVE the chain and attach to chain node 777,
+    # so the whole thing is ONE component with min id 0 and diameter
+    # ~20k; spokes form a second component rooted at its hub.
+    c0 = 1_000_000
+    clique = (
+        spark.range(k_clique)
+        .select((F.col("id") + c0).alias("src"))
+        .crossJoin(
+            spark.range(k_clique).select((F.col("id") + c0).alias("dst"))
+        )
+        .filter(F.col("src") < F.col("dst"))
+    )
+    bridge = spark.createDataFrame([(777, c0)], "src long, dst long")
+    h0 = 2_000_000
+    hub = spark.range(n_spokes).select(
+        F.lit(h0).alias("src"), (F.col("id") + h0 + 1).alias("dst")
+    )
+    edges = chain.unionByName(clique).unionByName(bridge).unionByName(hub)
+
+    stats: dict = {}
+    # Catalyst's UnionBase.rewriteConstraints trips a "key not found"
+    # internal error on this union-of-crossjoin-filter shape (Spark
+    # 4.1); constraint propagation is an optimizer nicety, not a
+    # correctness input, so disable it for the fixture build.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        labels = connected_components_star(
+            edges, max_iter=25, stats=stats
+        ).cache()
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
+    # O(log^2 n) in the worst case; in practice distance-halving gives
+    # ~log2(20k) ~ 15. A loose 20 still rules out O(diameter) by 1000x.
+    assert stats["rounds"] <= 20, stats
+    # closed-form labels: chain+clique -> 0, hub star -> h0
+    comp_sizes = {
+        r.component: r.n
+        for r in labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert comp_sizes == {
+        0: n_chain + k_clique,
+        h0: n_spokes + 1,
+    }, stats
+    mislabeled = labels.filter(
+        (
+            (F.col("node") < n_chain)
+            | ((F.col("node") >= c0) & (F.col("node") < c0 + k_clique))
+        )
+        & (F.col("component") != 0)
+    ).count()
+    assert mislabeled == 0
