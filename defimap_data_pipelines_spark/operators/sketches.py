@@ -19,7 +19,7 @@ second corpus scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEPTH = 4
@@ -227,3 +227,80 @@ def bloom_probe(
             f" CAST(({bit}) % 64 AS INT)) & 1L) = 1L"
         )
     return df.withColumn(out, F.expr(" AND ".join(checks)))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — the oracle-able
+# alternative to HyperLogLog
+# ---------------------------------------------------------------------------
+
+#: 2^60: kmv_hash keeps 15 md5 hex chars = 60 uniform bits. Fits a
+#: BIGINT exactly, so both engines parse the identical integer before
+#: the one double division.
+KMV_SPACE = float(1 << 60)
+
+KMV_K = 256
+
+
+def kmv_hash(key) -> Column:
+    """Uniform [0,1) hash of ``key``: first 60 md5 bits / 2^60. The
+    md5-replay determinism contract (operators/sampling.py) — DuckDB
+    computes the bit-identical double from the same hex substring, so
+    a SKETCH becomes value-hash-checkable, which approx_count_distinct
+    (HLL, engine-private registers) never is."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        / F.lit(KMV_SPACE)
+    )
+
+
+def kmv_hash_sql(key_expr: str) -> str:
+    """DuckDB twin of :func:`kmv_hash`."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT / {KMV_SPACE!r})"
+    )
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group approximate distinct count with exact-arithmetic
+    determinism: keep each group's k smallest distinct key hashes;
+    estimate = (k-1)/u_k where u_k is the k-th smallest (exact count
+    when the group holds fewer than k distinct keys).
+
+    Scale shape: ONE shuffle — distinct (group, hash) pairs partially
+    aggregate map-side, then a rank window per group keeps k rows.
+    The sketch per group is k doubles regardless of group size, and
+    sketches MERGE (union the hash sets, re-take the k smallest), so
+    partial sketches from daily partitions roll up without rescanning
+    history — the property that makes KMV a warehouse primitive.
+    Estimator: Beyer et al., "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations" (SIGMOD'07), unbiased
+    (k-1)/u_k form.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        df.select(F.col(group_col).alias("g"), kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = h.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("u_k"),
+    ).select(
+        F.col("g").alias(group_col),
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.col("u_k"))
+        .alias("kmv_estimate"),
+        "n_kept",
+    )

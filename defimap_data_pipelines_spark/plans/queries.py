@@ -1926,6 +1926,118 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_distinct_sql() -> str:
+    from defimap_data_pipelines_spark.operators.sketches import (
+        KMV_K,
+        kmv_hash_sql,
+    )
+
+    return f"""
+    WITH h AS (
+        SELECT DISTINCT event_type AS g,
+               {kmv_hash_sql('user_id')} AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM h
+    ),
+    kept AS (SELECT g, h FROM ranked WHERE rn <= {KMV_K})
+    SELECT g AS event_type,
+           ROUND(CASE WHEN COUNT(*) < {KMV_K}
+                      THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE {float(KMV_K - 1)!r} / MAX(h) END, 6)
+               AS kmv_estimate,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY g
+    """
+
+
+@register("kmv_distinct", _kmv_distinct_sql())
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users via a KMV
+    (k-minimum-values) sketch — the ORACLE-ABLE distinct sketch:
+    where hll_distinct_users can only gate its engine-private HLL
+    registers behind a tolerance boolean, KMV's state is just the k
+    smallest md5-derived hashes, so the ESTIMATE ITSELF (including
+    its exact sampling error) is value-hash-checked cross-engine.
+    Estimator (k-1)/u_k per Beyer et al. (SIGMOD'07); sketches merge
+    by unioning hash sets and re-taking the k minima, so daily
+    partition sketches roll up without rescanning history. One
+    shuffle: distinct (group, hash) with map-side partial dedup, then
+    a per-group rank window over <= k surviving rows per group."""
+    from defimap_data_pipelines_spark.operators.sketches import (
+        kmv_distinct_by,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    out = kmv_distinct_by(e, "event_type", "user_id")
+    return out.select(
+        "event_type",
+        r(F.col("kmv_estimate"), 6).alias("kmv_estimate"),
+        "n_kept",
+    )
+
+
+def _zorder_sql() -> str:
+    from defimap_data_pipelines_spark.operators.zorder import z_value_sql
+
+    x = "(user_id % 4096)"
+    y = (
+        "(((CAST(ROUND(value * 1000000.0) AS BIGINT) % 4096) + 4096)"
+        " % 4096)"
+    )
+    z = z_value_sql(x, y, 12, dialect="duck")
+    return f"""
+    WITH z AS (SELECT {z} AS zval, {x} AS x, {y} AS y FROM events)
+    SELECT CAST(zval // 262144 AS BIGINT) AS file_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_min,
+           CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min,
+           CAST(MAX(y) AS BIGINT) AS y_max
+    FROM z GROUP BY 1
+    """
+
+
+@register("zorder_layout", _zorder_sql())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of events on (user_id bucket,
+    value bucket) — the two-dimensional data-skipping layout
+    (operators/zorder.py; Delta's OPTIMIZE ZORDER re-expressed as one
+    folded integer-interleave projection + a groupBy). The oracle
+    replays the bit interleave with identical integer arithmetic and
+    checks each equal-width z-bucket's (x, y) min/max rectangle —
+    tight rectangles ARE the data-skipping property, so locality is
+    value-hash-checked, not eyeballed. Equal-width z-buckets stand in
+    for file boundaries because a range partitioner's sampled cuts
+    are engine-internal; zorder_layout/zorder_file_stats (the
+    write-path form) are covered by tests/test_round5_ops.py."""
+    from defimap_data_pipelines_spark.operators.zorder import z_value
+
+    e = read_table(spark, sf_dir, "events")
+    x = "(user_id % 4096)"
+    y = (
+        "(((CAST(ROUND(value * 1000000.0) AS BIGINT) % 4096) + 4096)"
+        " % 4096)"
+    )
+    z = e.select(
+        z_value(x, y, 12).alias("zval"),
+        F.expr(x).alias("x"),
+        F.expr(y).alias("y"),
+    )
+    return (
+        z.groupBy(F.expr("zval div 262144").alias("file_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+    )
+
+
 IVF_SQL = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (
@@ -8113,8 +8225,8 @@ _DRIVER_WINDOW = [
     "warc_gz_extract",
     "ivf_topk_persisted",
     "bloom_persisted_probe",
-    "ks_drift",
-    "training_dataset",
+    "kmv_distinct",
+    "zorder_layout",
 ]
 
 

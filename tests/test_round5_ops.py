@@ -203,3 +203,142 @@ def test_read_warc_mixed_plain_and_gz_directory(spark, tmp_path):
               if r.content_type == "application/octet-stream"]
     assert len(binary) == 2
     assert all(bytes(r.payload) == bytes(range(256)) * 4 for r in binary)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    from defimap_data_pipelines_spark.operators.sketches import (
+        kmv_distinct_by,
+    )
+
+    # group "big": 5000 distinct keys (sketch path, k=256);
+    # group "small": 40 distinct keys (exact path)
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("k")
+    )
+    small = spark.range(40).select(
+        F.lit("small").alias("g"), (F.col("id") + 900000).alias("k")
+    )
+    # duplicates must not shift the estimate (DISTINCT hash set)
+    dupes = big.limit(1000)
+    out = {
+        r.g: (r.kmv_estimate, r.n_kept)
+        for r in kmv_distinct_by(
+            big.unionByName(small).unionByName(dupes), "g", "k"
+        ).collect()
+    }
+    assert out["small"] == (40.0, 40)
+    est, kept = out["big"]
+    assert kept == 256
+    # k=256 -> std error ~1/sqrt(254) ~ 6.3%; 20% is a 3-sigma guard
+    assert abs(est - 5000) / 5000 < 0.20, est
+
+
+def test_kmv_sketches_merge(spark):
+    """Union of two days' kept-hash sets, re-taking the k minima,
+    must equal the sketch of the union — the mergeability property
+    that makes KMV a rollup primitive."""
+    from defimap_data_pipelines_spark.operators.sketches import (
+        kmv_distinct_by,
+        kmv_hash,
+    )
+
+    k = 64
+    day1 = spark.range(2000).select(
+        F.lit("g").alias("g"), F.col("id").alias("key")
+    )
+    day2 = spark.range(1500, 3500).select(
+        F.lit("g").alias("g"), F.col("id").alias("key")
+    )
+    both = kmv_distinct_by(day1.unionByName(day2), "g", "key", k=k)
+    merged_hashes = (
+        day1.select(kmv_hash(F.col("key")).alias("h"))
+        .unionByName(day2.select(kmv_hash(F.col("key")).alias("h")))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    u_k = max(r.h for r in merged_hashes.collect())
+    est_merged = (k - 1) / u_k
+    est_direct = both.collect()[0].kmv_estimate
+    assert abs(est_merged - est_direct) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_z_value_is_a_bijection_on_the_grid(spark):
+    from defimap_data_pipelines_spark.operators.zorder import z_value
+
+    n = 64  # 6 bits/dim
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    z = grid.select(z_value("x", "y", 6).alias("z"))
+    stats = z.agg(
+        F.countDistinct("z").alias("d"),
+        F.min("z").alias("mn"),
+        F.max("z").alias("mx"),
+    ).collect()[0]
+    assert (stats.d, stats.mn, stats.mx) == (n * n, 0, n * n - 1)
+
+
+def test_zorder_buckets_cover_tight_squares(spark):
+    """On a full 128x128 grid, each aligned z-bucket of 2^10 codes is
+    exactly one 32x32 square — the rectangle-tightness invariant that
+    makes min/max pruning work on BOTH dimensions."""
+    from defimap_data_pipelines_spark.operators.zorder import z_value
+
+    n = 128
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    z = grid.select("x", "y", z_value("x", "y", 7).alias("z"))
+    rects = (
+        z.groupBy(F.expr("z div 1024").alias("b"))
+        .agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()
+    )
+    assert len(rects) == 16
+    for r0 in rects:
+        assert r0.c == 1024
+        assert (r0.x1 - r0.x0 + 1, r0.y1 - r0.y0 + 1) == (32, 32)
+
+
+def test_zorder_layout_files_beat_single_column_sort(spark):
+    """The measured point of the operator: range-partitioning on the
+    Morton code gives every file a bounded (x, y) rectangle, while a
+    plain x-sort leaves y unconstrained (full-range y in every file)."""
+    from defimap_data_pipelines_spark.operators.zorder import (
+        zorder_file_stats,
+        zorder_layout,
+    )
+
+    n = 128
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    laid = zorder_layout(grid, "x", "y", n_files=16, bits=7)
+    stats = zorder_file_stats(laid, "x", "y").collect()
+    assert sum(r.n_rows for r in stats) == n * n
+    area = sum(
+        (r.x_max - r.x_min + 1) * (r.y_max - r.y_min + 1) for r in stats
+    )
+    # x-sorted baseline: 16 files x (8 x-values * full y range) = n*n
+    # per file rectangle-area totalling 16*128*8 = n*n... each file's
+    # y span is the FULL 128. Z-order files straddle at most a few
+    # quadrants: total rectangle area stays within 4x the data area,
+    # vs 8x-128x for one-dimensional sorts when predicates hit y.
+    assert area <= 4 * n * n, area
+    worst_y_span = max(r.y_max - r.y_min + 1 for r in stats)
+    assert worst_y_span <= n // 2, worst_y_span
