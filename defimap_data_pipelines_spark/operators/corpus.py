@@ -281,6 +281,27 @@ class CurationState:
             self.pairs.localCheckpoint(),
         )
 
+    def save(self, store, prefix: str = "curation_state") -> None:
+        """Persist all three members as parquet tables in a ModelStore
+        (pipelines/models.py) — the durable form of the 'each member
+        is a silver table the daily job MERGEs into' contract above.
+        No single-file coalesce: the state is corpus-sized."""
+        store.save_table(self.fingerprints, f"{prefix}/fingerprints")
+        store.save_table(self.hashed, f"{prefix}/hashed")
+        store.save_table(self.pairs, f"{prefix}/pairs")
+
+    @staticmethod
+    def load(store, spark) -> "CurationState":
+        """Rehydrate yesterday's state; a curation job resumes against
+        it instead of re-reading historical text
+        (tests/test_round5_ops.py pins save -> load -> cure-batch-2 ==
+        cure-from-scratch)."""
+        return CurationState(
+            store.load_frame(spark, "curation_state/fingerprints"),
+            store.load_frame(spark, "curation_state/hashed"),
+            store.load_frame(spark, "curation_state/pairs"),
+        )
+
 
 def clean_corpus_incremental(
     new_docs: DataFrame,

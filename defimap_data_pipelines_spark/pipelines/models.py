@@ -58,6 +58,14 @@ class ModelStore:
     def load_frame(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))
 
+    def save_table(self, df: DataFrame, name: str) -> str:
+        """Like save_frame but WITHOUT the single-file coalesce — for
+        corpus-sized state (curation fingerprints, hashed shingles)
+        where one file would funnel the write through one task."""
+        p = self.path(name)
+        df.write.mode("overwrite").parquet(p)
+        return p
+
     # -- centroid codebooks (kmeans_fit / update_centroids output) --
 
     def save_centroids(self, centroids: DataFrame, name: str) -> str:

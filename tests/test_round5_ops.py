@@ -342,3 +342,47 @@ def test_zorder_layout_files_beat_single_column_sort(spark):
     assert area <= 4 * n * n, area
     worst_y_span = max(r.y_max - r.y_min + 1 for r in stats)
     assert worst_y_span <= n // 2, worst_y_span
+
+
+# ---------------------------------------------------------------------------
+# curation-state persistence (resume from disk, not memory)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_state_survives_parquet_roundtrip(spark, tmp_path, sf_dir):
+    """Batch 1 -> SAVE state to parquet -> LOAD -> batch 2 must equal
+    cure-from-scratch — the durable twin of
+    test_incremental_clean_corpus_equals_batch, proving a daily job
+    can resume from disk without re-reading historical text."""
+    from defimap_data_pipelines_spark.operators.corpus import (
+        CurationState,
+        clean_corpus,
+        clean_corpus_incremental,
+    )
+    from defimap_data_pipelines_spark.pipelines.models import ModelStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {r.doc_id for r in clean_corpus(docs).select("doc_id").collect()}
+
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    store = ModelStore(str(tmp_path / "models"))
+
+    _, state = clean_corpus_incremental(
+        docs.filter(F.col("doc_id") < cut), None
+    )
+    state.save(store)
+    del state  # everything batch 2 sees comes from parquet
+
+    reloaded = CurationState.load(store, spark)
+    survivors, _ = clean_corpus_incremental(
+        docs.filter(F.col("doc_id") >= cut), reloaded
+    )
+    inc = {r.doc_id for r in survivors.collect()}
+    assert inc == batch, (
+        f"{len(inc)} vs {len(batch)}; "
+        f"only-inc={sorted(inc - batch)[:5]} "
+        f"only-batch={sorted(batch - inc)[:5]}"
+    )
