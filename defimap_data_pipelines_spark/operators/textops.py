@@ -313,6 +313,117 @@ def with_gopher_pass(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.select(*docs.columns, pass_col)
 
 
+def _counted_ngrams(toks: Column, n: int) -> Column:
+    """ALL n-grams of a token array (NON-distinct — this is the
+    counting twin of functions/text.word_shingles, which dedups for
+    membership sketches; repetition metrics need multiplicities).
+    Same zip-shift construction; documents shorter than n tokens
+    yield an EMPTY array (not the padded single shingle)."""
+    shifted = [toks] + [
+        F.slice(toks, i + 1, 1_000_000) for i in range(1, n)
+    ]
+    # explicit aliases: arrays_zip names struct fields after its input
+    # expressions, and a plain F.col input would otherwise surface as
+    # its column name instead of the positional "0"/"1"/... keys
+    zipped = F.arrays_zip(*[c.alias(str(i)) for i, c in enumerate(shifted)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(k >= 1, F.slice(grams, 1, k)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    top2_max_ppm: int = 200_000,
+    dup3_max_ppm: int = 300_000,
+) -> DataFrame:
+    """The REPETITION half of the Gopher/MassiveText filters (Rae et
+    al. 2021, table A1), complementing gopher_rules' length/lexicon
+    half: documents dominated by a repeated phrase (boilerplate,
+    keyword stuffing, decoding loops) are flagged by
+
+    - ``top2_chars``: characters covered by the most frequent word
+      2-gram (count * gram length; Gopher drops at > 20 % of text);
+    - ``dup3_chars``: characters in word 3-grams occurring 2+ times
+      (Gopher's duplicate-n-gram family; default threshold 30 %).
+
+    Fractions are emitted as exact ppm via integer division —
+    ``x * 1_000_000 div chars`` — so flags replay bit-identically in
+    the SQL oracle (no float ratios anywhere).
+
+    Scale shape: one normalize+split scan emits 2- and 3-grams
+    tagged by n in a single explode (no second text pass), one
+    map-side-combined groupBy on (doc_id, n, gram), one per-doc
+    rollup, and a left join back to keep gram-less short docs. Gram
+    cardinality is bounded by corpus token count, and the (doc_id,
+    gram) key is naturally high-cardinality — no skew hotspot.
+    """
+    staged = _staged_tokens(docs, text_col)
+    base = staged.select(
+        "doc_id",
+        F.greatest(F.length("_norm"), F.lit(1)).cast("long").alias(
+            "total_chars"
+        ),
+        F.explode_outer(
+            F.concat(
+                F.transform(
+                    _counted_ngrams(F.col("_toks"), 2),
+                    lambda g: F.struct(
+                        F.lit(2).cast("int").alias("n"), g.alias("gram")
+                    ),
+                ),
+                F.transform(
+                    _counted_ngrams(F.col("_toks"), 3),
+                    lambda g: F.struct(
+                        F.lit(3).cast("int").alias("n"), g.alias("gram")
+                    ),
+                ),
+            )
+        ).alias("ng"),
+    )
+    counts = base.groupBy(
+        "doc_id", "total_chars", F.col("ng.n").alias("n"),
+        F.col("ng.gram").alias("gram"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    per_doc = counts.groupBy("doc_id", "total_chars").agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n") == 2,
+                    F.col("cnt") * F.length("gram").cast("long"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("top2_chars"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") == 3) & (F.col("cnt") >= 2),
+                    F.col("cnt") * F.length("gram").cast("long"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("dup3_chars"),
+    )
+    top2_ppm = F.expr("top2_chars * 1000000L div total_chars")
+    dup3_ppm = F.expr("dup3_chars * 1000000L div total_chars")
+    return per_doc.select(
+        "doc_id",
+        "top2_chars",
+        "dup3_chars",
+        top2_ppm.cast("long").alias("top2_ppm"),
+        dup3_ppm.cast("long").alias("dup3_ppm"),
+        (
+            (top2_ppm <= F.lit(top2_max_ppm))
+            & (dup3_ppm <= F.lit(dup3_max_ppm))
+        ).alias("passes_repetition"),
+    )
+
+
 def bpe_merge_pairs(
     docs: DataFrame, text_col: str = "text", top_k: int = 20
 ) -> DataFrame:

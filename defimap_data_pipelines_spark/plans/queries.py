@@ -1979,6 +1979,65 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_REPETITION_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {_NORM} AS norm, {_TOKS} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, 2 AS n,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> array_to_string(t[i:i+1], ' '))) AS gram
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' '))) AS gram
+        FROM toks
+    ),
+    c AS (
+        SELECT doc_id, n, gram, COUNT(*) AS cnt, length(gram) AS glen
+        FROM g GROUP BY doc_id, n, gram
+    ),
+    p AS (
+        SELECT doc_id,
+               MAX(CASE WHEN n = 2 THEN cnt * glen END) AS top2,
+               SUM(CASE WHEN n = 3 AND cnt >= 2
+                        THEN cnt * glen END) AS dup3
+        FROM c GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(COALESCE(p.top2, 0) AS BIGINT) AS top2_chars,
+           CAST(COALESCE(p.dup3, 0) AS BIGINT) AS dup3_chars,
+           CAST(COALESCE(p.top2, 0) * 1000000
+                // greatest(length(tk.norm), 1) AS BIGINT) AS top2_ppm,
+           CAST(COALESCE(p.dup3, 0) * 1000000
+                // greatest(length(tk.norm), 1) AS BIGINT) AS dup3_ppm,
+           (COALESCE(p.top2, 0) * 1000000
+                // greatest(length(tk.norm), 1) <= 200000)
+           AND (COALESCE(p.dup3, 0) * 1000000
+                // greatest(length(tk.norm), 1) <= 300000)
+               AS passes_repetition
+    FROM toks tk LEFT JOIN p ON tk.doc_id = p.doc_id
+"""
+
+
+@register("gopher_repetition", GOPHER_REPETITION_SQL)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher/MassiveText quality filters
+    (operators/textops.py::gopher_repetition): most-frequent-2-gram
+    character coverage and duplicate-3-gram character mass, as exact
+    integer ppm so the flags value-hash-check cross-engine. Completes
+    the table-A1 surface next to gopher_rules' length/lexicon half."""
+    from defimap_data_pipelines_spark.operators.textops import (
+        gopher_repetition,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_repetition(docs)
+
+
 def _zorder_sql() -> str:
     from defimap_data_pipelines_spark.operators.zorder import z_value_sql
 
@@ -7045,6 +7104,140 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross.unionByName(within)
         .groupBy("source_a", "source_b")
         .agg(F.sum("np").cast("long").alias("dup_pairs"))
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    from defimap_data_pipelines_spark.operators.sketches import (
+        KMV_K,
+        kmv_hash_sql,
+    )
+
+    return f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT source,
+               {kmv_hash_sql('shingle')} AS h
+        FROM (
+            SELECT source,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+            FROM toks
+        )
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) rn
+            FROM sh
+        ) WHERE rn <= {KMV_K}
+    ),
+    p AS (
+        SELECT a.source AS s_a, b.source AS s_b
+        FROM (SELECT DISTINCT source FROM sk) a,
+             (SELECT DISTINCT source FROM sk) b
+        WHERE a.source < b.source
+    ),
+    e AS (
+        SELECT p.s_a, p.s_b, sk.h, 1 AS ia, 0 AS ib
+        FROM p JOIN sk ON sk.source = p.s_a
+        UNION ALL
+        SELECT p.s_a, p.s_b, sk.h, 0, 1
+        FROM p JOIN sk ON sk.source = p.s_b
+    ),
+    m AS (
+        SELECT s_a, s_b, h, MAX(ia) AS ia, MAX(ib) AS ib
+        FROM e GROUP BY s_a, s_b, h
+    ),
+    kk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY s_a, s_b
+                                         ORDER BY h) rn
+            FROM m
+        ) WHERE rn <= {KMV_K}
+    )
+    SELECT s_a AS source_a, s_b AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS k_merged,
+           CAST(SUM(ia * ib) AS BIGINT) AS k_common,
+           ROUND(CAST(SUM(ia * ib) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS jaccard_est
+    FROM kk GROUP BY s_a, s_b
+    """
+
+
+@register("kmv_source_overlap", _kmv_overlap_sql())
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap (Jaccard of 3-gram shingle sets)
+    estimated from KMV sketches — the sketch twin of
+    cross_source_dups, and the 100 TB answer to "how much does source
+    A duplicate source B": the corpus is scanned ONCE to build one
+    k-hash sketch per source, then every pairwise estimate is
+    arithmetic over k-row frames (Beyer et al.'s K-min-wise union:
+    J ~ |K_k(A∪B) ∩ K(A) ∩ K(B)| / |K_k(A∪B)|). Adding a source
+    re-sketches nothing; with S sources the exact approach scans
+    S(S-1)/2 pair joins, the sketch approach none. md5-derived hashes
+    make the estimate — including its sampling error —
+    value-hash-checked by the oracle."""
+    from pyspark.sql import Window
+
+    from defimap_data_pipelines_spark.functions.text import word_shingles
+    from defimap_data_pipelines_spark.operators.sketches import (
+        KMV_K,
+        kmv_hash,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    h = (
+        d.select(
+            "source",
+            F.explode(word_shingles(F.col("text"), 3)).alias("sh"),
+        )
+        .select("source", kmv_hash(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    # cache: the tiny per-source sketches (S * k rows) feed both join
+    # arms below; uncached, each arm re-tokenizes the corpus
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+        .cache()
+    )
+    srcs = sk.select("source").distinct()
+    p = (
+        srcs.select(F.col("source").alias("s_a"))
+        .crossJoin(srcs.select(F.col("source").alias("s_b")))
+        .filter(F.col("s_a") < F.col("s_b"))
+    )
+    e = (
+        p.join(sk, sk["source"] == p["s_a"])
+        .select("s_a", "s_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(
+            p.join(sk, sk["source"] == p["s_b"]).select(
+                "s_a", "s_b", "h",
+                F.lit(0).alias("ia"), F.lit(1).alias("ib"),
+            )
+        )
+    )
+    m = e.groupBy("s_a", "s_b", "h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    wp = Window.partitionBy("s_a", "s_b").orderBy("h")
+    kk = m.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= KMV_K
+    )
+    return kk.groupBy(
+        F.col("s_a").alias("source_a"), F.col("s_b").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k_merged"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("k_common"),
+        r(
+            F.sum(F.col("ia") * F.col("ib")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("jaccard_est"),
     )
 
 

@@ -386,3 +386,92 @@ def test_curation_state_survives_parquet_roundtrip(spark, tmp_path, sf_dir):
         f"only-inc={sorted(inc - batch)[:5]} "
         f"only-batch={sorted(batch - inc)[:5]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_closed_forms(spark):
+    from defimap_data_pipelines_spark.operators.textops import (
+        gopher_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "spam ham " * 30 -> one dominant bigram
+            (1, ("spam ham " * 30).strip()),
+            # varied text, no repeated 3-gram (long enough that one
+            # bigram stays under the 20% coverage threshold)
+            (2, "the quick brown fox jumps over a lazy dog near town "
+                "while birds sing and rivers run through quiet green "
+                "valleys under pale morning light"),
+            # shorter than 2 tokens -> zero grams, zero ratios
+            (3, "single"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_repetition(docs).collect()}
+    assert len(out) == 4
+    # doc 1: norm has 60 tokens alternating spam/ham; "spam ham"
+    # occurs 30 times (8 chars each) out of 269 chars -> heavily
+    # repeated, fails both rules
+    r1 = out[1]
+    assert r1.top2_chars == 30 * len("spam ham")
+    assert not r1.passes_repetition
+    assert r1.dup3_ppm > 300_000
+    # doc 2: every gram unique -> dup3 = 0, top2 = one bigram's chars
+    r2 = out[2]
+    assert r2.dup3_chars == 0
+    text2 = (
+        "the quick brown fox jumps over a lazy dog near town "
+        "while birds sing and rivers run through quiet green "
+        "valleys under pale morning light"
+    )
+    w = text2.split()
+    assert r2.top2_chars == max(
+        len(a) + 1 + len(b) for a, b in zip(w, w[1:])
+    )
+    assert r2.passes_repetition
+    # short/empty docs: all zeros, pass
+    for d in (3, 4):
+        assert (out[d].top2_chars, out[d].dup3_chars) == (0, 0)
+        assert out[d].passes_repetition
+
+
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    """Two synthetic sources with known 1/3 shingle overlap: the KMV
+    estimate must land within sketch error of the exact Jaccard."""
+    from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+    # build a documents-shaped frame: sources X and Y share 1000 of
+    # their 3000 distinct "shingle carriers" (each doc = unique text)
+    import pandas as pd
+
+    rows = []
+    for i in range(2000):
+        rows.append((i, f"alpha token{i} beta gamma{i} delta", "en", "X", 0))
+    for i in range(1000, 3000):
+        rows.append(
+            (10_000 + i, f"alpha token{i} beta gamma{i} delta", "en", "Y", 0)
+        )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        out = {
+            (r.source_a, r.source_b): r.jaccard_est
+            for r in QUERIES["kmv_source_overlap"](spark, td).collect()
+        }
+    est = out[("X", "Y")]
+    # exact J: docs share ids 1000..1999 -> shared shingles; each doc
+    # contributes 3 distinct 3-gram shingles, doc-unique except via
+    # token{i}/gamma{i}, so J = 1000/3000
+    assert abs(est - 1 / 3) < 0.10, est
