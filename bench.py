@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "multimodal_features",
     "equidepth_histogram",
     "pagerank_top20",
+    # round-5 additions
+    "warc_gz_extract",
+    "kmv_distinct",
+    "kmv_source_overlap",
+    "zorder_layout",
+    "gopher_repetition",
 ]
 
 

@@ -226,6 +226,98 @@ def deterministic_group_cap(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    max_weight: int = 64,
+    draw_col: str = "draw",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in EXACT integer
+    arithmetic (Efraimidis & Spirakis 2006, A-ES), for integer
+    weights: each row enters the exponential race with
+    ``max_{j=1..w} U_j`` where the U_j are md5-derived 60-bit
+    uniforms — ranking that maximum DESCENDING is distribution-
+    identical to ranking A-ES keys ``u^(1/w)`` (min of w Exp(1)
+    clocks = Exp(w); -ln is monotone), but needs NO pow/log: the draw
+    stays a 60-bit integer, so the sample — inclusion decisions,
+    order, everything — replays bit-identically in a SQL oracle.
+    Float-keyed A-ES cannot promise that (libm pow differs in ulps
+    across engines).
+
+    Cost: one explode to ``w`` rows per input (weights are capped at
+    ``max_weight``; the intended weights are small integers — quality
+    tiers, duplication counts, per-domain caps), one max-aggregate,
+    then a distributed top-n (TakeOrdered: per-partition heaps + one
+    driver merge — no global sort).
+
+    Returns the n sampled rows as (key, weight, draw) ordered by
+    draw DESC; draw is kept so downstream can re-verify the race.
+    """
+    # clamp into [1, max_weight]: Spark's sequence(1, 0) would emit a
+    # DESCENDING [1, 0] rather than an empty array, silently giving
+    # zero-weight rows a draw — and the oracle's range(1, 1) is empty
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("int"), F.lit(1)),
+        F.lit(max_weight),
+    )
+    drawn = (
+        df.select(
+            F.col(key),
+            F.col(weight_col).cast("long").alias(weight_col),
+            F.explode(F.sequence(F.lit(1), w)).alias("_j"),
+        )
+        .select(
+            key,
+            weight_col,
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col(key).cast("string"),
+                            F.col("_j").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("_u"),
+        )
+        .groupBy(key, weight_col)
+        .agg(F.max("_u").alias(draw_col))
+    )
+    return drawn.orderBy(F.col(draw_col).desc(), F.col(key).asc()).limit(n)
+
+
+def weighted_sample_sql(
+    key_expr: str, weight_expr: str, n: int, max_weight: int = 64
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (FROM-clause supplied by
+    the caller as ``{src}``)."""
+    return f"""
+    WITH e AS (
+        SELECT {key_expr} AS k, CAST({weight_expr} AS BIGINT) AS w,
+               unnest(range(1, least(greatest(
+                   CAST({weight_expr} AS INTEGER), 1),
+                   {max_weight}) + 1)) AS j
+        FROM {{src}}
+    ),
+    d AS (
+        SELECT k, w,
+               MAX(('0x' || substr(md5(CAST(k AS VARCHAR)
+                    || '|' || CAST(j AS VARCHAR)), 1, 15))::BIGINT)
+                   AS draw
+        FROM e GROUP BY 1, 2
+    )
+    SELECT k, w, draw FROM d ORDER BY draw DESC, k ASC LIMIT {n}
+    """
+
+
 def epoch_shuffle(
     df: DataFrame,
     epoch: int | list[int],

@@ -7107,6 +7107,41 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_sql() -> str:
+    from defimap_data_pipelines_spark.operators.sampling import (
+        weighted_sample_sql,
+    )
+
+    inner = weighted_sample_sql(
+        "doc_id", "1 + n_chars // 500", n=100
+    ).format(src="documents")
+    return f"""
+    SELECT k AS doc_id, w AS weight, CAST(draw AS BIGINT) AS draw
+    FROM ({inner})
+    """
+
+
+@register("weighted_sample", _weighted_sample_sql())
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES, Efraimidis &
+    Spirakis 2006) in exact integer arithmetic
+    (operators/sampling.py::weighted_sample): documents weighted by
+    length tier (1 + n_chars div 500) race with md5-derived integer
+    draws, so the training-mixture sample — inclusion AND order —
+    value-hash-checks cross-engine, which float-keyed A-ES (pow/log)
+    cannot. One explode bounded by the small integer weights, one
+    max-aggregate, one TakeOrdered top-n."""
+    from defimap_data_pipelines_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + F.expr("n_chars div 500")).cast("long").alias("weight"),
+    )
+    return weighted_sample(d, "doc_id", "weight", n=100)
+
+
 def _kmv_overlap_sql() -> str:
     from defimap_data_pipelines_spark.operators.sketches import (
         KMV_K,

@@ -475,3 +475,49 @@ def test_kmv_overlap_tracks_exact_jaccard(spark):
     # contributes 3 distinct 3-gram shingles, doc-unique except via
     # token{i}/gamma{i}, so J = 1000/3000
     assert abs(est - 1 / 3) < 0.10, est
+
+
+# ---------------------------------------------------------------------------
+# exact-arithmetic weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_draw_is_max_of_w_hashes(spark):
+    import hashlib
+
+    from defimap_data_pipelines_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, 3), (8, 1)], "doc_id long, weight long"
+    )
+    rows = {r.doc_id: r.draw
+            for r in weighted_sample(docs, "doc_id", "weight", n=2).collect()}
+
+    def u(key, j):
+        return int(hashlib.md5(f"{key}|{j}".encode()).hexdigest()[:15], 16)
+
+    assert rows[7] == max(u(7, j) for j in (1, 2, 3))
+    assert rows[8] == u(8, 1)
+
+
+def test_weighted_sample_favors_heavy_rows_and_clamps(spark):
+    from defimap_data_pipelines_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(8)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = weighted_sample(docs, "doc_id", "w", n=100).collect()
+    heavy = sum(1 for r in got if r.doc_id < 500)
+    # E[heavy] ~ 88 of 100 under 8:1 odds; 70 is a deep-tail guard
+    assert heavy >= 70, heavy
+    # zero/negative weights clamp to 1, not a descending sequence
+    weird = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 1)], "doc_id long, w long"
+    )
+    out = weighted_sample(weird, "doc_id", "w", n=3).collect()
+    assert len(out) == 3 and all(r.draw > 0 for r in out)
