@@ -65,3 +65,71 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),
     )
     return salted_big.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+def adaptive_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = 16,
+    hot_threshold: int = 10_000,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Skew join that salts ONLY the hot keys — detected with a
+    count-min sketch, not an exact pre-aggregation.
+
+    Blanket salting (salted_join) replicates the whole small side
+    ``buckets``x and forces every row through the wider (key, salt)
+    shuffle even when 99.9% of keys are cold. This variant spends one
+    extra MAP-SIDE pass with KB-bounded state instead: the big side's
+    key frequencies fold into a CMS (depth x width counters — the
+    sketch never grows with key cardinality, unlike the exact groupBy
+    whose hash state is #keys), the SMALL side's keys — the complete
+    candidate universe, already small — probe it, and keys whose
+    estimate clears ``hot_threshold`` get the salt treatment. CMS
+    error is one-sided (overestimates), so a borderline-cold key can
+    only be salted unnecessarily — never a hot key missed: the
+    correctness-critical direction is safe by construction.
+
+    Cold keys keep salt 0 (no replication, no fan-out); hot keys
+    spread over ``buckets`` tasks and their dim rows replicate
+    ``buckets``x. Inner-join semantics on ``key``; output equals the
+    plain join exactly (tests/test_round5_ops.py asserts it)."""
+    from defimap_data_pipelines_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    counters = cms_counters(
+        big.select(F.col(key).alias("token")), depth=depth, width=width
+    )
+    hot = (
+        cms_estimate(
+            counters,
+            small.select(F.col(key).alias("token")).distinct(),
+            depth=depth,
+            width=width,
+        )
+        .filter(F.col("cms_estimate") >= hot_threshold)
+        .select(F.col("token").alias(key), F.lit(True).alias("_hot"))
+    )
+    tagged_big = big.join(F.broadcast(hot), key, "left")
+    salted_big = tagged_big.withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot"),
+            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), buckets),
+        ).otherwise(F.lit(0).cast("long")),
+    ).drop("_hot")
+    tagged_small = small.join(F.broadcast(hot), key, "left")
+    replicated = tagged_small.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col("_hot"),
+                F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"),
+            ).otherwise(F.array(F.lit(0)).cast("array<long>"))
+        ),
+    ).drop("_hot")
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")

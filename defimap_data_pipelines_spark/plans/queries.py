@@ -7107,6 +7107,53 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ADAPTIVE_SKEW_JOIN_SQL = """
+    WITH dim AS (
+        SELECT DISTINCT user_id, user_id % 7 AS tier FROM events
+    )
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) / 1000000.0
+               AS sum_value
+    FROM events e JOIN dim USING (user_id)
+    GROUP BY tier
+"""
+
+
+@register("adaptive_skew_join", ADAPTIVE_SKEW_JOIN_SQL)
+def q_adaptive_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew join with CMS-DETECTED hot keys
+    (operators/skew.py::adaptive_salted_join): the fact side's key
+    frequencies fold into a count-min sketch (KB state, map-side),
+    the dim side's keys probe it, and only keys clearing the
+    hot threshold get salted/replicated — cold keys skip the fan-out
+    blanket salting pays on every row. The salting is semantically
+    invisible, so the oracle is the PLAIN join + aggregate: any
+    replication bug (lost cold row, double-counted hot row) breaks
+    the value hash."""
+    from defimap_data_pipelines_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 7).cast("long"))
+    )
+    joined = adaptive_salted_join(
+        e, dim, "user_id", buckets=8, hot_threshold=50
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long"))
+            / 1000000.0
+        ).alias("sum_value"),
+    )
+
+
 def _weighted_sample_sql() -> str:
     from defimap_data_pipelines_spark.operators.sampling import (
         weighted_sample_sql,

@@ -521,3 +521,47 @@ def test_weighted_sample_favors_heavy_rows_and_clamps(spark):
     )
     out = weighted_sample(weird, "doc_id", "w", n=3).collect()
     assert len(out) == 3 and all(r.draw > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# adaptive (CMS-detected) skew join
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_salted_join_equals_plain_join_and_salts_hot(spark):
+    from defimap_data_pipelines_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    # one white-hot key (0: 5000 rows) + 200 cold keys (5 rows each)
+    hot = spark.range(5000).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") % 200 + 1).alias("k"), F.col("id").alias("v")
+    )
+    big = hot.unionByName(cold)
+    dim = spark.range(201).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    out = adaptive_salted_join(big, dim, "k", buckets=8, hot_threshold=1000)
+    direct = big.join(dim, "k")
+    a = sorted(map(tuple, out.select("k", "v", "attr").collect()))
+    b = sorted(map(tuple, direct.select("k", "v", "attr").collect()))
+    assert a == b and len(a) == 6000
+    # the hot key really spreads: its rows occupy >1 salt bucket
+    from defimap_data_pipelines_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    est = cms_estimate(
+        cms_counters(big.select(F.col("k").alias("token")),
+                     depth=4, width=1024),
+        dim.select(F.col("k").alias("token")),
+        depth=4, width=1024,
+    )
+    hot_keys = {r.token for r in est.filter(
+        F.col("cms_estimate") >= 1000).collect()}
+    assert 0 in hot_keys  # CMS one-sided error: the hot key is found
+    assert len(hot_keys) < 20  # and cold keys mostly stay cold
