@@ -167,3 +167,31 @@ def test_pagerank_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # top-20 presentation must be TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_uses_takeordered(spark, sf_dir):
+    """The top-n must be a distributed TakeOrdered (per-partition
+    heaps + driver merge), never a global sort of every draw."""
+    plan = _final_plan("weighted_sample", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adaptive_skew_join_broadcasts_hot_set(spark, sf_dir):
+    """Hot-key tagging must ride broadcast joins (the hot set is tiny
+    by construction); a sort-merge join for the tag would shuffle the
+    fact table once per tag — exactly the cost the operator exists to
+    avoid. The CMS counter join is also broadcast (<= depth*width
+    rows)."""
+    plan = _final_plan("adaptive_skew_join", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_value_is_single_projection(spark, sf_dir):
+    """The Morton interleave must stay one folded projection over the
+    scan — 24 integer terms inside whole-stage codegen, no join, no
+    exchange before the bucket groupBy's single shuffle."""
+    plan = _final_plan("zorder_layout", spark, sf_dir)
+    assert plan.count("Exchange") <= 1
+    assert "CartesianProduct" not in plan
