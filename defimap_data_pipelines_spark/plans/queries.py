@@ -8445,6 +8445,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repo will have been value-hash-checked by the driver at least once.
 # The 9 reference-parity flagships stay first per the standing rule;
 # the final 5 slots carry queries changed or added this round.
+#
+# Round-6 rotation candidates (registered in r5 after the window
+# filled; each already green under tools/parity.py at sf0.01):
+# gopher_repetition, kmv_source_overlap, weighted_sample,
+# adaptive_skew_join — swap these in for r5 greens next round.
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
