@@ -460,3 +460,67 @@ def stream_curation_incremental(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_cms(existing: DataFrame | None, batch_counters: DataFrame) -> DataFrame:
+    """Merge two CMS counter grids by cell-wise sum. CMS is a LINEAR
+    sketch — counters(A ∪ B) = counters(A) + counters(B) cell for
+    cell — so batch-merged grids equal the from-scratch build exactly
+    (tests/test_streaming.py pins the equality), which is what makes
+    the sketch maintainable under streaming append."""
+    if existing is None:
+        return batch_counters
+    return (
+        existing.unionByName(batch_counters)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def stream_cms_incremental(
+    token_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    name: str = "cms_stream",
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> "StreamingQuery":  # noqa: F821
+    """Maintain a LONG-LIVED count-min sketch across micro-batches:
+    each batch's tokens fold into a batch grid, which merges into the
+    ModelStore-persisted grid (pipelines/models.py). The persisted
+    artifact answers corpus-wide frequency probes at any point
+    without rescanning history — the streaming twin of the batch
+    cms_counters pass, and the composition the store exists for
+    (sketches are the state it is cheapest to keep fresh: KBs per
+    merge, linear, associative).
+
+    The grid is <= depth*width rows, so the previous state is pinned
+    with localCheckpoint before its own path is overwritten (same
+    read-then-overwrite discipline as stream_curation_incremental).
+    """
+    from defimap_data_pipelines_spark.operators.sketches import (
+        cms_counters,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        bc = cms_counters(
+            batch.select(F.col(token_col).alias("token")),
+            depth=depth, width=width,
+        )
+        try:
+            existing, _, _ = store.load_cms(spark, name)
+            existing = existing.localCheckpoint()
+        except Exception:
+            existing = None
+        store.save_cms(merge_cms(existing, bc), name, depth, width)
+
+    return (
+        token_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -548,3 +548,68 @@ def test_stream_curation_incremental_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "cur_out")).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_cms_incremental_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Linear-sketch maintenance: the CMS grid merged across 3 token
+    microbatches must equal the from-scratch grid cell for cell, and
+    the persisted artifact must answer the same frequency probes."""
+    import os
+    import time
+
+    from defimap_data_pipelines_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+    from defimap_data_pipelines_spark.pipelines.models import ModelStore
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        stream_cms_incremental,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.col("event_type").alias("token"), "event_id")
+        .cache()
+    )
+    scratch = cms_counters(events, depth=4, width=1024)
+
+    arrivals = str(tmp_path / "tokens_arriving")
+    os.makedirs(arrivals)
+    n = events.count()
+    ids = sorted(r.event_id for r in events.select("event_id").collect())
+    cuts = [ids[0], ids[n // 3], ids[2 * n // 3], None]
+    for i in range(3):
+        part = events.filter(F.col("event_id") >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(F.col("event_id") < cuts[i + 1])
+        chunk = str(tmp_path / f"tok{i}")
+        part.select("token").coalesce(1).write.parquet(chunk)
+        src = [f for f in os.listdir(chunk) if f.endswith(".parquet")][0]
+        dst = os.path.join(arrivals, f"{i:02d}.parquet")
+        os.rename(os.path.join(chunk, src), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    store = ModelStore(str(tmp_path / "models"))
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+    )
+    q = stream_cms_incremental(
+        stream, store, str(tmp_path / "ckpt"), depth=4, width=1024
+    )
+    q.awaitTermination(120)
+
+    merged, depth, width = store.load_cms(spark, "cms_stream")
+    assert (depth, width) == (4, 1024)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, scratch.collect()))
+    assert a == b  # linear sketch: merge == from-scratch, exactly
+    probes = events.select("token").distinct()
+    ests = {
+        r.token: r.cms_estimate
+        for r in cms_estimate(merged, probes, depth=4, width=1024).collect()
+    }
+    true = {r.token: r.n for r in events.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(ests[t] >= c for t, c in true.items())  # one-sided
