@@ -195,3 +195,11 @@ def test_zorder_value_is_single_projection(spark, sf_dir):
     plan = _final_plan("zorder_layout", spark, sf_dir)
     assert plan.count("Exchange") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_repetition_is_scan_side(spark, sf_dir):
+    """Per-doc gram counting must stay the sorted-array fold — any
+    Exchange means someone reintroduced the (doc_id, gram) groupBy
+    formulation (measured 1.6x slower at sf0.1)."""
+    plan = _final_plan("gopher_repetition", spark, sf_dir)
+    assert plan.count("Exchange") == 0
