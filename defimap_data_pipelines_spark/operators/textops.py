@@ -420,6 +420,55 @@ def gopher_repetition(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window
+    preparation step for RAG indexing and long-document training:
+    each document becomes ``ceil(max(n-size,0)/stride)+1`` chunks of
+    up to ``size`` tokens, consecutive chunks overlapping by
+    ``size - stride`` tokens so no span falls on a hard boundary.
+
+    Pure scan-side: one normalize+split, a sequence+explode over the
+    per-doc chunk count (integer formula ``1 + (max(n-size,0) +
+    stride - 1) div stride`` — replayed exactly in SQL), and
+    array_join slices. No shuffle; chunk ids are deterministic
+    (doc_id, chunk_id), so re-chunking after an append only touches
+    new docs.
+    """
+    assert 0 < stride <= size
+    staged = _staged_tokens(docs, text_col)
+    n = F.size("_toks").cast("long")
+    m = F.greatest(n - F.lit(size), F.lit(0).cast("long"))
+    k = F.lit(1).cast("long") + F.expr(
+        f"(greatest(size(_toks) - {size}, 0) + {stride - 1})"
+        f" div {stride}"
+    )
+    chunked = staged.select(
+        "doc_id",
+        n.alias("n_doc_tokens"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), k - 1)
+        ).alias("chunk_id"),
+        F.col("_toks"),
+    )
+    piece = F.slice(
+        F.col("_toks"),
+        (F.col("chunk_id") * stride + 1).cast("int"),
+        size,
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        "n_doc_tokens",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
 def bpe_merge_pairs(
     docs: DataFrame, text_col: str = "text", top_k: int = 20
 ) -> DataFrame:

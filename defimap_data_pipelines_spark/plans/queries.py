@@ -7107,6 +7107,45 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOC_CHUNKING_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    k AS (
+        SELECT doc_id, t, len(t) AS n,
+               1 + (greatest(len(t) - 64, 0) + 47) // 48 AS n_chunks
+        FROM toks
+    ),
+    c AS (
+        SELECT doc_id, t, n,
+               unnest(range(0, n_chunks)) AS chunk_id
+        FROM k
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(n AS BIGINT) AS n_doc_tokens,
+           CAST(len(t[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(
+               t[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+               AS chunk_md5
+    FROM c
+"""
+
+
+@register("doc_chunking", DOC_CHUNKING_SQL)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking
+    (operators/textops.py::chunk_documents; size 64, stride 48 — 16
+    tokens of overlap): the RAG-index / long-doc-training preparation
+    step, pure scan-side with deterministic (doc_id, chunk_id) keys.
+    The oracle replays the chunk-count integer formula and md5s every
+    chunk's joined text, so a one-token boundary slip anywhere fails
+    the value hash."""
+    from defimap_data_pipelines_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    return chunk_documents(read_table(spark, sf_dir, "documents"))
+
+
 ADAPTIVE_SKEW_JOIN_SQL = """
     WITH dim AS (
         SELECT DISTINCT user_id, user_id % 7 AS tier FROM events

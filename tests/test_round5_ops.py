@@ -565,3 +565,34 @@ def test_adaptive_salted_join_equals_plain_join_and_salts_hot(spark):
         F.col("cms_estimate") >= 1000).collect()}
     assert 0 in hot_keys  # CMS one-sided error: the hot key is found
     assert len(hot_keys) < 20  # and cold keys mostly stay cold
+
+
+# ---------------------------------------------------------------------------
+# overlapping document chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from defimap_data_pipelines_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(150))),  # 3 chunks
+            (2, " ".join(f"w{i}" for i in range(64))),   # exactly one
+            (3, "short doc"),                            # one partial
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens)
+        for r in chunk_documents(docs, size=64, stride=48).collect()
+    )
+    # doc 1: chunks at offsets 0/48/96 -> sizes 64, 64, 54;
+    # coverage: last chunk reaches token 149; overlap = 16
+    assert [t for t in rows if t[0] == 1] == [
+        (1, 0, 64), (1, 1, 64), (1, 2, 54)
+    ]
+    assert [t for t in rows if t[0] == 2] == [(2, 0, 64)]
+    assert [t for t in rows if t[0] == 3] == [(3, 0, 2)]
