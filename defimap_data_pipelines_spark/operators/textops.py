@@ -469,6 +469,96 @@ def chunk_documents(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned BPE merge list — the encode half whose training
+    half is :func:`bpe_merge_pairs` (which surfaces the
+    most-frequent adjacent pairs that become the next merges).
+
+    Standard greedy BPE: each word starts as characters; repeatedly
+    the ADJACENT pair with the best (lowest) merge rank collapses,
+    until no listed pair remains. Earlier entries in ``merges`` thus
+    take priority — the training-order semantics every BPE tokenizer
+    implements.
+
+    Implementation: Arrow-batched ``mapInPandas`` with the rank dict
+    broadcast by closure — tokenization is an inherently sequential
+    per-word loop the SQL algebra cannot express (which is also why
+    the registered query is rows-only: no engine-neutral oracle
+    exists; the lossless-decode property test carries the correctness
+    weight instead). Scale shape: a pure mapper over the corpus —
+    no shuffle, state = the merge table (KBs), exactly how tokenizer
+    workers run in production pipelines.
+
+    Output: (doc_id, n_words, n_tokens, tokens_md5) where tokens_md5
+    hashes the full space-joined token stream of the normalized text
+    ('|' joins symbols inside a word) — enough to pin the encoding
+    byte-for-byte in tests without shipping token arrays around.
+    """
+    from collections.abc import Iterator
+
+    import hashlib
+
+    import pandas as pd
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            best_pair, best_r = None, None
+            for i in range(len(syms) - 1):
+                r0 = rank.get((syms[i], syms[i + 1]))
+                if r0 is not None and (best_r is None or r0 < best_r):
+                    best_pair, best_r = (syms[i], syms[i + 1]), r0
+            if best_pair is None:
+                break
+            # collapse ALL occurrences of the winning pair, left to
+            # right (the standard BPE apply step)
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best_pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["_norm"]):
+                words = str(text).split(" ")
+                toks: list[str] = []
+                for w in words:
+                    toks.append("|".join(encode_word(w)))
+                stream = " ".join(toks)
+                rows.append(
+                    (
+                        int(did),
+                        len(words),
+                        sum(t.count("|") + 1 for t in toks),
+                        hashlib.md5(stream.encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_words", "n_tokens", "tokens_md5"],
+            )
+
+    staged = docs.select(
+        "doc_id", normalize_text(F.col(text_col)).alias("_norm")
+    )
+    return staged.mapInPandas(
+        run, "doc_id long, n_words long, n_tokens long, tokens_md5 string"
+    )
+
+
 def bpe_merge_pairs(
     docs: DataFrame, text_col: str = "text", top_k: int = 20
 ) -> DataFrame:

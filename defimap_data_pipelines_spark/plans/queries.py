@@ -6773,6 +6773,29 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_pairs(read_table(spark, sf_dir, "documents"))
 
 
+@register("bpe_encode")
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with merges trained by bpe_merge_pairs (top-8
+    adjacent char pairs, priority = corpus frequency) — the apply
+    half of the tokenizer surface
+    (operators/textops.py::bpe_encode). Rows-only by necessity:
+    greedy per-word merge loops are inherently sequential and have no
+    engine-neutral SQL twin; correctness rides the lossless-decode
+    and priority property tests (tests/test_round5_ops.py) plus this
+    driver rows/schema check. The merge table is a collected K-row
+    frame inlined into the mapper closure — the same
+    collect-tiny-artifacts pattern as the IVF codebook."""
+    from defimap_data_pipelines_spark.operators.textops import (
+        bpe_encode,
+        bpe_merge_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    top = bpe_merge_pairs(docs, top_k=8).collect()
+    merges = [(r["pair"][0], r["pair"][1]) for r in top]
+    return bpe_encode(docs, merges)
+
+
 SEMDEDUP_SQL = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),

@@ -596,3 +596,44 @@ def test_chunk_documents_coverage_and_overlap(spark):
     ]
     assert [t for t in rows if t[0] == 2] == [(2, 0, 64)]
     assert [t for t in rows if t[0] == 3] == [(3, 0, 2)]
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (the apply half)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_lossless_priority_and_counts(spark):
+    from defimap_data_pipelines_spark.operators.textops import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abc abab banana"), (2, "zzz")],
+        "doc_id long, text string",
+    )
+    # rank 0 beats rank 1 even though both match "abc"
+    merges = [("a", "b"), ("ab", "c"), ("a", "n"), ("b", "an")]
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    import hashlib
+
+    # abc -> [ab, c] -> [abc]; abab -> [ab, ab];
+    # banana -> b,an,an,a -> b|an|an|a (no (an,an)/(b,an-first) rule:
+    # (b,an) merges the FIRST adjacent pair) -> ban|an|a
+    expect_words = ["abc", "ab|ab", "ban|an|a"]
+    stream = " ".join(expect_words)
+    assert out[1].tokens_md5 == hashlib.md5(stream.encode()).hexdigest()
+    assert out[1].n_words == 3
+    assert out[1].n_tokens == 1 + 2 + 3
+    # no applicable merges: pure chars, lossless
+    assert out[2].n_tokens == 3
+    assert out[2].tokens_md5 == hashlib.md5(b"z|z|z").hexdigest()
+
+
+def test_bpe_encode_registered_query_runs(spark, sf_dir):
+    from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+    out = QUERIES["bpe_encode"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 500
+    # merging can only reduce token counts below char counts
+    assert all(r.n_tokens >= r.n_words for r in rows)
+    assert all(len(r.tokens_md5) == 32 for r in rows)
