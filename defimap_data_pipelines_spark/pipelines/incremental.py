@@ -296,3 +296,61 @@ def incremental_return_1y(cum: DataFrame, ds: str) -> DataFrame:
     return scal.groupBy("name").agg(
         F.round(F.when(v1y == 0.0, vytd).otherwise(v1y), 9).alias("return_1y")
     )
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table snapshots — the change-detection
+    primitive behind CDC feeds, audit reports, and incremental
+    downstream refresh when the upstream has no change log (the
+    vanilla-parquet reality Delta/Iceberg users get from table
+    history).
+
+    Returns (key_cols..., change_type) with change_type in
+    {'added', 'deleted', 'changed'}; unchanged rows are dropped (at
+    100 TB the diff output, not the inputs, is the small thing — a
+    daily snapshot pair differs in well under 1%).
+
+    Scale shape: ONE full-outer shuffle join on the key — both sides
+    are first reduced to (key, row_md5) projections (scan-side md5 of
+    the concatenated compare columns with null sentinels), so the
+    shuffle ships two narrow columns, never the payload. Comparing
+    hashes instead of columns keeps the join narrow and the change
+    predicate O(1) per row; md5 collisions (2^-128) are the accepted
+    trade everywhere else in this engine.
+    """
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in key_cols
+    ]
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        # NUL-separated concat with a distinguishable null sentinel:
+        # concat_ws alone would conflate NULL with '' and shifted
+        # column values
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *key_cols,
+            F.md5(F.concat_ws("\x01", *parts)).alias(f"_h_{tag}"),
+        )
+
+    o = hashed(old, "o")
+    n = hashed(new, "n")
+    joined = o.join(n, key_cols, "full_outer").filter(
+        F.col("_h_o").isNull()
+        | F.col("_h_n").isNull()
+        | (F.col("_h_o") != F.col("_h_n"))
+    )
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_h_o").isNull(), F.lit("added"))
+        .when(F.col("_h_n").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    )

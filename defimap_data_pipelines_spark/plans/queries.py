@@ -7169,6 +7169,49 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(read_table(spark, sf_dir, "documents"))
 
 
+SNAPSHOT_DIFF_SQL = """
+    SELECT doc_id, 'deleted' AS change_type
+    FROM documents WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT doc_id, 'changed'
+    FROM documents WHERE doc_id % 97 != 0 AND doc_id % 31 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, 'added'
+    FROM documents WHERE doc_id % 53 = 0
+"""
+
+
+@register("snapshot_diff", SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (pipelines/incremental.py::
+    diff_snapshots — the CDC primitive for tables without a change
+    log): snapshot 2 is derived from the documents table with
+    closed-form deletions (doc_id % 97), edits (% 31, text suffixed),
+    and additions (% 53, re-keyed), and the diff must recover exactly
+    that change set — the oracle states the closed forms directly, so
+    any hash-projection or full-outer-join bug surfaces as a missing
+    or phantom change row. Both sides reduce to (key, row_md5) before
+    the single full-outer shuffle: the join ships two narrow columns,
+    never the payload."""
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        diff_snapshots,
+    )
+
+    old = read_table(spark, sf_dir, "documents")
+    kept = old.filter(F.col("doc_id") % 97 != 0)
+    edited = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = old.filter(F.col("doc_id") % 53 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    new = edited.unionByName(added)
+    return diff_snapshots(old, new, ["doc_id"])
+
+
 ADAPTIVE_SKEW_JOIN_SQL = """
     WITH dim AS (
         SELECT DISTINCT user_id, user_id % 7 AS tier FROM events

@@ -325,3 +325,45 @@ def test_warc_serialize_parse_roundtrip(records):
         assert rec["payload"] == p
         assert rec["target_uri"] == u
         assert rec["content_length"] == len(p)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata"]),
+            st.binary(min_size=0, max_size=512),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_gz_roundtrip_and_truncation_salvage(records, cut_back):
+    """Per-record gzip members round-trip exactly (offsets = member
+    starts), and ANY truncation point salvages a prefix of whole
+    records without raising in salvage mode."""
+    from defimap_data_pipelines_spark.sources.warc import (
+        gzip_member_bytes,
+        parse_warc_gz_bytes,
+        warc_record_bytes,
+    )
+
+    members = [
+        gzip_member_bytes(warc_record_bytes(t, p)) for t, p in records
+    ]
+    raw = b"".join(members)
+    parsed = parse_warc_gz_bytes(raw)
+    assert len(parsed) == len(records)
+    pos = 0
+    for rec, m, (t, p) in zip(parsed, members, records):
+        assert rec["record_offset"] == pos
+        assert rec["warc_type"] == t and rec["payload"] == p
+        pos += len(m)
+    # arbitrary truncation: salvage never raises, yields a record
+    # prefix (whole members only)
+    cut = raw[: max(0, len(raw) - cut_back)]
+    salvaged = parse_warc_gz_bytes(cut, strict=False)
+    assert len(salvaged) <= len(records)
+    for rec, (t, p) in zip(salvaged, records):
+        assert rec["warc_type"] == t and rec["payload"] == p

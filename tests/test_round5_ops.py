@@ -637,3 +637,40 @@ def test_bpe_encode_registered_query_runs(spark, sf_dir):
     # merging can only reduce token counts below char counts
     assert all(r.n_tokens >= r.n_words for r in rows)
     assert all(len(r.tokens_md5) == 32 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC without a change log)
+# ---------------------------------------------------------------------------
+
+
+def test_diff_snapshots_closed_forms_and_null_sentinels(spark):
+    from defimap_data_pipelines_spark.pipelines.incremental import (
+        diff_snapshots,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),     # unchanged -> dropped
+            (2, "B", 20),     # changed
+            (3, "", 30),      # NULL -> '' must register as changed
+            (5, "e", 50),     # added
+        ],                    # 4 deleted
+        "k long, s string, v long",
+    )
+    got = sorted(
+        (r.k, r.change_type) for r in diff_snapshots(old, new, ["k"]).collect()
+    )
+    assert got == [
+        (2, "changed"), (3, "changed"), (4, "deleted"), (5, "added")
+    ]
+    # compare_cols subset: v-only diff sees no change in row 2/3
+    got_v = sorted(
+        (r.k, r.change_type)
+        for r in diff_snapshots(old, new, ["k"], compare_cols=["v"]).collect()
+    )
+    assert got_v == [(4, "deleted"), (5, "added")]
