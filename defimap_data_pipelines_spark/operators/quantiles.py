@@ -149,3 +149,57 @@ def exact_grouped_quantile(
     return exact_grouped_quantiles(
         df, group_col, value_col, [q], buckets
     ).select(group_col, "quantile")
+
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    k: int = 1024,
+) -> DataFrame:
+    """MERGEABLE approximate quantiles from a deterministic bottom-k
+    sample: the rows whose ``md5(key)`` ranks in the global bottom k
+    form a uniform without-replacement sample (the same bottom-k hash
+    set a KMV sketch keeps — union two days' samples and re-take the
+    k minima to merge), and the reported quantiles are the EXACT
+    type-1 quantiles of that sample. Rank error is O(1/sqrt(k)).
+
+    Where exact_grouped_quantiles re-scans the data per refinement
+    pass, the sample is maintainable incrementally and answers every
+    q from k rows — the streaming/rollup regime. And unlike t-digest
+    or KLL (merge-order-dependent internals), the bottom-k set is a
+    pure function of the data, so the SKETCH ITSELF — not just a
+    tolerance gate — replays in a SQL oracle.
+
+    Scale shape: one TakeOrdered of (hash, value) — per-partition
+    heaps, driver merge of k rows, no global sort; the quantile
+    extraction is a window over k rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    sample = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(h.alias("_h"), F.col(value_col).alias("_v"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    n = F.max("_rn").over(Window.partitionBy())
+    ranked = sample.withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy(F.col("_v").asc(), F.col("_h"))),
+    ).withColumn("_n", n)
+    picks = None
+    for q in qs:
+        want = ranked.filter(
+            F.col("_rn")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.lit(q) * F.col("_n")).cast("int"),
+            )
+        ).select(
+            F.lit(q).alias("q"), F.col("_v").alias("quantile")
+        )
+        picks = want if picks is None else picks.unionByName(want)
+    return picks

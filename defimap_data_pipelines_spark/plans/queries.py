@@ -7169,6 +7169,109 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(read_table(spark, sf_dir, "documents"))
 
 
+SAMPLED_QUANTILES_SQL = """
+    WITH s AS (
+        SELECT md5(CAST(event_id AS VARCHAR)) AS h, value AS v
+        FROM events WHERE value IS NOT NULL
+        ORDER BY h LIMIT 1024
+    ),
+    r AS (
+        SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+               COUNT(*) OVER () AS n
+        FROM s
+    )
+    SELECT CAST(q AS DOUBLE) AS q, v AS quantile
+    FROM r, (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)
+    WHERE rn = GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) * n) AS INTEGER))
+"""
+
+
+@register("sampled_quantiles", SAMPLED_QUANTILES_SQL)
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles from a deterministic bottom-k
+    hash sample (operators/quantiles.py::bottomk_sample_quantiles) —
+    the streaming/rollup regime where exact bucket-refinement passes
+    can't rescan history. Unlike t-digest/KLL (merge-order-dependent
+    internals, tolerance-gate checkable at best), the bottom-k set is
+    a pure function of the data, so the sketch AND its answers replay
+    exactly in the oracle. One TakeOrdered, no global sort."""
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        bottomk_sample_quantiles,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return bottomk_sample_quantiles(
+        e, "event_id", "value", [0.1, 0.5, 0.9, 0.99], k=1024
+    )
+
+
+MAD_OUTLIERS_SQL = """
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, med, ABS(e.value - med) AS ad
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_disc(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(mad), 6) AS mad
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+"""
+
+
+@register("mad_outliers", MAD_OUTLIERS_SQL)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe twin of zscore_anomalies (mean/std are dragged by
+    the very outliers they hunt; median/MAD are 50%-breakdown
+    robust). Both medians come from the distributed bucket-refinement
+    quantiles (operators/quantiles.py — never a whole group in one
+    task), the 1.4826 normal-consistency constant is a shared plan
+    literal, and the flag compares identical expression trees, so the
+    outlier COUNTS value-hash-check cross-engine."""
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        exact_grouped_quantile,
+    )
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "value")
+    med = exact_grouped_quantile(e, "event_type", "value", 0.5).select(
+        "event_type", F.col("quantile").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_grouped_quantile(dev, "event_type", "ad", 0.5).select(
+        "event_type", F.col("quantile").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("ad") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            r(F.max("med"), 6).alias("med"),
+            r(F.max("mad"), 6).alias("mad"),
+        )
+    )
+
+
 SNAPSHOT_DIFF_SQL = """
     SELECT doc_id, 'deleted' AS change_type
     FROM documents WHERE doc_id % 97 = 0

@@ -674,3 +674,66 @@ def test_diff_snapshots_closed_forms_and_null_sentinels(spark):
         for r in diff_snapshots(old, new, ["k"], compare_cols=["v"]).collect()
     )
     assert got_v == [(4, "deleted"), (5, "added")]
+
+
+# ---------------------------------------------------------------------------
+# robust stats: MAD outliers, sampled quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_sample_quantiles_accuracy_and_merge(spark):
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        bottomk_sample_quantiles,
+    )
+
+    # uniform 0..99999 -> sample quantiles near the population's
+    df = spark.range(100_000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    got = {
+        r.q: r.quantile
+        for r in bottomk_sample_quantiles(
+            df, "k", "v", [0.1, 0.5, 0.9], k=2048
+        ).collect()
+    }
+    for q, v in got.items():
+        assert abs(v / 100_000 - q) < 0.05, (q, v)  # ~3/sqrt(2048)
+
+    # merge property: bottom-k of (A ∪ B) == re-take k minima of the
+    # two sides' bottom-k samples
+    import hashlib
+
+    a = list(range(0, 60_000))
+    b = list(range(40_000, 100_000))
+
+    def bott(ids, k):
+        return sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+        )[:k]
+
+    whole = bott(range(100_000), 2048)
+    merged = sorted(set(bott(a, 2048)) | set(bott(b, 2048)))[:2048]
+    assert whole == merged
+
+
+def test_mad_outliers_flags_planted_spikes(spark):
+    from defimap_data_pipelines_spark.plans.queries import QUERIES
+    import tempfile
+
+    base = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        F.lit("t").alias("event_type"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").alias("user_id"),
+        # tight cluster around 10 with 5 planted 1000x spikes
+        F.when(F.col("id") < 5, F.lit(10_000.0))
+        .otherwise(10.0 + (F.col("id") % 7).cast("double") / 10.0)
+        .alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        base.write.parquet(f"{td}/events.parquet")
+        out = QUERIES["mad_outliers"](spark, td).collect()[0]
+    assert out.n == 1000
+    assert out.n_outliers == 5  # exactly the planted spikes
+    assert abs(out.med - 10.3) < 0.5
