@@ -8657,8 +8657,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-6 rotation candidates (registered in r5 after the window
 # filled; each already green under tools/parity.py at sf0.01):
 # gopher_repetition, kmv_source_overlap, weighted_sample,
-# adaptive_skew_join, doc_chunking — swap these in for r5 greens
-# next round (bpe_encode is rows-only; it never takes a window slot).
+# adaptive_skew_join, doc_chunking, snapshot_diff, mad_outliers,
+# sampled_quantiles — swap these in for r5 greens next round
+# (bpe_encode is rows-only; it never takes a window slot).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
