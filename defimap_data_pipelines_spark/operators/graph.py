@@ -272,6 +272,17 @@ def pagerank_quantized(
     (fixed-point detection would need a convergence count per round);
     100 TB practice runs a handful of rounds anyway.
 
+    Negative result worth keeping (measured at sf0.1, 1.17M edges /
+    16k nodes, min-of-3): a CC-gate-style fast path that collects the
+    16k ranks per round and inlines them as an array literal
+    (re-iding nodes to ints, contrib = element_at(literal, uid) —
+    one shuffle + one 16k collect per round, no joins) ran 6.95 s vs
+    4.6 s for this BSP loop on identical output. The per-round ~130 KB
+    literal parse/ship plus driver round trips cost more than the
+    broadcast-sized join they replace — the collect-tiny-artifacts
+    pattern pays once per QUERY (codebooks, blooms), not once per
+    ITERATION.
+
     Checkpoint cadence (measured at sf0.1, 600k edges, min-of-3):
     per-round localCheckpoint was the dominant fixed cost, NOT the
     per-round ranks exchange — 3 iters ran 1.61 s with ckpt_every=1
