@@ -4077,6 +4077,89 @@ QUANTIZE_SQL = """
 """
 
 
+STANDARDIZE_SQL = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    d AS (
+        SELECT vec_id, i AS pos, e[i] AS x FROM v, range(1, 65) t(i)
+    ),
+    m AS (
+        SELECT pos,
+               SUM(CAST(ROUND(x * 1000000000.0) AS BIGINT))
+                   / 1000000000.0 / COUNT(*) AS mean,
+               SUM(CAST(ROUND(x * x * 1000000000.0) AS BIGINT))
+                   / 1000000000.0 / COUNT(*) AS meansq
+        FROM d GROUP BY pos
+    ),
+    s AS (
+        SELECT pos, mean, sqrt(meansq - mean * mean) AS std FROM m
+    )
+    SELECT d.vec_id,
+           CAST(SUM(CAST(ROUND((x - mean) / std * 1000000.0) AS BIGINT)
+                    * pos) AS BIGINT) AS z_checksum
+    FROM d JOIN s USING (pos)
+    GROUP BY d.vec_id
+"""
+
+
+@register("embedding_standardize", STANDARDIZE_SQL)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus standardization of the embedding table —
+    the feature-normalization step before distance-based ops (ANN,
+    k-means) when dimensions carry different scales. Per-dim mean and
+    E[x^2] accumulate as grid-quantized integers (order-independent,
+    the update_centroids convention), the 64 (mean, std) pairs
+    collect once and inline as double literals (collect-tiny-
+    artifacts pattern; sql_double_literal keeps the bits exact), and
+    the standardized projection folds per row — so the per-vector
+    z-score checksum, weighted by position to catch permutations,
+    value-hash-checks cross-engine. One posexplode aggregation pass;
+    the projection is shuffle-free."""
+    from defimap_data_pipelines_spark.functions.vector import (
+        sql_double_literal,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = v.select("vec_id", F.posexplode("e").alias("pos", "x"))
+    mom = (
+        dims.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1e9).cast("long"))
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("mean"),
+            (
+                F.sum(F.round(F.col("x") * F.col("x") * 1e9).cast("long"))
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("meansq"),
+        )
+        .collect()
+    )
+    import math
+
+    stats = sorted((r["pos"], r["mean"], r["meansq"]) for r in mom)
+    means = [m for _, m, _ in stats]
+    stds = [math.sqrt(mq - m * m) for _, m, mq in stats]
+    marr = "array(" + ",".join(sql_double_literal(x) for x in means) + ")"
+    sarr = "array(" + ",".join(sql_double_literal(x) for x in stds) + ")"
+    checksum = F.expr(
+        f"""
+        aggregate(sequence(0, 63), 0L, (acc, i) ->
+            acc + CAST(round((element_at(e, i + 1)
+                              - element_at({marr}, i + 1))
+                             / element_at({sarr}, i + 1)
+                             * 1000000.0) AS BIGINT) * (i + 1L))
+        """
+    )
+    return v.select("vec_id", checksum.alias("z_checksum"))
+
+
 @register("embedding_quantize_int8", QUANTIZE_SQL)
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the storage
