@@ -137,3 +137,83 @@ def kmeans_fit(
     if keep_vec:
         return assigned.select("vec_id", "e", "cluster", "dist")
     return assigned.select("vec_id", "cluster", "dist")
+
+
+def kmeans_fit_grouped(
+    emb: DataFrame,
+    group_col: str,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One k-means model PER GROUP (per language, per source, per
+    label), every group fit in the SAME corpus passes — the grouped-
+    model-training pattern: G sequential fits would scan the corpus G
+    times; keeping ``group_col`` in every key makes the whole model
+    family one job.
+
+    Differences from the single-model path are forced by G being
+    data-dependent: centroids live as a (group, cluster, c) FRAME and
+    assignment is a fan-out-k equi-join on the group key + min-struct
+    argmin (map-side combinable aggregation — NOT a row_number
+    window, which would shuffle the k-fanned frame a second time),
+    instead of assign_clusters' inlined literal array (G*k arrays
+    can't be plan literals when G is unbounded). Same determinism
+    contract: seeds = k smallest ids per group, distances grid-
+    rounded to 1e-9 with cluster-id tiebreak, quantized centroid
+    means. Returns the final per-(group, cluster) assignment frame
+    (group, vec_id, cluster, dist).
+    """
+    v = emb.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    wg = Window.partitionBy("g").orderBy("vec_id")
+    cents = (
+        v.withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") <= k)
+        .select("g", F.col("_rn").alias("cluster"), F.col("e").alias("c"))
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        fanned = v.join(cents_df, "g").select(
+            "g",
+            "vec_id",
+            "e",
+            "cluster",
+            F.round(_sq_dist(F.col("e"), F.col("c")), 9).alias("dist"),
+        )
+        best = fanned.groupBy("g", "vec_id").agg(
+            F.min(F.struct("dist", "cluster", "e")).alias("_b")
+        )
+        return best.select(
+            "g",
+            "vec_id",
+            F.col("_b.e").alias("e"),
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.dist").alias("dist"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents).localCheckpoint()
+        dims = assigned.select(
+            "g", "cluster", F.posexplode("e").alias("pos", "val")
+        )
+        per_dim = dims.groupBy("g", "cluster", "pos").agg(
+            (
+                F.sum(F.round(F.col("val") * GRID).cast("long"))
+                / float(GRID)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = per_dim.groupBy("g", "cluster").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m")))
+            .getField("m")
+            .alias("c")
+        )
+    final = assign(cents)
+    return final.select(
+        F.col("g").alias(group_col), "vec_id", "cluster", "dist"
+    )

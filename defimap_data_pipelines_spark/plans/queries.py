@@ -4077,6 +4077,83 @@ QUANTIZE_SQL = """
 """
 
 
+def _grouped_kmeans_sql() -> str:
+    d_init = _SQDIST.format(a="v.e", b="i.c")
+    d_up = _SQDIST.format(a="v.e", b="u.c")
+    return f"""
+    WITH v AS (
+        SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    init AS (
+        SELECT label, rn AS cluster, e AS c FROM (
+            SELECT label, e,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY vec_id) AS rn
+            FROM v
+        ) WHERE rn <= 4
+    ),
+    a1 AS (
+        SELECT label, vec_id, e, cluster FROM (
+            SELECT v.label, v.vec_id, v.e, i.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.label, v.vec_id
+                       ORDER BY ROUND({d_init}, 9), i.cluster) AS rn
+            FROM v JOIN init i ON i.label = v.label
+        ) WHERE rn = 1
+    ),
+    upd AS (
+        SELECT label, cluster, list(m ORDER BY pos) AS c FROM (
+            SELECT label, cluster, i AS pos,
+                   SUM(CAST(ROUND(e[i] * 1000000000) AS BIGINT))
+                       / 1000000000.0 / COUNT(*) AS m
+            FROM a1, range(1, 65) t(i)
+            GROUP BY label, cluster, i
+        ) GROUP BY label, cluster
+    ),
+    a2 AS (
+        SELECT label, vec_id, cluster, dist FROM (
+            SELECT v.label, v.vec_id, u.cluster,
+                   ROUND({d_up}, 9) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.label, v.vec_id
+                       ORDER BY ROUND({d_up}, 9), u.cluster) AS rn
+            FROM v JOIN upd u ON u.label = v.label
+        ) WHERE rn = 1
+    )
+    SELECT label, cluster,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(dist * 1000000.0) AS BIGINT)) / 1000000.0
+               AS inertia
+    FROM a2 GROUP BY label, cluster
+    """
+
+
+@register("grouped_kmeans", _grouped_kmeans_sql())
+def q_grouped_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means model PER LABEL, all labels fit in the same corpus
+    passes (operators/clustering.py::kmeans_fit_grouped) — the
+    grouped-model-training pattern (per-language codebooks, per-source
+    quality models) where G sequential fits would scan the corpus G
+    times. Assignment is a fan-out-k group join + map-side-combinable
+    min-struct argmin (no second shuffle of the fanned frame); the
+    oracle unrolls the Lloyd round per label. Reported: per
+    (label, cluster) membership and quantized inertia."""
+    from defimap_data_pipelines_spark.operators.clustering import (
+        kmeans_fit_grouped,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    final = kmeans_fit_grouped(emb, "label", k=4, iters=1)
+    return final.groupBy("label", "cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.round(F.col("dist") * 1000000.0).cast("long"))
+            / 1000000.0
+        ).alias("inertia"),
+    )
+
+
 STANDARDIZE_SQL = """
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

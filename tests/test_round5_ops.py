@@ -737,3 +737,59 @@ def test_mad_outliers_flags_planted_spikes(spark):
     assert out.n == 1000
     assert out.n_outliers == 5  # exactly the planted spikes
     assert abs(out.med - 10.3) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# grouped k-means (one model per group, single pass)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_kmeans_single_group_matches_single_model(spark, sf_dir):
+    """With one group, the join+min-struct formulation must pick the
+    exact assignments of the literal-centroid single-model path."""
+    from defimap_data_pipelines_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_fit_grouped,
+    )
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "g1", F.lit(0)
+    )
+    single = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_fit(emb, k=4, iters=2).collect()
+    }
+    grouped = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_fit_grouped(emb, "g1", k=4, iters=1).collect()
+    }
+    # kmeans_fit(iters=2) = 2 assign+update rounds, final assignment is
+    # the 2nd round's; kmeans_fit_grouped(iters=1) = 1 update round +
+    # final assignment — the SAME trajectory point
+    assert grouped == single
+
+
+def test_grouped_kmeans_groups_are_independent(spark, sf_dir):
+    """Fitting labels together must equal fitting each label alone —
+    groups share passes, never state."""
+    from defimap_data_pipelines_spark.operators.clustering import (
+        kmeans_fit_grouped,
+    )
+    from defimap_data_pipelines_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lab = sorted(r.label for r in emb.select("label").distinct().collect())[0]
+    together = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_fit_grouped(emb, "label", k=3, iters=1)
+        .filter(F.col("label") == lab)
+        .collect()
+    }
+    alone = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_fit_grouped(
+            emb.filter(F.col("label") == lab), "label", k=3, iters=1
+        ).collect()
+    }
+    assert together == alone
