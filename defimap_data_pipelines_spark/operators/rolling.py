@@ -173,3 +173,67 @@ def pareto_frontier(
     return sweep(local, []).select(
         F.col("lo").alias(minimize), F.col("hi").alias(maximize)
     )
+
+
+def ewma_quantized(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """EWMA (alpha = 1/2) as an EXACT integer recursion — the
+    oracle-able member of the order-dependent-state family (the same
+    trick pagerank_quantized plays on iterative graph state, applied
+    to sequential per-key state):
+
+        e_1 = q(x_1);  e_t = (q(x_t) + e_{t-1}) div 2
+
+    with q(x) = round(x * micro) and ``div`` truncating toward zero —
+    the one convention Spark's ``div`` and DuckDB's ``//`` share
+    (DuckDB -3 // 2 = -1, trunc; note Python's ``//`` FLOORS, so the
+    pandas loop must trunc explicitly). Exact integers end to end, so
+    a recursive-CTE oracle replays every step bit-for-bit — float
+    EWMA could never cross engines (every step compounds rounding).
+
+    True sequential recursions don't vectorize: each key's series
+    runs as a Python loop inside Arrow-batched ``applyInPandas`` —
+    the legitimate per-partition-sequential pattern (state = one
+    long per key, keys partition freely, series order restored by
+    sorting within the group). At 100 TB this is the shape streaming
+    EWMA jobs take anyway: partition by key, iterate in event order.
+
+    Returns (key, order, ewma_q) with ewma_q in micro-units.
+    """
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ord")
+        out, e = [], None
+        for xq in pdf["_xq"]:
+            xq = int(xq)
+            if e is None:
+                e = xq
+            else:
+                s = xq + e
+                e = -((-s) // 2) if s < 0 else s // 2  # trunc, not floor
+            out.append(e)
+        return pd.DataFrame(
+            {"k": pdf["_k"], "o": pdf["_ord"], "ewma_q": out}
+        )
+
+    staged = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_ord"),
+        F.round(F.col(value_col) * micro).cast("long").alias("_xq"),
+    )
+    k_t = staged.schema["_k"].dataType.simpleString()
+    o_t = staged.schema["_ord"].dataType.simpleString()
+    out = staged.groupBy("_k").applyInPandas(
+        run, f"k {k_t}, o {o_t}, ewma_q long"
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("o").alias(order_col),
+        "ewma_q",
+    )

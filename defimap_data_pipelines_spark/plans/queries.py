@@ -7365,6 +7365,45 @@ def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_SQL = """
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS xq,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS rn
+        FROM events
+    ),
+    e AS (
+        SELECT user_id, event_id, rn, xq AS ewma_q
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.rn, (b.xq + e.ewma_q) // 2
+        FROM base b JOIN e
+          ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, ewma_q FROM e
+"""
+
+
+@register("ewma_quantized", EWMA_SQL)
+def q_ewma_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 1/2) as an exact integer recursion
+    (operators/rolling.py::ewma_quantized) — the pagerank trick
+    applied to SEQUENTIAL state: quantize, recurse in integers with
+    the shared trunc-division convention, and the whole
+    order-dependent series becomes value-hash-checkable (the oracle
+    replays every step through a recursive CTE; float EWMA compounds
+    rounding at every step and could never cross engines). Spark side
+    runs the per-key loop in Arrow-batched applyInPandas — the
+    legitimate per-partition-sequential pattern."""
+    from defimap_data_pipelines_spark.operators.rolling import (
+        ewma_quantized,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return ewma_quantized(e, "user_id", "event_id", "value")
+
+
 MAD_OUTLIERS_SQL = """
     WITH med AS (
         SELECT event_type, quantile_disc(value, 0.5) AS med

@@ -793,3 +793,34 @@ def test_grouped_kmeans_groups_are_independent(spark, sf_dir):
         ).collect()
     }
     assert together == alone
+
+
+# ---------------------------------------------------------------------------
+# quantized EWMA (order-dependent recursion, oracle-able)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_quantized_closed_form_and_negative_trunc(spark):
+    from defimap_data_pipelines_spark.operators.rolling import (
+        ewma_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 4.0), (1, 2, 2.0), (1, 3, -3.0), (2, 1, -1.0)],
+        "k long, o long, v double",
+    )
+    got = {(r.k, r.o): r.ewma_q
+           for r in ewma_quantized(df, "k", "o", "v").collect()}
+    # micro-units: e1=4e6; e2=(2e6+4e6)/2=3e6; e3=(-3e6+3e6)/2=0
+    assert got[(1, 1)] == 4_000_000
+    assert got[(1, 2)] == 3_000_000
+    assert got[(1, 3)] == 0
+    assert got[(2, 1)] == -1_000_000
+    # trunc-vs-floor: odd negative sums round toward zero
+    df2 = spark.createDataFrame(
+        [(9, 1, -0.000001), (9, 2, -0.000002)], "k long, o long, v double"
+    )
+    got2 = {r.o: r.ewma_q
+            for r in ewma_quantized(df2, "k", "o", "v").collect()}
+    # (-2 + -1) = -3; trunc(-3/2) = -1 (floor would give -2)
+    assert got2[2] == -1
