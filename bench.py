@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "kmv_source_overlap",
     "zorder_layout",
     "gopher_repetition",
+    "grouped_kmeans",
+    "ewma_quantized",
+    "snapshot_diff",
 ]
 
 
