@@ -209,15 +209,19 @@ def ewma_quantized(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_ord")
+        # .tolist() up front: iterating the Series yields numpy
+        # scalars whose per-element int coercion measurably dominates
+        # this loop at 600k rows; plain ints keep the recursion cheap
+        xs = pdf["_xq"].tolist()
         out, e = [], None
-        for xq in pdf["_xq"]:
-            xq = int(xq)
+        ap = out.append
+        for xq in xs:
             if e is None:
                 e = xq
             else:
                 s = xq + e
                 e = -((-s) // 2) if s < 0 else s // 2  # trunc, not floor
-            out.append(e)
+            ap(e)
         return pd.DataFrame(
             {"k": pdf["_k"], "o": pdf["_ord"], "ewma_q": out}
         )
