@@ -190,16 +190,19 @@ def bottomk_sample_quantiles(
         "_rn",
         F.row_number().over(Window.orderBy(F.col("_v").asc(), F.col("_h"))),
     ).withColumn("_n", n)
-    picks = None
-    for q in qs:
-        want = ranked.filter(
+    # ONE pass for every q: explode the q list per row and keep the
+    # row whose rank is that q's target — a per-q union of filters
+    # re-ran the TakeOrdered sample scan once per q (measured 4
+    # scans in the plan audit for 4 qs)
+    return (
+        ranked.withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+        )
+        .filter(
             F.col("_rn")
             == F.greatest(
-                F.lit(1),
-                F.ceil(F.lit(q) * F.col("_n")).cast("int"),
+                F.lit(1), F.ceil(F.col("q") * F.col("_n")).cast("int")
             )
-        ).select(
-            F.lit(q).alias("q"), F.col("_v").alias("quantile")
         )
-        picks = want if picks is None else picks.unionByName(want)
-    return picks
+        .select("q", F.col("_v").alias("quantile"))
+    )

@@ -7446,8 +7446,13 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_grouped_quantile(e, "event_type", "value", 0.5).select(
         "event_type", F.col("quantile").alias("med")
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "ad", F.abs(F.col("value") - F.col("med"))
+    # cache: the deviations frame feeds BOTH the MAD quantile fit and
+    # the final rollup; uncached, each consumer re-scans events and
+    # re-runs the median join (the plan audit showed the doubled scan)
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .withColumn("ad", F.abs(F.col("value") - F.col("med")))
+        .cache()
     )
     mad = exact_grouped_quantile(dev, "event_type", "ad", 0.5).select(
         "event_type", F.col("quantile").alias("mad")
