@@ -524,3 +524,65 @@ def stream_cms_incremental(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_decontaminate(
+    doc_stream: DataFrame,
+    store,
+    out_dir: str,
+    checkpoint_dir: str,
+    bloom_name: str = "bench_bloom",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> "StreamingQuery":  # noqa: F821
+    """Decontaminate-every-shard, streaming form: each micro-batch of
+    incoming documents probes the PERSISTED benchmark bloom filter
+    (pipelines/models.py::ModelStore — built once per benchmark
+    release by bloom_build) and only documents with zero bloom-hit
+    shingles land in ``out_dir``. The filter loads once per stream
+    start and inlines as the usual folded array literal, so the probe
+    adds no joins and no shuffles to the batch plan — a stateless
+    projection + per-doc rollup, which is why it composes with any
+    upstream streaming source.
+
+    This is the composition the ModelStore exists for: the expensive
+    artifact (bench shingle set -> 2048-long bitset) is built by the
+    batch side; the stream pays only the probe.
+    """
+    from defimap_data_pipelines_spark.functions.text import word_shingles
+    from defimap_data_pipelines_spark.operators.sketches import (
+        bloom_probe,
+    )
+
+    loaded: dict = {}
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        if "bloom" not in loaded:
+            words, bits, k = store.load_bloom(spark, bloom_name)
+            loaded["bloom"] = (words, bits, k)
+        words, bits, k = loaded["bloom"]
+        sh = batch.select(
+            "doc_id",
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        probed = bloom_probe(sh, "shingle", words, out="_hit",
+                             bits=bits, k=k)
+        contaminated = (
+            probed.filter(F.col("_hit"))
+            .select("doc_id")
+            .distinct()
+        )
+        clean = batch.join(contaminated, "doc_id", "left_anti")
+        clean.write.mode("append").parquet(out_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -613,3 +613,83 @@ def test_stream_cms_incremental_equals_batch_sketch(spark, sf_dir, tmp_path):
     true = {r.token: r.n for r in events.groupBy("token")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(ests[t] >= c for t, c in true.items())  # one-sided
+
+
+def test_stream_decontaminate_matches_batch_probe(spark, sf_dir, tmp_path):
+    """Streamed bloom decontamination over 2 micro-batches must keep
+    exactly the documents the batch-side probe keeps (zero bloom-hit
+    shingles), using the PERSISTED filter artifact."""
+    import os
+    import time
+
+    from defimap_data_pipelines_spark.functions.text import word_shingles
+    from defimap_data_pipelines_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_build,
+        bloom_probe,
+    )
+    from defimap_data_pipelines_spark.pipelines.models import ModelStore
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        stream_decontaminate,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+    # bench set = 40 docs' shingles; build + persist the filter
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    bench_sh = bench.select(
+        F.explode(word_shingles(F.col("text"), 8)).alias("shingle")
+    ).distinct()
+    store = ModelStore(str(tmp_path / "models"))
+    store.save_bloom(
+        spark, bloom_build(bench_sh, "shingle"), "bench_bloom",
+        BLOOM_BITS, BLOOM_K,
+    )
+
+    # batch truth: docs with zero bloom hits
+    words, _, _ = store.load_bloom(spark, "bench_bloom")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("shingle")
+    )
+    hit = (
+        bloom_probe(sh, "shingle", words, out="_hit")
+        .filter(F.col("_hit")).select("doc_id").distinct()
+    )
+    truth = {
+        r.doc_id
+        for r in docs.join(hit, "doc_id", "left_anti")
+        .select("doc_id").collect()
+    }
+
+    arrivals = str(tmp_path / "arriving")
+    os.makedirs(arrivals)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    for i, part in enumerate(
+        (docs.filter(F.col("doc_id") < cut),
+         docs.filter(F.col("doc_id") >= cut))
+    ):
+        chunk = str(tmp_path / f"c{i}")
+        part.coalesce(1).write.parquet(chunk)
+        src = [f for f in os.listdir(chunk) if f.endswith(".parquet")][0]
+        dst = os.path.join(arrivals, f"{i:02d}.parquet")
+        os.rename(os.path.join(chunk, src), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+    )
+    out_dir = str(tmp_path / "clean")
+    q = stream_decontaminate(
+        stream, store, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == truth
+    assert 0 < len(got) < docs.count()  # filter actually bites
