@@ -104,6 +104,10 @@ def adaptive_salted_join(
     counters = cms_counters(
         big.select(F.col(key).alias("token")), depth=depth, width=width
     )
+    # localCheckpoint: BOTH join arms below consume the hot set;
+    # uncached, each arm would rebuild the CMS — i.e. re-scan the
+    # fact table — doubling the detection pass the operator exists to
+    # keep cheap. The frame is at most |dim keys| rows.
     hot = (
         cms_estimate(
             counters,
@@ -113,6 +117,7 @@ def adaptive_salted_join(
         )
         .filter(F.col("cms_estimate") >= hot_threshold)
         .select(F.col("token").alias(key), F.lit(True).alias("_hot"))
+        .localCheckpoint()
     )
     tagged_big = big.join(F.broadcast(hot), key, "left")
     salted_big = tagged_big.withColumn(

@@ -315,6 +315,12 @@ def diff_snapshots(
     100 TB the diff output, not the inputs, is the small thing — a
     daily snapshot pair differs in well under 1%).
 
+    PRECONDITION: ``key_cols`` uniquely identify a row in each
+    snapshot (the usual table-key contract) — duplicate keys would
+    cross-multiply through the full-outer join and pair arbitrary
+    row versions. Run check_unique (operators/dq.py) upstream when
+    the contract is in doubt.
+
     Scale shape: ONE full-outer shuffle join on the key — both sides
     are first reduced to (key, row_md5) projections (scan-side md5 of
     the concatenated compare columns with null sentinels), so the
