@@ -203,3 +203,35 @@ def test_gopher_repetition_is_scan_side(spark, sf_dir):
     formulation (measured 1.6x slower at sf0.1)."""
     plan = _final_plan("gopher_repetition", spark, sf_dir)
     assert plan.count("Exchange") == 0
+
+
+def test_snapshot_diff_ships_hashes_not_payload(spark, sf_dir):
+    """The full-outer join must carry only (key, md5) columns — the
+    text payload staying out of the shuffle is the operator's whole
+    scale argument."""
+    plan = _final_plan("snapshot_diff", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    # no Exchange line may carry the text column
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_sampled_quantiles_single_sample_scan(spark, sf_dir):
+    """One TakeOrdered sample feeds every q — the per-q union form
+    re-scanned the table once per quantile."""
+    plan = _final_plan("sampled_quantiles", spark, sf_dir)
+    assert plan.count("TakeOrderedAndProject") == 1
+    assert "Union" not in plan
+
+
+def test_grouped_kmeans_no_window_on_fanned_frame(spark, sf_dir):
+    """Assignment argmin must stay the map-side-combinable min-struct
+    aggregation; a rank Window over the k-fanned frame would add a
+    second full shuffle per assign."""
+    plan = _final_plan("grouped_kmeans", spark, sf_dir)
+    # exactly one Window allowed: the k-seeds-per-group init rank
+    assert plan.count("RunningWindowFunction") + plan.count(
+        "Window"
+    ) <= 2, plan.count("Window")
+    assert "CartesianProduct" not in plan
