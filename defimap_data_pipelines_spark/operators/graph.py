@@ -331,3 +331,56 @@ def pagerank_quantized(
         if ckpt_every and (i + 1) % ckpt_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made DETERMINISTIC: each round every node adopts
+    the majority label among its in-neighbors, ties broken by
+    smallest label — so the fixed-round outcome is a pure function of
+    the graph and an unrolled SQL oracle can replay it (the
+    asynchronous/random-order variants of LPA are famously
+    non-reproducible; the synchronous argmax-with-tiebreak form
+    trades a little convergence speed for bit-reproducibility, the
+    same bargain pagerank_quantized makes).
+
+    Seeds are self-labels. Per round: one edge-labels join + one
+    (node, label) count + a min-struct argmax — the min-struct keeps
+    the reduction map-side-combinable instead of shuffling the
+    counted frame again under a rank window (the grouped-kmeans
+    lesson). ``rounds`` is a small constant; real community jobs run
+    a handful of synchronous rounds and then cut by modularity.
+
+    Returns (node, label). Expects DIRECTED input; pass a symmetrized
+    frame for undirected semantics (matching connected_components).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["u"] == labels["node"])
+            .groupBy(F.col("v").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("n")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("b"))
+            .select(F.col("n").alias("node"), F.col("b.label").alias("label"))
+        )
+    return labels

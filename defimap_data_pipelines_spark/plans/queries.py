@@ -8197,6 +8197,69 @@ def _pagerank_sql(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
     )
 
 
+def _label_prop_sql(rounds: int = 2) -> str:
+    step = """
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT s.v AS node, l.label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY s.v
+                                      ORDER BY COUNT(*) DESC,
+                                               l.label ASC) AS rn
+            FROM sym s JOIN l{j} l ON l.node = s.u
+            GROUP BY s.v, l.label
+        ) WHERE rn = 1
+    )"""
+    steps = [step.format(i=i, j=i - 1) for i in range(1, rounds + 1)]
+    return (
+        """
+    WITH e AS (
+        SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    l0 AS (
+        SELECT node, node AS label
+        FROM (SELECT DISTINCT u AS node FROM sym)
+    ),"""
+        + ",".join(steps)
+        + f"""
+    SELECT node, label FROM l{rounds}
+    """
+    )
+
+
+@register("label_propagation", _label_prop_sql())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the customer<->supplier graph by
+    SYNCHRONOUS label propagation (operators/graph.py::
+    label_propagation) — the third member of the deterministic
+    iterative-graph family (CC = min-label, PageRank = weighted sum,
+    LPA = majority vote with smallest-label tiebreak). Asynchronous
+    LPA is famously non-reproducible; the synchronous argmax form is
+    a pure function of the graph, so the unrolled 2-round CTE oracle
+    replays every node's label exactly."""
+    from defimap_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"),
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return label_propagation(sym, src="u", dst="v", rounds=2)
+
+
 @register("pagerank_top20", _pagerank_sql())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the customer<->supplier purchase

@@ -824,3 +824,32 @@ def test_ewma_quantized_closed_form_and_negative_trunc(spark):
             for r in ewma_quantized(df2, "k", "o", "v").collect()}
     # (-2 + -1) = -3; trunc(-3/2) = -1 (floor would give -2)
     assert got2[2] == -1
+
+
+# ---------------------------------------------------------------------------
+# deterministic label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    from defimap_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two 5-cliques bridged by one weak edge: after 2 synchronous
+    # rounds each clique coalesces on its min label; the bridge can't
+    # outvote 4 internal neighbors
+    edges = []
+    for base in (0, 100):
+        for a in range(5):
+            for b in range(a + 1, 5):
+                edges.append((base + a, base + b))
+    edges.append((4, 100))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sym = df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = {r.node: r.label
+              for r in label_propagation(sym, rounds=2).collect()}
+    assert all(labels[n] == 0 for n in range(5))
+    assert all(labels[100 + n] == 100 for n in range(5))
