@@ -8926,7 +8926,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gopher_repetition, kmv_source_overlap, weighted_sample,
 # adaptive_skew_join, doc_chunking, snapshot_diff, mad_outliers,
 # sampled_quantiles, embedding_standardize, grouped_kmeans,
-# ewma_quantized — swap these in for r5 greens next round
+# ewma_quantized, label_propagation — swap these in for r5 greens
+# next round
 # (bpe_encode is rows-only; it never takes a window slot).
 
 _DRIVER_WINDOW = [
