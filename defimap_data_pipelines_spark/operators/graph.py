@@ -384,3 +384,190 @@ def label_propagation(
             .select(F.col("n").alias("node"), F.col("b.label").alias("label"))
         )
     return labels
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts by DEGREE-ORDERED wedge closing (the
+    Suri–Vassilvitskii MapReduce algorithm, WWW'11): orient every
+    undirected edge from its lower-(deg, id) endpoint to the higher,
+    build wedges by self-joining the oriented frame on the apex, then
+    close each wedge against the oriented edge set. Orientation bounds
+    every node's out-degree by O(sqrt(m)) — the apex of a wedge is
+    always its lowest-rank vertex, so a celebrity node with degree 10M
+    never fans out 10M^2 wedges; it only ever appears as the CLOSING
+    endpoint. Each triangle is generated exactly once (at its
+    lowest-rank vertex), so counts are exact — no sampling, no
+    approximation, and a plain 3-way self-join SQL oracle replays the
+    result on node order alone (orientation changes the enumeration
+    order, never the triangle set).
+
+    Scale shape: two degree joins + one wedge self-join + one closing
+    join, all shuffling on node / (pair) keys; no broadcasts of
+    data-sized frames, no cartesian. Wedge volume = sum-over-nodes
+    C(outdeg, 2) <= O(m^1.5), the known optimum for exact counting.
+
+    Input is UNDIRECTED: rows are deduped and canonicalized (min, max)
+    before orientation, self-loops dropped. Returns (node, triangles)
+    for every node in at least one triangle.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # orient low-(deg, id) -> high-(deg, id); carry the head's rank so
+    # the wedge join can order its two legs without a third deg join
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("n")
+    )
+    o = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(fwd, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+        .alias("ry"),
+    ).localCheckpoint()
+    w1 = o.select("x", F.col("y").alias("y1"), F.col("ry").alias("r1"))
+    w2 = o.select("x", F.col("y").alias("y2"), F.col("ry").alias("r2"))
+    wedges = w1.join(w2, "x").filter(F.col("r1") < F.col("r2"))
+    closed = wedges.join(
+        o.select(F.col("x").alias("y1"), F.col("y").alias("y2")),
+        ["y1", "y2"],
+    )
+    return (
+        closed.select(
+            F.explode(F.array("x", "y1", "y2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+
+
+def kcore_decompose(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core pruning: repeatedly drop nodes with degree
+    < k and re-count on the surviving subgraph. True k-core iterates
+    to a fixpoint; a FIXED round count is the same determinism bargain
+    pagerank_quantized makes (convergence detection costs a count per
+    round, and the cascade profile after a handful of rounds is the
+    useful signal anyway — how fast the graph evaporates under the
+    constraint distinguishes a dense core from a fragile shell).
+
+    Emits (round, node, deg): every survivor of every round with the
+    degree that qualified it — the full per-round state, so an
+    unrolled SQL oracle checks each transition, not just the final
+    set (which can be EMPTY at small scale without voiding the check).
+
+    Scale shape per round: one degree groupBy + two semi-joins, all
+    shuffling on the node key; the survivor frame is O(nodes) and is
+    checkpointed per round to keep it from recomputing under its two
+    consumers (output union + edge restriction).
+
+    Expects DIRECTED input; pass a symmetrized frame for undirected
+    degree semantics (matching connected_components).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out: DataFrame | None = None
+    for i in range(1, rounds + 1):
+        kept = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .localCheckpoint()
+        )
+        tagged = kept.select(
+            F.lit(i).cast("int").alias("round"),
+            F.col("u").alias("node"),
+            "deg",
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        if i < rounds:
+            e = (
+                e.join(kept.select("u"), "u", "semi")
+                .join(kept.select(F.col("u").alias("v")), "v", "semi")
+                .localCheckpoint()
+            )
+    assert out is not None
+    return out
+
+
+def khop_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS reach profile: for every seed, the number of
+    DISTINCT nodes within <= h hops (seed itself excluded), for each
+    h in 1..hops — the neighborhood-growth curve that powers influence
+    estimation and crawl-frontier sizing.
+
+    Frontier form of BFS: each hop expands only the nodes first
+    reached last hop (anti-join against visited), yet visited_h still
+    equals visited_{h-1} UNION N(visited_{h-1}) exactly, because
+    N(visited_{h-2}) is already inside visited_{h-1} — so the plain
+    visited-expansion SQL oracle replays the result while the Spark
+    side pays |frontier| x avg-degree per hop instead of |visited| x
+    avg-degree. That delta is the whole cost model of distributed BFS
+    (frontiers shrink once the ball saturates; visited only grows).
+
+    Scale shape per hop: one frontier-edges join + one distinct + one
+    anti-join, all shuffled on node keys; visited/frontier carry
+    (seed, node) pairs so a batch of seeds shares each hop's shuffles
+    (batched multi-source BFS — seeds are a config-sized list, the
+    per-seed ball is bounded by the reachable set).
+
+    ``edges`` is directed (symmetrize for undirected); ``seeds`` is a
+    one-column frame of start nodes. Returns (seed, hop, reach).
+    """
+    e = edges.select("u", "v").localCheckpoint()
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("seed")
+    ).select("seed", F.col("seed").alias("node")).localCheckpoint()
+    frontier = visited
+    counts: DataFrame | None = None
+    for h in range(1, hops + 1):
+        grown = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+        )
+        frontier = grown.join(
+            visited, ["seed", "node"], "left_anti"
+        ).localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint()
+        c = (
+            visited.filter(F.col("node") != F.col("seed"))
+            .groupBy("seed")
+            .agg(F.count(F.lit(1)).cast("long").alias("reach"))
+            .select("seed", F.lit(h).cast("int").alias("hop"), "reach")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    assert counts is not None
+    return counts
