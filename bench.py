@@ -103,6 +103,12 @@ BENCH_QUERIES = [
     "grouped_kmeans",
     "ewma_quantized",
     "snapshot_diff",
+    "triangle_count",
+    "kcore_rounds",
+    "khop_reach",
+    "rendezvous_sharding",
+    "apportion_budget",
+    "bigram_lift",
 ]
 
 

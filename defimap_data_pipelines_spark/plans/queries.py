@@ -9085,6 +9085,199 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Placement wave: rendezvous sharding / exact apportionment / bigram lift
+# --------------------------------------------------------------------------
+
+_SHARD_LIST_SQL = ", ".join(
+    f"'shard-{i:02d}'" for i in range(16)
+)
+
+RENDEZVOUS_SQL = f"""
+    WITH a AS (
+        SELECT doc_id, n_chars, s.shard,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || s.shard),
+                               1, 15))::BIGINT AS h
+        FROM documents
+        CROSS JOIN (SELECT unnest([{_SHARD_LIST_SQL}]) AS shard) s
+    ),
+    r AS (
+        SELECT doc_id, n_chars, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, shard DESC) AS rn
+        FROM a
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_key
+    FROM r WHERE rn = 1 GROUP BY shard
+"""
+
+
+@register("rendezvous_sharding", RENDEZVOUS_SQL)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-random-weight shard assignment of the documents table
+    (operators/sharding.py::assign_shards) summarized per shard. The
+    Spark side is a scan-side argmax projection (one parsed
+    expression, no shuffle before the final 16-group agg); the oracle
+    re-derives every assignment with an unnest + rank window. The
+    sum_key column makes the hash sensitive to WHICH docs landed on a
+    shard, not just how many. The add-a-shard stability invariant —
+    the entire point of HRW over hash-mod-N — is pinned in
+    tests/test_sharding.py."""
+    from defimap_data_pipelines_spark.operators.sharding import (
+        assign_shards,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        assign_shards(d, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("tot_chars"),
+            F.sum("doc_id").cast("long").alias("sum_key"),
+        )
+    )
+
+
+APPORTION_BUDGET = 1_000_000
+
+APPORTION_SQL = f"""
+    WITH c AS (
+        SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS weight
+        FROM documents GROUP BY source, lang
+    ),
+    x AS (
+        SELECT source, lang, weight,
+               ({APPORTION_BUDGET} * weight)
+                   // CAST(SUM(weight) OVER () AS BIGINT) AS fl,
+               ({APPORTION_BUDGET} * weight)
+                   % CAST(SUM(weight) OVER () AS BIGINT) AS rem
+        FROM c
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC,
+                                  lang ASC) AS rk,
+               {APPORTION_BUDGET} - CAST(SUM(fl) OVER () AS BIGINT)
+                   AS leftover
+        FROM x
+    )
+    SELECT source, lang, weight,
+           CAST(fl + CASE WHEN rk <= leftover AND rem > 0
+                          THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r
+"""
+
+
+@register("apportion_budget", APPORTION_SQL)
+def q_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton apportionment of a 1M-sample budget across
+    (source, lang) cells proportional to character mass
+    (operators/sharding.py::apportion_largest_remainder). Exact
+    integer arithmetic — sum(alloc) == budget, no float quotas — so
+    the allocation itself value-hash-checks; temperature_mixture and
+    source_cap decide HOW MUCH to want from each cell, this decides
+    exactly how many units that wanting is worth."""
+    from defimap_data_pipelines_spark.operators.sharding import (
+        apportion_largest_remainder,
+    )
+
+    cells = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.sum("n_chars").cast("long").alias("weight"))
+    )
+    return apportion_largest_remainder(
+        cells, APPORTION_BUDGET, order_cols=["source", "lang"]
+    )
+
+
+BIGRAM_LIFT_SQL = f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> array_to_string(t[i:i+1], ' '))) AS gram
+        FROM toks
+    ),
+    bgc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS pair_n
+            FROM bg GROUP BY gram),
+    ug AS (SELECT unnest(t) AS w FROM toks),
+    ugc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ug GROUP BY w),
+    n AS (SELECT CAST(SUM(pair_n) AS BIGINT) AS n FROM bgc)
+    SELECT gram AS bigram, pair_n,
+           a.c AS left_n, b.c AS right_n,
+           CAST((pair_n * n.n * 10000) // (a.c * b.c) AS BIGINT)
+               AS lift_bp
+    FROM bgc
+    CROSS JOIN n
+    JOIN ugc a ON a.w = string_split(gram, ' ')[1]
+    JOIN ugc b ON b.w = string_split(gram, ' ')[2]
+    WHERE pair_n >= 5
+    ORDER BY lift_bp DESC, bigram ASC LIMIT 50
+"""
+
+
+@register("bigram_lift", BIGRAM_LIFT_SQL)
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token bigrams by association lift — the collocation
+    detector (PMI's argument without the log, so the score stays an
+    exact integer in basis points: lift_bp = 10000 * P(xy) /
+    (P(x)P(y)), monotone in PMI). Corpus-wide bigram counts from ONE
+    tokenize pass (_counted_ngrams keeps multiplicities), unigram
+    counts joined in twice; min support pair_n >= 5 kills the
+    hapax-pair noise that dominates raw PMI rankings. int64 headroom:
+    pair_n * N * 10^4 needs pair_n * N < 9e14 — fine through ~1e7-doc
+    corpora; move the scale factor into a DECIMAL at 100 TB vocab."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+    from defimap_data_pipelines_spark.operators.textops import (
+        _counted_ngrams,
+    )
+
+    toks = read_table(spark, sf_dir, "documents").select(
+        ws_tokens(F.col("text")).alias("t")
+    )
+    bgc = (
+        toks.select(
+            F.explode(_counted_ngrams(F.col("t"), 2)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+    )
+    ugc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = bgc.agg(F.sum("pair_n").cast("long").alias("n"))
+    a = ugc.select(F.col("w").alias("_wa"), F.col("c").alias("left_n"))
+    b = ugc.select(F.col("w").alias("_wb"), F.col("c").alias("right_n"))
+    scored = (
+        bgc.filter(F.col("pair_n") >= 5)
+        .crossJoin(F.broadcast(n))
+        .withColumn("_wa", F.split("gram", " ")[0])
+        .withColumn("_wb", F.split("gram", " ")[1])
+        .join(a, "_wa")
+        .join(b, "_wb")
+        .select(
+            F.col("gram").alias("bigram"),
+            "pair_n",
+            "left_n",
+            "right_n",
+            F.expr(
+                "CAST((pair_n * n * 10000L) div (left_n * right_n)"
+                " AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_bp").desc(), F.col("bigram").asc()
+    ).limit(50)
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -9113,7 +9306,8 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adaptive_skew_join, doc_chunking, snapshot_diff, mad_outliers,
 # sampled_quantiles, embedding_standardize, grouped_kmeans,
 # ewma_quantized, label_propagation, triangle_count, kcore_rounds,
-# khop_reach — swap these in for r5 greens next round
+# khop_reach, rendezvous_sharding, apportion_budget, bigram_lift —
+# swap these in for r5 greens next round
 # (bpe_encode is rows-only; it never takes a window slot).
 
 _DRIVER_WINDOW = [
