@@ -109,6 +109,13 @@ BENCH_QUERIES = [
     "rendezvous_sharding",
     "apportion_budget",
     "bigram_lift",
+    "mad_outliers",
+    "sampled_quantiles",
+    "embedding_standardize",
+    "weighted_sample",
+    "adaptive_skew_join",
+    "doc_chunking",
+    "label_propagation",
 ]
 
 
@@ -133,6 +140,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[n] = round(best, 3)
+        # per-query progress line: individually parseable, so a
+        # tail-truncated capture still yields every completed timing
+        print(json.dumps({"query": n, "sec": timings[n]}), flush=True)
         # reap dereferenced per-run caches/broadcasts (ContextCleaner
         # acts on JVM GC) so later queries aren't timed under the
         # accumulated memory pressure of every earlier query's plans
@@ -148,7 +158,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
+    )
+    # Compact summary LAST: the driver records only a bounded tail of
+    # stdout, and the full contract line above is long enough that a
+    # tail cut lands mid-JSON (r4/r5 lost their totals this way). The
+    # final short object always survives the tail intact.
+    print(
+        json.dumps({"total_s": total, "sf": sf, "n_queries": len(names)}),
+        flush=True,
     )
 
 

@@ -538,6 +538,8 @@ def khop_reach(
     edges: DataFrame,
     seeds: DataFrame,
     hops: int = 3,
+    src: str = "u",
+    dst: str = "v",
 ) -> DataFrame:
     """Multi-source BFS reach profile: for every seed, the number of
     DISTINCT nodes within <= h hops (seed itself excluded), for each
@@ -559,10 +561,14 @@ def khop_reach(
     (batched multi-source BFS — seeds are a config-sized list, the
     per-seed ball is bounded by the reachable set).
 
-    ``edges`` is directed (symmetrize for undirected); ``seeds`` is a
-    one-column frame of start nodes. Returns (seed, hop, reach).
+    ``edges`` is directed (symmetrize for undirected) with endpoint
+    columns ``src``/``dst`` (mirroring label_propagation /
+    kcore_decompose); ``seeds`` is a one-column frame of start nodes.
+    Returns (seed, hop, reach).
     """
-    e = edges.select("u", "v").localCheckpoint()
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("seed")
     ).select("seed", F.col("seed").alias("node")).localCheckpoint()

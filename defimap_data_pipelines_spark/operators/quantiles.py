@@ -179,10 +179,16 @@ def bottomk_sample_quantiles(
     from pyspark.sql import Window
 
     h = F.md5(F.col(key_col).cast("string"))
+    # Tie-break the k-boundary cut by value: duplicate key values (or
+    # any hash collision straddling the limit) would otherwise make
+    # the kept set engine- and partition-dependent. With (_h, _v) the
+    # sample is a pure function of the data even when key_col repeats
+    # — though repeats do bias the "uniform" claim toward duplicated
+    # keys, so pass a unique key for a genuinely uniform sample.
     sample = (
         df.filter(F.col(value_col).isNotNull())
         .select(h.alias("_h"), F.col(value_col).alias("_v"))
-        .orderBy("_h")
+        .orderBy("_h", "_v")
         .limit(k)
     )
     n = F.max("_rn").over(Window.partitionBy())

@@ -203,12 +203,30 @@ def ewma_quantized(
     sorting within the group). At 100 TB this is the shape streaming
     EWMA jobs take anyway: partition by key, iterate in event order.
 
+    CONTRACT: ``(key_col, order_col)`` must be unique — a duplicate
+    order key has no defined visit order, so the recursion (and any
+    SQL oracle's row_number) would be nondeterministic. The operator
+    sorts stably and raises ValueError on duplicates rather than
+    returning layout-dependent output.
+
     Returns (key, order, ewma_q) with ewma_q in micro-units.
     """
     import pandas as pd
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_ord")
+        # Stable sort + explicit uniqueness check: pandas' default
+        # quicksort is unstable, so a duplicate order key would make
+        # the recursion's visit order (and therefore every later EWMA
+        # value) partition-layout-dependent — and the oracle CTE's
+        # row_number over the same tie is equally arbitrary. The
+        # contract is (key, order) unique; fail loudly, don't flake.
+        pdf = pdf.sort_values("_ord", kind="stable")
+        if pdf["_ord"].duplicated().any():
+            raise ValueError(
+                "ewma_quantized: duplicate order values within key "
+                f"{pdf['_k'].iloc[0]!r}; (key_col, order_col) must "
+                "uniquely identify rows"
+            )
         # .tolist() up front: iterating the Series yields numpy
         # scalars whose per-element int coercion measurably dominates
         # this loop at 600k rows; plain ints keep the recursion cheap

@@ -36,7 +36,11 @@ DEFAULT_SHARDS = [f"shard-{i:02d}" for i in range(16)]
 
 
 def _shard_array_sql(shards: list[str]) -> str:
-    inner = ", ".join(f"'{s}'" for s in shards)
+    # Shard names are interpolated into a parsed SQL expression:
+    # double any single quote (the SQL escape) so a name like
+    # "it's-a" can't break the expression or inject syntax from a
+    # caller-supplied shard list.
+    inner = ", ".join("'" + s.replace("'", "''") + "'" for s in shards)
     return f"array({inner})"
 
 
@@ -103,7 +107,16 @@ def apportion_largest_remainder(
         total.alias("_tot"),
     ).select(
         "*",
-        F.expr("_num div _tot").alias("_floor"),
+        # Zero total weight (empty corpus / all-zero cells) would make
+        # `_num div _tot` NULL and silently void the sum(alloc)==budget
+        # invariant — fail loudly in-plan instead (costs nothing when
+        # the total is positive; the frame is O(groups) by contract).
+        F.expr(
+            "CASE WHEN _tot <= 0 THEN CAST(raise_error("
+            "'apportion_largest_remainder: total weight must be > 0 "
+            "(got zero/negative — empty or all-zero-weight cells)') "
+            "AS BIGINT) ELSE _num div _tot END"
+        ).alias("_floor"),
         F.expr("_num % _tot").alias("_rem"),
     )
     rank = F.row_number().over(

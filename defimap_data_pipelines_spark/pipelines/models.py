@@ -157,10 +157,19 @@ def fit_or_load_frame(
     the incremental-curation idiom: day 1 pays the training scan,
     every later batch reuses the artifact. ``fit`` is a zero-arg
     callable returning the frame. Existence is probed with a read
-    attempt (works on any Spark filesystem, unlike os.path)."""
+    attempt (works on any Spark filesystem, unlike os.path) — but ONLY
+    a path-not-found read failure means "not yet fitted". Any other
+    load error (corrupt artifact, permissions, transient FS fault)
+    propagates: silently refitting would mask store misconfiguration
+    and overwrite an existing artifact."""
+    from pyspark.errors import AnalysisException
+
     try:
         return store.load_frame(spark, name)
-    except Exception:
+    except AnalysisException as e:
+        cls = e.getCondition() or ""
+        if "PATH_NOT_FOUND" not in cls and "PATH_NOT_FOUND" not in str(e):
+            raise
         fitted = fit()
         store.save_frame(fitted, name)
         return store.load_frame(spark, name)

@@ -7333,7 +7333,7 @@ SAMPLED_QUANTILES_SQL = """
     WITH s AS (
         SELECT md5(CAST(event_id AS VARCHAR)) AS h, value AS v
         FROM events WHERE value IS NOT NULL
-        ORDER BY h LIMIT 1024
+        ORDER BY h, v LIMIT 1024
     ),
     r AS (
         SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
@@ -9230,7 +9230,13 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts joined in twice; min support pair_n >= 5 kills the
     hapax-pair noise that dominates raw PMI rankings. int64 headroom:
     pair_n * N * 10^4 needs pair_n * N < 9e14 — fine through ~1e7-doc
-    corpora; move the scale factor into a DECIMAL at 100 TB vocab."""
+    corpora; move the scale factor into a DECIMAL at 100 TB vocab.
+
+    One scan for real: unigrams and bigrams ride the SAME explode
+    (tagged structs — Catalyst branches never share subplans, so the
+    r5 two-branch form tokenized the corpus twice), and the grouped
+    (kind, gram) counts frame — vocab-sized, not corpus-sized — is
+    cached for its three consumers (bigram side, unigram side, N)."""
     from defimap_data_pipelines_spark.functions.text import ws_tokens
     from defimap_data_pipelines_spark.operators.textops import (
         _counted_ngrams,
@@ -9239,17 +9245,28 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = read_table(spark, sf_dir, "documents").select(
         ws_tokens(F.col("text")).alias("t")
     )
-    bgc = (
-        toks.select(
-            F.explode(_counted_ngrams(F.col("t"), 2)).alias("gram")
-        )
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+    tag = lambda k, arr: F.transform(  # noqa: E731
+        arr,
+        lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram")),
     )
-    ugc = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w")
+    counts = (
+        toks.select(
+            F.explode(
+                F.concat(
+                    tag(1, F.col("t")),
+                    tag(2, _counted_ngrams(F.col("t"), 2)),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.k").alias("k"), F.col("e.gram").alias("gram"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    bgc = counts.filter(F.col("k") == 2).select(
+        "gram", F.col("c").alias("pair_n")
+    )
+    ugc = counts.filter(F.col("k") == 1).select(
+        F.col("gram").alias("w"), "c"
     )
     n = bgc.agg(F.sum("pair_n").cast("long").alias("n"))
     a = ugc.select(F.col("w").alias("_wa"), F.col("c").alias("left_n"))
@@ -9321,51 +9338,52 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # round-4 operators earning their first driver rows
-    "pagerank_top20",
-    "equidepth_histogram",
-    "bloom_decontamination",
-    "cms_heavy_hitters",
-    "epoch_shuffle",
-    "multimodal_features",
-    "multimodal_digest_features",
-    "multimodal_resize",
-    "html_text_extract",
-    "pivot_wide",
-    "unpivot_long",
-    "gaps_islands",
-    # the long-carried never-checked tail (r2/r3 registrations)
-    "embedding_allpairs_exact",
-    "bool_aggs",
-    "stats_moments",
-    "date_arith",
-    "minmax_by",
-    "grouping_sets_id",
-    "nulls_ordering",
-    "limit_offset",
-    "price_histogram",
-    "interval_count_join",
-    "dq_checks",
-    "scd2_intervals",
-    "revenue_share",
-    "weighted_moving_avg",
-    "zscore_anomalies",
-    "pareto_frontier",
-    "rolling_active_users",
-    "event_transitions",
-    "drawdown_series",
-    "rolling_volatility",
-    "return_correlation_matrix",
-    "benford_digit_check",
-    "source_cap",
-    "lang_source_mixture",
-    # changed this round (ADVICE fixes touching their operators) —
-    # swapped for new round-5 queries as they are registered
-    "warc_gz_extract",
+    # the complete r5-registration backlog (18 queries, verdict #1) —
+    # after this round every oracle-backed query has a driver row
+    "triangle_count",
+    "kcore_rounds",
+    "khop_reach",
+    "label_propagation",
+    "rendezvous_sharding",
+    "apportion_budget",
+    "bigram_lift",
+    "gopher_repetition",
+    "kmv_source_overlap",
+    "weighted_sample",
+    "adaptive_skew_join",
+    "doc_chunking",
+    "snapshot_diff",
+    "mad_outliers",
+    "sampled_quantiles",
+    "embedding_standardize",
+    "grouped_kmeans",
+    "ewma_quantized",
+    # changed this round (models.py load-path narrowing touches both)
     "ivf_topk_persisted",
     "bloom_persisted_probe",
-    "kmv_distinct",
-    "zorder_layout",
+    # round-6 registrations (swapped in as they land; placeholders are
+    # prior greens re-verified)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q12_priority_split",
+    "q13_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q22_inactive_customers",
+    "training_dataset",
+    "minhash_lsh_dedup",
+    "neardup_components",
+    "semdedup_prune",
+    "pagerank_top20",
 ]
 
 

@@ -370,9 +370,13 @@ def test_star_contraction_adversarial_skew_chain_plus_clique(spark):
 
     stats: dict = {}
     # Catalyst's UnionBase.rewriteConstraints trips a "key not found"
-    # internal error on this union-of-crossjoin-filter shape (Spark
-    # 4.1); constraint propagation is an optimizer nicety, not a
-    # correctness input, so disable it for the fixture build.
+    # internal error here (Spark 4.1): the LocalRelation bridge + the
+    # u!=v filter feed a localCheckpoint whose LogicalRDD carries
+    # stale origin constraints into the star-contraction self-unions.
+    # Minimal 8-line repro + fix-detection canary live in
+    # tests/test_catalyst_union_bug.py; drop this workaround when that
+    # canary reports the bug fixed. Constraint propagation is an
+    # optimizer nicety, not a correctness input.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
         labels = connected_components_star(
