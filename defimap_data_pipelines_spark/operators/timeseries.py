@@ -1,0 +1,201 @@
+"""Time-series operators: hypertable-style rollup cascades, exact
+autocorrelation, and CUSUM changepoint scores.
+
+Greenfield per SURVEY.md §7 (the reference delegates time-bucketed
+aggregation to its warehouse); the designs are the standard published
+ones — continuous-aggregate cascades (TimescaleDB's hypertable
+rollups), the sample autocorrelation function, and Page's CUSUM
+(Page 1954) in its prefix-min closed form.
+
+Determinism contract: every accumulation is integer-quantized (cents
+/ micro-units) so both engines sum exact integers in any order; final
+ratios are single double divisions of exact ints (IEEE-deterministic,
+identical expression trees both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Partial-aggregate state columns a rollup level carries. COUNT and
+#: integer SUM re-aggregate by summing, MIN/MAX by min/max — the
+#: classic "algebraic aggregate" decomposition (Gray et al., Data
+#: Cube, 1997) that makes each level derivable from the level below.
+_STATE = ("n", "sum_q", "min_q", "max_q")
+
+
+def rollup_level(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    value_col: str | None = None,
+    quantum: int = 100,
+) -> DataFrame:
+    """One rollup level. If ``value_col`` is given, aggregates RAW
+    rows: quantizes value to integer units (default cents) and emits
+    the partial state. Otherwise ``df`` must already carry the state
+    columns from a finer level, and this level RE-AGGREGATES them —
+    never touching the raw table. ``bucket`` is a date_trunc unit
+    (minute/hour/day/...).
+
+    Scale shape: the cascade is the whole point — at 100 TB the raw
+    scan happens once (finest level); each coarser level reads the
+    previous one (60x, 24x, ... smaller). One shuffle per level, on
+    the bucket key; AQE coalesces the shrinking partitions.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    if value_col is not None:
+        q = F.round(F.col(value_col) * quantum).cast("long")
+        return df.groupBy(b).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(q).alias("sum_q"),
+            F.min(q).alias("min_q"),
+            F.max(q).alias("max_q"),
+        )
+    missing = [c for c in _STATE if c not in df.columns]
+    if missing:
+        raise ValueError(f"re-aggregation level lacks state {missing}")
+    return df.groupBy(
+        F.date_trunc(bucket, F.col("bucket")).alias("bucket")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_q").alias("sum_q"),
+        F.min("min_q").alias("min_q"),
+        F.max("max_q").alias("max_q"),
+    )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+    quantum: int = 100,
+) -> DataFrame:
+    """Hypertable rollup: build every level of ``levels`` in order,
+    each derived from the previous (raw rows feed only the first).
+    Returns the COARSEST level with a closed-out ``avg`` column —
+    the re-aggregation algebra is what the oracle checks (a direct
+    day-level aggregation of the raw table must match bit-for-bit).
+    """
+    cur = rollup_level(df, ts_col, levels[0], value_col, quantum)
+    for lv in levels[1:]:
+        cur = rollup_level(cur, "bucket", lv)
+    return cur.select(
+        "bucket",
+        "n",
+        "sum_q",
+        "min_q",
+        "max_q",
+        (F.col("sum_q").cast("double") / F.col("n") / quantum).alias("avg"),
+    )
+
+
+def acf_quantized(
+    series: DataFrame,
+    order_col: str,
+    value_q_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation at lags 1..max_lag of an integer-valued
+    series, EXACT until the final division.
+
+    Mean-centering without leaving the integers: with S = sum(x) and
+    n rows, n*(x_t - mean) = n*x_t - S is an integer, so
+
+        acf(L) = sum_{t>L} (n*x_t - S)(n*x_{t-L} - S)
+                 / sum_t (n*x_t - S)^2
+
+    (the n^2 scale cancels). Everything up to the ratio is int64 —
+    both engines sum exact integers in any order — and the ratio is
+    one double division. int64 headroom: |n*x| < 3e9 keeps products
+    under 9.2e18; quantize the series coarser (dollars, not cents)
+    when mass grows. Denominator uses the FULL series (the standard
+    plug-in ACF estimator, constant across lags).
+
+    The series frame is one row per period — O(days), not O(events)
+    — so the two global windows (lag, and the cross-join'd scalars)
+    are bounded; aggregate to the period grain first.
+    """
+    n_s = series.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(value_q_col)).cast("long").alias("_s"),
+    )
+    w = Window.orderBy(order_col)
+    base = (
+        series.select(order_col, value_q_col)
+        .crossJoin(F.broadcast(n_s))
+        .withColumn("_c", F.col("_n") * F.col(value_q_col) - F.col("_s"))
+    )
+    denom = base.agg(F.sum(F.col("_c") * F.col("_c")).alias("_d"))
+    lagged = base.select(
+        "_c",
+        *[
+            F.lag("_c", lag).over(w).alias(f"_c{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    nums = lagged.agg(
+        *[
+            F.sum(F.col("_c") * F.col(f"_c{lag}")).alias(f"_n{lag}")
+            for lag in range(1, max_lag + 1)
+        ]
+    )
+    pairs = ", ".join(
+        f"named_struct('lag', {lag}, "
+        f"'acf', CAST(_n{lag} AS DOUBLE) / CAST(_d AS DOUBLE))"
+        for lag in range(1, max_lag + 1)
+    )
+    return (
+        nums.crossJoin(F.broadcast(denom))
+        .select(F.expr(f"inline(array({pairs}))"))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.round("acf", 9).alias("acf"),
+        )
+    )
+
+
+def cusum_scores(
+    series: DataFrame,
+    order_col: str,
+    value_q_col: str,
+) -> DataFrame:
+    """One-sided CUSUM drift score per period (Page 1954) against the
+    series' own mean, in its prefix-min closed form:
+
+        s_t = max(0, s_{t-1} + d_t)  ==  cs_t - min(0, min_{j<=t} cs_j)
+
+    with d_t = n*x_t - S (integer mean-centering as in acf_quantized)
+    and cs the running sum of d. The recursion that looks inherently
+    sequential is two window functions — running SUM and running MIN —
+    so it scales as a sort + one pass instead of a per-row loop, and
+    the identical windows replay exactly in the oracle (all integers).
+
+    Returns (order, d, score_q) where score_q = s_t in n*quantum
+    units; the caller thresholds it. One row per period — aggregate
+    to the period grain first (same bounded-frame contract as ACF).
+    """
+    n_s = series.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(value_q_col)).cast("long").alias("_s"),
+    )
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        series.select(order_col, value_q_col)
+        .crossJoin(F.broadcast(n_s))
+        .withColumn("d", F.col("_n") * F.col(value_q_col) - F.col("_s"))
+        .withColumn("_cs", F.sum("d").over(w))
+        .withColumn("_m", F.min("_cs").over(w))
+        .select(
+            order_col,
+            "d",
+            (F.col("_cs") - F.least(F.col("_m"), F.lit(0))).alias(
+                "score_q"
+            ),
+        )
+    )

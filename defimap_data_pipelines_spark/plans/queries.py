@@ -9295,6 +9295,246 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6: time-series cascade + test statistics
+# --------------------------------------------------------------------------
+
+HYPERTABLE_ROLLUP_SQL = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_q,
+           CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS min_q,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_q,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100 AS avg
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("hypertable_rollup", HYPERTABLE_ROLLUP_SQL)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade
+    (operators/timeseries.py::rollup_cascade): minute buckets from the
+    raw scan, hour buckets from the minute partials, day buckets from
+    the hour partials — the oracle aggregates raw->day DIRECTLY, so a
+    green row proves the re-aggregation algebra (count/sum-of-ints by
+    sum, min/max by min/max) is lossless through two derivation hops.
+    At 100 TB only the finest level ever reads the raw table; each
+    coarser level reads a frame 60x/24x smaller."""
+    from defimap_data_pipelines_spark.operators.timeseries import (
+        rollup_cascade,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return rollup_cascade(
+        e, "ts", "value", ("minute", "hour", "day"), quantum=100
+    ).orderBy("bucket")
+
+
+ACF_LAGS_SQL = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value) AS BIGINT)) AS BIGINT) AS xq
+        FROM events GROUP BY 1
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(xq) AS BIGINT) AS s FROM daily),
+    c AS (SELECT day, ns.n * xq - ns.s AS c FROM daily, ns),
+    d AS (SELECT CAST(SUM(c * c) AS BIGINT) AS d FROM c),
+    l AS (
+        SELECT c,
+               LAG(c, 1) OVER w AS c1, LAG(c, 2) OVER w AS c2,
+               LAG(c, 3) OVER w AS c3, LAG(c, 4) OVER w AS c4,
+               LAG(c, 5) OVER w AS c5, LAG(c, 6) OVER w AS c6,
+               LAG(c, 7) OVER w AS c7
+        FROM c WINDOW w AS (ORDER BY day)
+    ),
+    nums AS (
+        SELECT CAST(SUM(c * c1) AS BIGINT) AS n1,
+               CAST(SUM(c * c2) AS BIGINT) AS n2,
+               CAST(SUM(c * c3) AS BIGINT) AS n3,
+               CAST(SUM(c * c4) AS BIGINT) AS n4,
+               CAST(SUM(c * c5) AS BIGINT) AS n5,
+               CAST(SUM(c * c6) AS BIGINT) AS n6,
+               CAST(SUM(c * c7) AS BIGINT) AS n7
+        FROM l
+    )
+    SELECT CAST(u.lag AS INTEGER) AS lag,
+           ROUND(CAST(u.v AS DOUBLE) / CAST(d.d AS DOUBLE), 9) AS acf
+    FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag,
+                 unnest([n1, n2, n3, n4, n5, n6, n7]) AS v
+          FROM nums) u, d
+    ORDER BY lag
+"""
+
+
+@register("acf_lags", ACF_LAGS_SQL)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily event mass at lags 1..7
+    (operators/timeseries.py::acf_quantized) — the seasonality probe.
+    Integer mean-centering (n*x - S) keeps every accumulation exact
+    int64; the only float op is the final ratio. Daily sums are
+    quantized to whole units (not cents) for int64 headroom in the
+    c*c products — see the operator docstring's bound."""
+    from defimap_data_pipelines_spark.operators.timeseries import (
+        acf_quantized,
+    )
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.round(F.col("value")).cast("long")).alias("xq"))
+    )
+    return acf_quantized(daily, "day", "xq", max_lag=7).orderBy("lag")
+
+
+CUSUM_SQL = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(ROUND(value) AS BIGINT)) AS BIGINT) AS xq
+        FROM events GROUP BY 1
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(xq) AS BIGINT) AS s FROM daily),
+    dd AS (SELECT day, ns.n * xq - ns.s AS d FROM daily, ns),
+    cs1 AS (
+        SELECT day, d,
+               SUM(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cs
+        FROM dd
+    ),
+    cs AS (
+        SELECT day, d, cs,
+               MIN(cs) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS m
+        FROM cs1
+    )
+    SELECT day, CAST(d AS BIGINT) AS d,
+           CAST(cs - LEAST(m, 0) AS BIGINT) AS score_q
+    FROM cs ORDER BY day
+"""
+
+
+@register("cusum_changepoints", CUSUM_SQL)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM drift score per day
+    (operators/timeseries.py::cusum_scores): the sequential recursion
+    s_t = max(0, s_{t-1} + d_t) computed WITHOUT a sequential loop via
+    its prefix-min closed form — two window functions over the
+    O(days) daily frame, exact integers end to end. The operator that
+    looks like it needs applyInPandas state and doesn't."""
+    from defimap_data_pipelines_spark.operators.timeseries import (
+        cusum_scores,
+    )
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.round(F.col("value")).cast("long")).alias("xq"))
+    )
+    return (
+        cusum_scores(daily, "day", "xq")
+        .select("day", "d", "score_q")
+        .orderBy("day")
+    )
+
+
+WELCH_SQL = """
+    WITH stats AS (
+        SELECT event_type AS g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS ssq
+        FROM events GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    p AS (
+        SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+               (CAST(a.ssq AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n)
+                   / (a.n - 1) / a.n AS se2a,
+               (CAST(b.ssq AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n)
+                   / (b.n - 1) / b.n AS se2b,
+               CAST(a.s AS DOUBLE) / a.n AS m_a,
+               CAST(b.s AS DOUBLE) / b.n AS m_b
+        FROM stats a JOIN stats b ON a.g < b.g
+    )
+    SELECT g_a, g_b, n_a, n_b,
+           ROUND((m_a - m_b) / sqrt(se2a + se2b), 9) AS t,
+           ROUND((se2a + se2b) * (se2a + se2b)
+                 / (se2a * se2a / (n_a - 1) + se2b * se2b / (n_b - 1)),
+                 6) AS df
+    FROM p ORDER BY g_a, g_b
+"""
+
+
+@register("welch_ttest", WELCH_SQL)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t for every event_type pair
+    (operators/stats.py::welch_t_pairs) — the A/B-test statistic as a
+    one-scan operator: exact integer (n, sum, sum-of-squares) per
+    group, then all float math on the broadcast O(groups)^2 pairs
+    frame. t is scale-invariant so the cent quantization cancels."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        welch_t_pairs,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return welch_t_pairs(e, "event_type", "value", quantum=100).orderBy(
+        "g_a", "g_b"
+    )
+
+
+CHI2_SQL = """
+    WITH cells AS (
+        SELECT source AS r, lang AS c, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt
+              FROM cells GROUP BY r),
+    cols_ AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct
+              FROM cells GROUP BY c),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    contrib AS (
+        SELECT CAST(ROUND((o - e) * (o - e) / e * 1000000) AS BIGINT)
+                   AS chi_u,
+               n
+        FROM (
+            SELECT o, CAST(rt AS DOUBLE) * ct / tot.n AS e, tot.n AS n
+            FROM cells JOIN rows_ USING (r) JOIN cols_ USING (c), tot
+        )
+    ),
+    dims AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_) AS nr,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_) AS nc
+    )
+    SELECT CAST(CAST(SUM(chi_u) AS BIGINT) AS DOUBLE) / 1000000 AS chi2,
+           CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+           MAX(n) AS n
+    FROM contrib, dims GROUP BY dims.nr, dims.nc
+"""
+
+
+@register("chi2_independence", CHI2_SQL)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of source x lang over documents
+    (operators/stats.py::chi2_independence) — "is the language mix the
+    same across sources?", the drift check a mixture-curation job runs
+    before reweighting. Per-cell (O-E)^2/E contributions are quantized
+    to integer micro-units before the one order-sensitive SUM, so the
+    statistic replays exactly cross-engine."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return chi2_independence(d, "source", "lang")
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -9363,11 +9603,11 @@ _DRIVER_WINDOW = [
     "bloom_persisted_probe",
     # round-6 registrations (swapped in as they land; placeholders are
     # prior greens re-verified)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
+    "hypertable_rollup",
+    "acf_lags",
+    "cusum_changepoints",
+    "welch_ttest",
+    "chi2_independence",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_revenue",
