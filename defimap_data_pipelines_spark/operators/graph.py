@@ -593,3 +593,155 @@ def khop_reach(
         counts = c if counts is None else counts.unionByName(c)
     assert counts is not None
     return counts
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded-round single/multi-source shortest paths over integer
+    edge weights: ``rounds`` synchronous Bellman-Ford relaxations
+    (dist_k(v) = min(dist_{k-1}(v), min_u dist_{k-1}(u) + w(u,v))).
+    After k rounds every distance reachable in <= k hops is exact —
+    the "delta-stepping without the buckets" compromise that maps
+    cleanly onto BSP shuffles (each round = one join + one groupBy-min)
+    and, because the round count is FIXED, unrolls into a SQL oracle
+    the same way pagerank_quantized does.
+
+    Integer weights keep min() exact cross-engine. Unreached nodes are
+    simply absent (no infinity sentinel to disagree on). ``seeds`` is
+    a one-column frame; multiple seeds compute the multi-source min
+    distance. Lineage is cut per round (localCheckpoint) — the
+    iterative-plan discipline every operator in this family follows.
+
+    Scale: each round shuffles |dist| + |edges| rows on node keys.
+    For diameter-bounded queries (ego networks, delivery radii) the
+    fixed round count IS the semantics; for full SSSP at 100 TB
+    switch to delta-stepping buckets — out of scope here.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint()
+    d = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        relaxed = d.join(e, d["node"] == e["u"]).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return d
+
+
+def resource_allocation_linkpred(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    micro: int = 1_000_000,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lu, Zhang 2009):
+    for every NON-adjacent pair (x, y), RA = sum over common
+    neighbors w of 1/deg(w) — in integer micro-units
+    (``micro div deg``) so the score replays exactly in SQL. Returns
+    (x, y, score_u) for x < y pairs with at least one common
+    neighbor, existing edges excluded.
+
+    Shape: wedge enumeration through each center w (adjacency
+    self-join on w with x < y) + a broadcast degree join + one
+    groupBy — cost sum_w deg(w)^2, the same budget as triangle
+    counting but WITHOUT the degree-orientation discount (RA needs
+    every wedge, not just oriented ones). ``max_hub_degree`` is the
+    scale knob: hubs beyond the cap contribute <= micro/cap per pair
+    (negligible by construction) while generating the vast majority
+    of wedges — drop them and the top of the ranking is unchanged in
+    practice. Left None the result is exact (what the oracle checks).
+
+    ``edges`` must be canonical undirected (u < v, distinct).
+    """
+    sym = edges.select(src, dst).unionByName(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    adj = sym.select(F.col(src).alias("w"), F.col(dst).alias("x"))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    if max_hub_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_hub_degree)
+    a = adj
+    b = adj.select("w", F.col("x").alias("y"))
+    scored = (
+        a.join(b, "w")
+        .filter(F.col("x") < F.col("y"))
+        .join(deg, "w")
+        .groupBy("x", "y")
+        .agg(
+            F.sum(F.expr(f"{micro} div deg")).cast("long").alias("score_u")
+        )
+    )
+    existing = edges.select(
+        F.col(src).alias("x"), F.col(dst).alias("y")
+    )
+    return scored.join(existing, ["x", "y"], "left_anti")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of (deg(u), deg(v)) over the symmetrized edge list —
+    one number saying whether hubs attach to hubs (> 0) or to leaves
+    (< 0). Returns a single row (m_edges, r).
+
+    All six sufficient statistics (M, sum j, sum k, sum jk, sum j^2,
+    sum k^2) are exact int64 aggregates; the coefficient combines
+    them in double on the O(1) scalar row — deterministic cross-engine
+    because IEEE ops on identical inputs round identically. Shape:
+    one degree groupBy + two hash joins of the degree frame onto the
+    edge list + one global agg; no windows, no iteration.
+    """
+    sym = edges.select(src, dst).unionByName(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    deg = sym.groupBy(src).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ju = deg.select(F.col(src).alias("_u"), F.col("deg").alias("j"))
+    kv = deg.select(F.col(src).alias("_v"), F.col("deg").alias("k"))
+    stats = (
+        sym.join(ju, sym[src] == ju["_u"])
+        .join(kv, sym[dst] == kv["_v"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("j").alias("sj"),
+            F.sum("k").alias("sk"),
+            F.sum(F.col("j") * F.col("k")).alias("sjk"),
+            F.sum(F.col("j") * F.col("j")).alias("sj2"),
+            F.sum(F.col("k") * F.col("k")).alias("sk2"),
+        )
+    )
+    num = F.col("m").cast("double") * F.col("sjk") - F.col(
+        "sj"
+    ).cast("double") * F.col("sk")
+    den_j = F.col("m").cast("double") * F.col("sj2") - F.col(
+        "sj"
+    ).cast("double") * F.col("sj")
+    den_k = F.col("m").cast("double") * F.col("sk2") - F.col(
+        "sk"
+    ).cast("double") * F.col("sk")
+    return stats.select(
+        F.col("m").alias("m_edges"),
+        F.round(num / F.sqrt(den_j * den_k), 9).alias("r"),
+    )

@@ -180,3 +180,90 @@ class TestChi2:
         df = spark.createDataFrame(rows, "r string, c string")
         out = chi2_independence(df, "r", "c").collect()[0]
         assert out["chi2"] == 0.0
+
+
+class TestSsspRounds:
+    def test_hop_bound_and_shortcuts(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import sssp_rounds
+
+        # path a-b-c-d-e-f (w=1 each) + expensive direct a-b shortcut
+        edges = [
+            ("a", "b", 10),
+            ("a", "c", 1),
+            ("c", "b", 1),
+            ("b", "d", 1),
+            ("d", "e", 1),
+            ("e", "f", 1),
+        ]
+        sym = edges + [(v, u, w) for u, v, w in edges]
+        e = spark.createDataFrame(sym, "u string, v string, w long")
+        seeds = spark.createDataFrame([("a",)], "n string")
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_rounds(e, seeds, rounds=4).collect()
+        }
+        # 2-hop path a-c-b (cost 2) beats the direct w=10 edge
+        assert got["b"] == 2 and got["c"] == 1
+        assert got["d"] == 3 and got["e"] == 4
+        # f is 5 hops out on the cheap path; within 4 rounds the only
+        # discovered route is a-b(10)-d-e-f
+        assert got["f"] == 13
+
+    def test_multi_source_min(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import sssp_rounds
+
+        edges = [("a", "m", 5), ("b", "m", 2)]
+        sym = edges + [(v, u, w) for u, v, w in edges]
+        e = spark.createDataFrame(sym, "u string, v string, w long")
+        seeds = spark.createDataFrame([("a",), ("b",)], "n string")
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_rounds(e, seeds, rounds=2).collect()
+        }
+        assert got["m"] == 2  # nearer seed wins
+
+
+class TestResourceAllocation:
+    def test_square_graph(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import (
+            resource_allocation_linkpred,
+        )
+
+        # 4-cycle a-b-c-d-a: non-adjacent diagonals share two deg-2
+        # neighbors -> RA = 2 * (1e6 div 2) = 1_000_000
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+            "u string, v string",
+        )
+        got = {
+            (r["x"], r["y"]): r["score_u"]
+            for r in resource_allocation_linkpred(e).collect()
+        }
+        assert got == {("a", "c"): 1_000_000, ("b", "d"): 1_000_000}
+
+    def test_hub_cap_drops_hub_wedges(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import (
+            resource_allocation_linkpred,
+        )
+
+        # star center h (deg 3) is the only common neighbor
+        e = spark.createDataFrame(
+            [("h", "x"), ("h", "y"), ("h", "z")], "u string, v string"
+        )
+        full = resource_allocation_linkpred(e).count()
+        capped = resource_allocation_linkpred(e, max_hub_degree=2).count()
+        assert full == 3 and capped == 0
+
+
+class TestAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        e = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "u long, v long"
+        )
+        row = degree_assortativity(e).collect()[0]
+        assert row["m_edges"] == 6  # symmetrized
+        assert row["r"] == -1.0
