@@ -649,3 +649,70 @@ def substring_dedup(
             F.transform(F.col("_kept"), lambda s: s["x"]), " "
         ).alias("text_clean"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_bp: int = 5000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle containment
+    (doc_a < doc_b): cont_bp = 10000 * |A∩B| / min(|A|, |B|) in exact
+    basis points. Containment is the Dolma/Broder complement of
+    Jaccard: a short document wholly embedded in a long one scores
+    containment 10000 while its Jaccard can be arbitrarily small —
+    the subset-duplicate case Jaccard-thresholded dedup structurally
+    misses.
+
+    Same inverted-index shape as ngram_jaccard_pairs' "index"
+    strategy: explode distinct hashed shingles, self-join on the
+    hash, map-side-combining groupBy counts the intersection, sizes
+    join in at the end — one shuffle round, candidate pairs bounded
+    by shingle co-occurrence (never all-pairs). Integer basis points
+    make the threshold an exact int64 compare, so the cut replays
+    bit-for-bit in a SQL oracle.
+
+    ``max_doc_freq`` is the 100 TB knob: a shingle occurring in F
+    documents contributes F^2 join rows; stopword-like shingles
+    dominate the join while contributing little evidence. Dropping
+    shingles with df > cap bounds the blowup at the cost of
+    undercounting intersections by at most (dropped shingles) —
+    sound for thresholded screening when cap >> 1/t. Left None the
+    count is exact (what the oracle checks).
+    """
+    hs = hashed_shingles(doc_shingles(docs, text_col, n))
+    post = hs.select(
+        "doc_id", F.size("_hh").alias("ns"), F.explode("_hh").alias("h")
+    )
+    if max_doc_freq is not None:
+        df_ = post.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        post = post.join(
+            df_.filter(F.col("_df") <= max_doc_freq).select("h"), "h"
+        )
+    a = post.select(
+        F.col("doc_id").alias("doc_a"), F.col("ns").alias("ns_a"), "h"
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("ns").alias("ns_b"), "h"
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "ns_a", "ns_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        .withColumn(
+            "cont_bp",
+            F.expr("n_inter * 10000L div least(ns_a, ns_b)"),
+        )
+        .filter(F.col("cont_bp") >= threshold_bp)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.col("ns_a").cast("long").alias("ns_a"),
+            F.col("ns_b").cast("long").alias("ns_b"),
+            "cont_bp",
+        )
+    )

@@ -151,3 +151,81 @@ def chi2_independence(
             "n",
         )
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient of ``value_col`` within each
+    group — "is this source's token mass spread evenly or carried by
+    a few giant documents?", the inequality metric curation reports
+    track per slice. Uses the order-statistics identity
+
+        G = (2 * sum(i * x_(i)) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with x sorted ascending and rank i from a window ordered by
+    (value, tie_col). The rank-weighted sum is TIE-SAFE: permuting
+    equal values among their positions leaves sum(i * x) unchanged
+    (the tied block contributes x * sum(positions) either way), so
+    any total order gives the same G — the tie column only pins the
+    per-row rank for the oracle replay. All sums exact int64; one
+    double division per group.
+
+    Shape: one window sort per group + one groupBy — the same cost as
+    any per-group ranking; no self-joins, no O(n^2) pair sums.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, tie_col)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).cast("long").alias("_x"),
+        F.row_number().over(w).cast("long").alias("_i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("six"),
+    )
+    g = (
+        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    return agg.select(
+        group_col, "n", "sx", F.round(g, 9).alias("gini")
+    )
+
+
+def rank_buckets(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    k: int,
+    out_col: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency bucket id in [0, k) by explicit integer rank
+    arithmetic: bucket = ((rank - 1) * k) div n with rank from a
+    (value, tie) total order. NTILE's "first buckets get the extra
+    row" convention is engine-defined folklore; this formula is two
+    integer ops both engines compute identically, which is what lets
+    quantile-bucket features (RFM segments, decile caps) survive an
+    oracle replay. Adds ``out_col`` to all input columns.
+    """
+    from pyspark.sql.window import Window
+
+    part = (
+        [partition_col] if partition_col is not None else []
+    )
+    w = Window.partitionBy(*part).orderBy(value_col, tie_col)
+    cnt = Window.partitionBy(*part).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = (F.row_number().over(w) - 1).cast("long") * k
+    n = F.count(F.lit(1)).over(cnt).cast("long")
+    return df.withColumn("_rk", rn).withColumn("_nn", n).withColumn(
+        out_col, F.expr("_rk div _nn")
+    ).drop("_rk", "_nn")

@@ -690,3 +690,65 @@ def html_to_text_sql(expr: str) -> str:
         lit = rep.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a
+    w-window over the hash sequence, select each window's MINIMUM; the
+    distinct selected hashes are the fingerprint set. Guarantees every
+    shared run of >= w+k-1 tokens between two documents shares at
+    least one fingerprint, while storing only ~2/(w+1) of the hashes —
+    the density/recall contract that made it the plagiarism-detection
+    standard.
+
+    Implementation is a pure scan-side projection — memory lesson #5:
+    per-row sequence work never needs explode+groupBy. The k-gram
+    array, its 60-bit md5 hashes, the window minima (transform over a
+    position sequence + array_min of slices) and the distinct-set
+    reduction all stay inside one whole-stage-codegen'd row mapper;
+    zero exchanges, streaming-legal. Cost is O(len * w) min-scans per
+    row (w is 4; the O(len) two-pointer deque doesn't fold into SQL).
+
+    Returns (doc, n_grams, n_fp, fp_sum) for documents with at least
+    one full window (n_grams >= w); fp_sum folds the fingerprint set
+    as sum(h % 1000000007) — exact int64, replayable in SQL.
+    """
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
+    staged = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.transform(
+            _counted_ngrams(toks, k),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("_h"),
+    )
+    mins = F.expr(
+        f"transform(sequence(1, size(_h) - {w} + 1),"
+        f" p -> array_min(slice(_h, p, {w})))"
+    )
+    return (
+        staged.filter(F.size("_h") >= w)
+        .select(
+            "doc",
+            F.size("_h").cast("long").alias("n_grams"),
+            F.array_distinct(mins).alias("_fp"),
+        )
+        .select(
+            "doc",
+            "n_grams",
+            F.size("_fp").cast("long").alias("n_fp"),
+            F.expr(
+                "aggregate(_fp, 0L, (acc, x) -> acc + x % 1000000007)"
+            ).alias("fp_sum"),
+        )
+    )

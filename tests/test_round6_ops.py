@@ -267,3 +267,113 @@ class TestAssortativity:
         row = degree_assortativity(e).collect()[0]
         assert row["m_edges"] == 6  # symmetrized
         assert row["r"] == -1.0
+
+
+class TestWinnowing:
+    def test_matches_python_reimplementation(self, spark):
+        import hashlib
+
+        from defimap_data_pipelines_spark.operators.textops import (
+            winnowing_fingerprints,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog again"
+        toks = text.lower().split()
+        k, w = 3, 4
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        fps = {
+            min(hs[p : p + w]) for p in range(len(hs) - w + 1)
+        }
+        want_sum = sum(h % 1000000007 for h in fps)
+
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        row = winnowing_fingerprints(d, k=k, w=w).collect()[0]
+        assert row["n_grams"] == len(grams)
+        assert row["n_fp"] == len(fps)
+        assert row["fp_sum"] == want_sum
+
+    def test_short_docs_dropped(self, spark):
+        from defimap_data_pipelines_spark.operators.textops import (
+            winnowing_fingerprints,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "too few words here"), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        # doc 1 has 4 tokens -> 2 trigrams < w=4 windows -> dropped
+        got = [r["doc"] for r in winnowing_fingerprints(d).collect()]
+        assert got == [2]
+
+
+class TestContainment:
+    def test_embedded_doc_scores_full(self, spark):
+        from defimap_data_pipelines_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta"
+        long_ = short + " eta theta iota kappa lambda mu nu xi"
+        other = "one two three four five six seven eight nine"
+        d = spark.createDataFrame(
+            [(1, short), (2, long_), (3, other)],
+            "doc_id long, text string",
+        )
+        rows = containment_pairs(d, n=3, threshold_bp=5000).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["cont_bp"] == 10000  # short fully inside long
+
+    def test_doc_freq_cap_prunes(self, spark):
+        from defimap_data_pipelines_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        t = "same exact shingle text everywhere repeated tokens"
+        d = spark.createDataFrame(
+            [(i, t) for i in range(5)], "doc_id long, text string"
+        )
+        full = containment_pairs(d).count()
+        capped = containment_pairs(d, max_doc_freq=2).count()
+        assert full == 10 and capped == 0  # every shingle df=5 > 2
+
+
+class TestGini:
+    def test_uniform_is_zero_and_monopoly_extreme(self, spark):
+        from defimap_data_pipelines_spark.operators.stats import (
+            gini_by_group,
+        )
+
+        rows = [("u", i, 7) for i in range(10)] + [
+            ("m", 0, 100),
+            ("m", 1, 0),
+            ("m", 2, 0),
+            ("m", 3, 0),
+        ]
+        d = spark.createDataFrame(rows, "g string, id long, x long")
+        got = {
+            r["g"]: r["gini"] for r in gini_by_group(d, "g", "x", "id").collect()
+        }
+        assert got["u"] == 0.0
+        assert got["m"] == 0.75  # (n-1)/n with one holder of all mass
+
+
+class TestRankBuckets:
+    def test_even_quartiles(self, spark):
+        from defimap_data_pipelines_spark.operators.stats import (
+            rank_buckets,
+        )
+
+        d = spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "id long, v long"
+        )
+        got = {
+            r["id"]: r["b"]
+            for r in rank_buckets(d, "v", "id", 4, "b").collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
