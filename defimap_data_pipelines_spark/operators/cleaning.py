@@ -73,3 +73,48 @@ def interpolate_linear(
             .otherwise(interp),
         )
     return df.drop("_idx")
+
+
+def quantile_normalize_dims(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Quantile normalization across embedding dimensions (the
+    Bolstad et al. 2003 microarray recipe applied to feature columns):
+    every dimension's values are replaced by the ACROSS-DIMENSION mean
+    of the order statistics at their rank, so afterwards all
+    dimensions share exactly the same marginal distribution — the
+    heavy-tailed-dimension fix batch-norm can't give you offline.
+
+    Exact arithmetic: values quantize to integer micro-units, the
+    reference value at each rank is the truncating integer mean
+    (sum div n_dims), ranks break ties by (value, id) — fully
+    deterministic, SQL-replayable. Returns (id, dim, ref_q): the
+    normalized value of vector ``id``'s ``dim`` in micro-units.
+
+    Shape: posexplode to (n x d) rows — the honest layout for
+    columnar statistics — then one window rank PER DIMENSION
+    (partitioned, parallel across dims) and one groupBy(rank) whose
+    output is n rows joined back by rank. Two shuffles total; no
+    driver collection.
+    """
+    from pyspark.sql.window import Window
+
+    x = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
+    ).select(
+        "id",
+        "dim",
+        F.round(F.col("_val").cast("double") * micro)
+        .cast("long")
+        .alias("_q"),
+    )
+    w = Window.partitionBy("dim").orderBy("_q", "id")
+    ranked = x.withColumn("_rk", F.row_number().over(w))
+    ref = ranked.groupBy("_rk").agg(
+        F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_d")
+    ).select("_rk", F.expr("_s div _d").alias("ref_q"))
+    return ranked.join(ref, "_rk").select("id", "dim", "ref_q")

@@ -230,3 +230,77 @@ def vocab_ids(
     if with_running_total:
         cols.append(F.col("running_occurrences").cast("long"))
     return ranked.select(*cols)
+
+
+def bigram_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_trans, ppl): per-document perplexity under the
+    corpus's own add-1-smoothed BIGRAM language model — the next rung
+    up from unigram_perplexity's CCNet-style signal. A unigram LM
+    scores word CHOICE; the bigram LM scores word ORDER, so shuffled
+    or templated text that fools the unigram filter (right words,
+    wrong sequence) scores high here.
+
+        p(w_i | w_{i-1}) = (count(w_{i-1} w_i) + 1)
+                           / (count(w_{i-1} ·) + V)
+        ppl(d) = exp(-mean over d's transitions of ln p)
+
+    with V the corpus unigram vocabulary. Same determinism discipline
+    as the unigram operator: each transition's ln p is quantized to
+    integer nano-units before the per-doc mean, so the accumulation
+    is order-free and the oracle replays it exactly.
+
+    Shape: ONE bigram-postings explode feeds the LM counts (gram
+    groupBy), the prefix totals (re-aggregated FROM the gram counts,
+    never a second corpus pass), and the scoring join; V comes from a
+    distinct-first-token count of the same frame. The scoring join is
+    keyed by gram — frequent-bigram skew is AQE's skew-join case.
+    Documents with < 2 tokens have no transitions and are absent.
+    """
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+    from defimap_data_pipelines_spark.operators.textops import (
+        _counted_ngrams,
+    )
+
+    post = docs.select(
+        "doc_id",
+        F.explode(
+            _counted_ngrams(ws_tokens(F.col(text_col)), 2)
+        ).alias("gram"),
+    )
+    lm = post.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("_cb")
+    )
+    pref = lm.groupBy(
+        F.split(F.col("gram"), " ")[0].alias("_w")
+    ).agg(F.sum("_cb").alias("_cp"))
+    # V counts the full unigram vocabulary: every token is the FIRST
+    # token of some position's context except document-final tokens,
+    # so derive V from a distinct-token count of the token explode —
+    # shared-scan with the bigram explode via one cached counts frame
+    # would be overkill here: the vocab frame is tiny and the extra
+    # aggregate reuses lm/pref, not the corpus.
+    toks = docs.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("_t")
+    )
+    v = toks.agg(F.countDistinct("_t").cast("long").alias("_v"))
+    term = F.round(
+        F.log(
+            (F.col("_cb") + 1)
+            / (F.col("_cp") + F.col("_v")).cast("double")
+        )
+        * 1_000_000_000.0
+    ).cast("long")
+    scored = (
+        post.join(lm, "gram")
+        .withColumn("_w", F.split(F.col("gram"), " ")[0])
+        .join(pref, "_w")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", term.alias("_q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans"),
+        F.round(
+            F.exp(-(F.sum("_q") / 1_000_000_000.0) / F.count(F.lit(1))),
+            6,
+        ).alias("ppl"),
+    )

@@ -10001,6 +10001,144 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 4: bigram LM, quantile normalization, streaming rollup
+# --------------------------------------------------------------------------
+
+BIGRAM_PPL_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    post AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(t) - 1, 0) + 1),
+            i -> array_to_string(t[i:i+1], ' '))) AS gram
+        FROM toks
+    ),
+    lm AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM post GROUP BY 1),
+    pref AS (SELECT string_split(gram, ' ')[1] AS w,
+                    CAST(SUM(cb) AS BIGINT) AS cp
+             FROM lm GROUP BY 1),
+    uni AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+    terms AS (
+        SELECT doc_id,
+               CAST(ROUND(ln((cb + 1) / CAST(cp + v AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS q
+        FROM post
+        JOIN lm USING (gram)
+        JOIN pref ON pref.w = string_split(post.gram, ' ')[1]
+        CROSS JOIN uni
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+           ROUND(exp(-(CAST(SUM(q) AS BIGINT) / 1000000000.0)
+                     / COUNT(*)), 6) AS ppl
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("bigram_lm_score", BIGRAM_PPL_SQL)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's add-1 BIGRAM LM
+    (operators/ranking.py::bigram_perplexity) — scores word ORDER
+    where the unigram filter only scores word choice; shuffled or
+    template text with plausible vocabulary stands out here. Same
+    nano-quantized ln-term discipline as unigram_perplexity."""
+    from defimap_data_pipelines_spark.operators.ranking import (
+        bigram_perplexity,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return bigram_perplexity(d).orderBy("doc_id")
+
+
+QN_SQL = """
+    WITH x AS (
+        SELECT vec_id AS id,
+               unnest(range(0, len(embedding))) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT id, dim, q,
+               ROW_NUMBER() OVER (PARTITION BY dim ORDER BY q, id) AS rk
+        FROM x
+    ),
+    ref AS (
+        SELECT rk,
+               CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                   AS ref_q
+        FROM ranked GROUP BY rk
+    )
+    SELECT id, CAST(dim AS BIGINT) AS dim, ref_q
+    FROM ranked JOIN ref USING (rk)
+    WHERE id < 20 ORDER BY id, dim
+"""
+
+
+@register("quantile_normalize", QN_SQL)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across embedding dimensions
+    (operators/cleaning.py::quantile_normalize_dims): every dim's
+    values replaced by the across-dim mean order statistic at their
+    rank, so all dims end up with an identical marginal distribution.
+    Ranks are per-dim windows (parallel across dims); the reference
+    distribution is one groupBy(rank). Projection limited to
+    vec_id < 20 for the checked output; the ranks are computed over
+    the full table."""
+    from defimap_data_pipelines_spark.operators.cleaning import (
+        quantile_normalize_dims,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = quantile_normalize_dims(emb, "vec_id", "embedding")
+    return (
+        out.filter(F.col("id") < 20)
+        .select("id", F.col("dim").cast("long").alias("dim"), "ref_q")
+        .orderBy("id", "dim")
+    )
+
+
+@register("stream_rollup_exec", HYPERTABLE_ROLLUP_SQL)
+def q_stream_rollup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable rollup's FINEST level executed as a streaming
+    job: events arrive through a file stream, the minute-grain partial
+    aggregates (count / int-sum / min / max) run in complete mode
+    under Trigger.AvailableNow, and the hour and day levels re-derive
+    from the streamed minute partials in batch — proving the cascade's
+    re-aggregation algebra also holds across micro-batch boundaries
+    (partials are algebraic, so batch slicing cannot change them).
+    Shares hypertable_rollup's oracle verbatim."""
+    from defimap_data_pipelines_spark.operators.timeseries import (
+        rollup_level,
+    )
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    ev = read_events_stream(spark, _events_stream_dir(sf_dir))
+    minute = rollup_level(ev, "ts", "minute", "value", quantum=100)
+    name = f"_stream_rollup_exec_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        minute.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hour = rollup_level(spark.table(name), "bucket", "hour")
+    day = rollup_level(hour, "bucket", "day")
+    return day.select(
+        "bucket",
+        "n",
+        "sum_q",
+        "min_q",
+        "max_q",
+        (F.col("sum_q").cast("double") / F.col("n") / 100).alias("avg"),
+    ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -10082,9 +10220,9 @@ _DRIVER_WINDOW = [
     "gini_concentration",
     "scd2_pit_join",
     "rfm_segments",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q22_inactive_customers",
+    "bigram_lm_score",
+    "quantile_normalize",
+    "stream_rollup_exec",
     "training_dataset",
     "minhash_lsh_dedup",
     "neardup_components",

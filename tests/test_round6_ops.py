@@ -377,3 +377,112 @@ class TestRankBuckets:
             for r in rank_buckets(d, "v", "id", 4, "b").collect()
         }
         assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+class TestBigramPerplexity:
+    def test_matches_python_model(self, spark):
+        import math
+
+        from defimap_data_pipelines_spark.operators.ranking import (
+            bigram_perplexity,
+        )
+
+        docs = {1: "a b a b c", 2: "c c a"}
+        d = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        # corpus LM
+        from collections import Counter
+
+        bi = Counter()
+        for t in docs.values():
+            w = t.split()
+            bi.update(zip(w, w[1:]))
+        pref = Counter()
+        for (a, _), c in bi.items():
+            pref[a] += c
+        vocab = {w for t in docs.values() for w in t.split()}
+        want = {}
+        for did, t in docs.items():
+            w = t.split()
+            qs = [
+                round(
+                    math.log(
+                        (bi[(a, b)] + 1) / (pref[a] + len(vocab))
+                    )
+                    * 1e9
+                )
+                for a, b in zip(w, w[1:])
+            ]
+            want[did] = round(math.exp(-(sum(qs) / 1e9) / len(qs)), 6)
+        got = {
+            r["doc_id"]: r["ppl"] for r in bigram_perplexity(d).collect()
+        }
+        assert got == want
+
+    def test_word_order_sensitivity(self, spark):
+        from defimap_data_pipelines_spark.operators.ranking import (
+            bigram_perplexity,
+        )
+
+        fluent = "the cat sat on the mat " * 5
+        shuffled = "mat the on sat the cat " * 5
+        filler = [
+            (i + 10, "the cat sat on the mat again today")
+            for i in range(6)
+        ]
+        d = spark.createDataFrame(
+            [(1, fluent), (2, shuffled)] + filler,
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["ppl"] for r in bigram_perplexity(d).collect()
+        }
+        # same unigram distribution, but the shuffled doc's
+        # transitions are rare -> higher bigram perplexity
+        assert got[2] > got[1]
+
+
+class TestQuantileNormalize:
+    def test_textbook_example(self, spark):
+        from defimap_data_pipelines_spark.operators.cleaning import (
+            quantile_normalize_dims,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [5.0, 4.0]), (2, [2.0, 1.0]), (3, [3.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["id"], r["dim"]): r["ref_q"]
+            for r in quantile_normalize_dims(emb).collect()
+        }
+        # sorted dim0: 2,3,5 ; dim1: 1,2,4 -> rank means:
+        # r1 (2+1)/2=1.5, r2 (3+2)/2=2.5, r3 (5+4)/2=4.5 (micro, trunc)
+        assert got[(2, 0)] == 1_500_000 and got[(2, 1)] == 1_500_000
+        assert got[(3, 0)] == 2_500_000 and got[(3, 1)] == 2_500_000
+        assert got[(1, 0)] == 4_500_000 and got[(1, 1)] == 4_500_000
+
+    def test_marginals_identical_after(self, spark):
+        from defimap_data_pipelines_spark.operators.cleaning import (
+            quantile_normalize_dims,
+        )
+
+        import random
+
+        rnd = random.Random(7)
+        rows = [
+            (i, [rnd.uniform(-3, 3) for _ in range(4)]) for i in range(40)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = quantile_normalize_dims(emb)
+        per_dim = {
+            r["dim"]: r["vals"]
+            for r in out.groupBy("dim")
+            .agg(F.sort_array(F.collect_list("ref_q")).alias("vals"))
+            .collect()
+        }
+        vals = list(per_dim.values())
+        assert all(v == vals[0] for v in vals[1:])
