@@ -671,9 +671,15 @@ def resource_allocation_linkpred(
 
     ``edges`` must be canonical undirected (u < v, distinct).
     """
+    # The symmetrized adjacency feeds THREE consumers (both wedge
+    # sides and the degree count) and the edge frame a fourth (the
+    # anti-join); Catalyst branches don't share subplans, so an
+    # upstream edge construction (e.g. the co-purchase self-join)
+    # would otherwise run once per consumer. Cache the symmetric
+    # frame — memory-and-disk, sized like the edge list itself.
     sym = edges.select(src, dst).unionByName(
         edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
-    )
+    ).cache()
     adj = sym.select(F.col(src).alias("w"), F.col(dst).alias("x"))
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     if max_hub_degree is not None:
@@ -712,9 +718,12 @@ def degree_assortativity(
     one degree groupBy + two hash joins of the degree frame onto the
     edge list + one global agg; no windows, no iteration.
     """
+    # sym feeds the edge-list join AND the degree count (and deg
+    # itself joins twice): cache so the upstream edge construction
+    # runs once, not once per consumer.
     sym = edges.select(src, dst).unionByName(
         edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
-    )
+    ).cache()
     deg = sym.groupBy(src).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )

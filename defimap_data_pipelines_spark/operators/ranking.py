@@ -267,9 +267,12 @@ def bigram_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             _counted_ngrams(ws_tokens(F.col(text_col)), 2)
         ).alias("gram"),
     )
+    # lm is vocab^2-bounded and feeds both the prefix re-aggregation
+    # and the scoring join — cache it so the corpus-wide gram count
+    # happens once (the bigram_lift one-pass lesson).
     lm = post.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("_cb")
-    )
+    ).cache()
     pref = lm.groupBy(
         F.split(F.col("gram"), " ")[0].alias("_w")
     ).agg(F.sum("_cb").alias("_cp"))

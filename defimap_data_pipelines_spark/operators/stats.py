@@ -113,9 +113,13 @@ def chi2_independence(
     and the total is an exact integer sum (the module's standing
     trick). chi2 is reported in those micro-units / 1e6.
     """
+    # cells is O(categories^2) tiny but derives from a full scan;
+    # four consumers (contrib, both marginals, total) would re-scan
+    # the raw table four times without the cache (the bigram_lift
+    # one-pass lesson).
     cells = df.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("o")).cache()
     rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
     cols = cells.groupBy("c").agg(F.sum("o").alias("ct"))
     tot = cells.agg(F.sum("o").alias("n"))
