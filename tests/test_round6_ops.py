@@ -486,3 +486,45 @@ class TestQuantileNormalize:
         }
         vals = list(per_dim.values())
         assert all(v == vals[0] for v in vals[1:])
+
+
+class TestPqEncode:
+    def test_coincident_vectors_zero_error(self, spark):
+        """Four distinct repeated 4-dim patterns, subspaces of 2 dims:
+        after one Lloyd round each pattern's subvector IS a centroid,
+        so reconstruction error is exactly zero and each code cell
+        holds its pattern's population."""
+        from pyspark.sql import Window
+
+        from defimap_data_pipelines_spark.operators.clustering import (
+            assign_clusters,
+            update_centroids,
+        )
+
+        pats = [[0.0, 0.0], [1.0, 1.0], [5.0, 5.0], [9.0, 9.0]]
+        rows = [(i, pats[i % 4] + pats[(i + 1) % 4]) for i in range(20)]
+        v = spark.createDataFrame(
+            rows, "vec_id long, e array<double>"
+        )
+        for s, start in enumerate((1, 3)):
+            vs = v.select("vec_id", F.slice("e", start, 2).alias("e"))
+            init = (
+                vs.orderBy("vec_id")
+                .limit(4)
+                .select(
+                    F.row_number()
+                    .over(Window.orderBy("vec_id"))
+                    .alias("cluster"),
+                    F.col("e").alias("c"),
+                )
+            )
+            trained = update_centroids(assign_clusters(vs, init))
+            out = assign_clusters(vs, trained)
+            assert out.filter(F.col("dist") != 0.0).count() == 0
+            sizes = sorted(
+                r["n"]
+                for r in out.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            assert sizes == [5, 5, 5, 5]
