@@ -10261,6 +10261,120 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6: dedup recall audit + time-weighted averages
+# --------------------------------------------------------------------------
+
+LSH_RECALL_SQL = f"""
+    SELECT n_exact, n_exact AS n_lsh, n_exact AS n_hit,
+           CAST(10000 AS BIGINT) AS recall_bp
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM ({JACCARD_SQL}))
+"""
+
+
+@register("lsh_dedup_recall", LSH_RECALL_SQL)
+def q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the production MinHash-LSH dedup path against
+    exact Jaccard — the ann_recall_eval idea applied to dedup: count
+    the exact >= 0.35 pairs, the LSH-found verified pairs, and their
+    intersection, in one row. The oracle encodes the CONTRACT
+    (recall_bp == 10000 on this corpus, the minhash_lsh_dedup
+    precedent): any future LSH regression — banding change, hash
+    change, shingle drift — turns this row red at the driver instead
+    of silently shipping a leakier dedup."""
+    from defimap_data_pipelines_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs,
+        threshold=0.35,
+        shingles=_doc_shingles(spark, sf_dir),
+        hashed=_hashed_doc_shingles(spark, sf_dir),
+    ).select("doc_a", "doc_b")
+    lsh = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    nh = lsh.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.expr("n_hit * 10000L div n_exact").alias("recall_bp"),
+        )
+    )
+
+
+TWAP_SQL = """
+    WITH seq AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               epoch_ms(ts) AS ms,
+               LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+        FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents * (nxt - ms)) AS BIGINT) AS num,
+               CAST(SUM(nxt - ms) AS BIGINT) AS den
+        FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           ROUND(CAST(num AS DOUBLE) / den / 100, 6) AS twap
+    FROM agg WHERE den > 0 ORDER BY user_id
+"""
+
+
+@register("twap_per_user", TWAP_SQL)
+def q_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation weighted
+    by how long it remained the latest (LEAD timestamp delta) — the
+    TWAP every market-data pipeline computes, here exact: cents x
+    epoch-millisecond durations are int64 products summed exactly;
+    one double division per user at the end. Users whose events all
+    share one timestamp (zero total duration) are excluded rather
+    than dividing by zero. int64 headroom: cents * span_ms needs
+    ~1e14 per term — quantize durations to seconds past ~1e4 events
+    per user-month."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_millis("ts").alias("ms"),
+        F.lead(F.unix_millis("ts")).over(w).alias("nxt"),
+    )
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("cents") * (F.col("nxt") - F.col("ms"))).alias("num"),
+        F.sum(F.col("nxt") - F.col("ms")).alias("den"),
+    )
+    return (
+        agg.filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("num").cast("double") / F.col("den") / 100, 6
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -10345,10 +10459,10 @@ _DRIVER_WINDOW = [
     "bigram_lm_score",
     "quantile_normalize",
     "stream_rollup_exec",
-    "training_dataset",
+    "lsh_dedup_recall",
     "pq_encode",
     "neardup_components",
-    "semdedup_prune",
+    "twap_per_user",
     "pagerank_top20",
 ]
 
