@@ -116,6 +116,25 @@ BENCH_QUERIES = [
     "adaptive_skew_join",
     "doc_chunking",
     "label_propagation",
+    # round-6 additions
+    "hypertable_rollup",
+    "acf_lags",
+    "cusum_changepoints",
+    "welch_ttest",
+    "chi2_independence",
+    "sssp_hops",
+    "ra_linkpred",
+    "degree_assortativity",
+    "winnowing_fingerprint",
+    "containment_dups",
+    "gini_concentration",
+    "scd2_pit_join",
+    "rfm_segments",
+    "bigram_lm_score",
+    "quantile_normalize",
+    "pq_encode",
+    "lsh_dedup_recall",
+    "twap_per_user",
 ]
 
 
