@@ -138,3 +138,46 @@ def adaptive_salted_join(
         ),
     ).drop("_hot")
     return salted_big.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join-key skew diagnostic: per log2-sized frequency bucket, how
+    many distinct keys fall there, how many rows they carry, and the
+    bucket's heaviest key — the one-page report that tells you
+    whether a key needs the salted-join treatment BEFORE the shuffle
+    falls over (the adaptive_salted_join operator's CMS detects hot
+    keys online; this is the offline audit twin).
+
+    bucket = floor(log2(count)): exact for every int64 count in both
+    engines (log2 of a power of two is IEEE-exact, and between powers
+    the floor is unambiguous). One groupBy(key) + one groupBy(bucket)
+    over the O(keys) counts frame; max_by picks the example key with
+    smallest-key tie-break via the (count, -key) trick avoided — ties
+    broken by max_by on a (count, key) struct, deterministic because
+    struct comparison is lexicographic.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    b = counts.withColumn(
+        "bucket", F.floor(F.log2("c")).cast("long")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max(F.struct(F.col("c"), F.col("k"))).alias("_m"),
+        )
+        .select(
+            "bucket",
+            "n_keys",
+            "n_rows",
+            F.col("_m.c").alias("max_count"),
+            F.col("_m.k").alias("heaviest_key"),
+        )
+    )

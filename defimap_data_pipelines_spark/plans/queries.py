@@ -9610,8 +9610,46 @@ def q_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.orderBy("dist", "node").limit(50)
 
 
+#: Support-thresholded co-purchase edges: pairs co-ordered >= 2 times.
+#: The raw co-purchase graph is DENSE by construction (median degree
+#: 119 at sf0.1 — every same-order pair is an edge), which makes
+#: wedge-based scores both meaningless (everything neighbors
+#: everything) and quadratically expensive (298M wedges, measured
+#: 37.8 s). Repeat co-purchase is the structure link prediction
+#: actually wants: 3,853 edges / 12k wedges at sf0.1.
+_REPEAT_COPURCHASE_ED_SQL = """
+    ed AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+"""
+
+
+def _repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .filter(F.col("_s") >= 2)
+        .select("u", "v")
+    )
+
+
 RA_LINKPRED_SQL = f"""
-    WITH {_COPURCHASE_ED_SQL.strip()},
+    WITH {_REPEAT_COPURCHASE_ED_SQL.strip()},
     sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
     deg AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS deg
             FROM sym GROUP BY u),
@@ -9639,12 +9677,15 @@ def q_ra_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (operators/graph.py::resource_allocation_linkpred): top-50
     NON-adjacent part pairs most likely to be co-purchased next, by
     sum of 1/deg over shared order-mates in exact integer micro-units.
-    The "customers also bought" recommender as one wedge join."""
+    The "customers also bought" recommender as one wedge join, over
+    the support->=2 repeat co-purchase graph (see
+    _REPEAT_COPURCHASE_ED_SQL — the raw co-purchase graph is dense by
+    construction and both gutted the signal and cost 298M wedges)."""
     from defimap_data_pipelines_spark.operators.graph import (
         resource_allocation_linkpred,
     )
 
-    e = _copurchase_edges(spark, sf_dir)
+    e = _repeat_copurchase_edges(spark, sf_dir)
     return (
         resource_allocation_linkpred(e, src="u", dst="v")
         .orderBy(F.col("score_u").desc(), "x", "y")
@@ -10375,6 +10416,112 @@ def q_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6: incremental CC maintenance + skew diagnostics
+# --------------------------------------------------------------------------
+
+INCREMENTAL_CC_SQL = f"""
+    WITH RECURSIVE {_COPURCHASE_ED_SQL.strip()},
+    sym AS (SELECT u AS a, v AS b FROM ed
+            UNION ALL SELECT v AS a, u AS b FROM ed),
+    nodes AS (SELECT DISTINCT a AS n FROM sym),
+    reach(n, c) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, r.c FROM reach r JOIN sym s ON s.a = r.n
+        WHERE r.c < s.b
+    )
+    SELECT n AS node, CAST(MIN(c) AS BIGINT) AS component
+    FROM reach GROUP BY n ORDER BY node
+"""
+
+
+@register("incremental_cc", INCREMENTAL_CC_SQL)
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance
+    (operators/graph.py::incremental_components): the co-purchase
+    graph split at ship-date 1997-01-01 — CC runs on the BASE edges
+    only, then the post-cutoff edges merge in through yesterday's
+    label table and a contracted-graph closure. The oracle is the
+    FULL-graph recompute (recursive CTE), so a green row proves the
+    incremental path reproduces the from-scratch labeling exactly —
+    the daily-crawl maintenance contract (history contributes its
+    label table, never its edge set)."""
+    from defimap_data_pipelines_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    )
+    cutoff = "1997-01-01"
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("u"),
+        F.col("l_shipdate").alias("da"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("v"),
+        F.col("l_shipdate").alias("db"),
+    )
+    pairs = a.join(b, "ok").filter(F.col("u") < F.col("v"))
+    base = (
+        pairs.filter((F.col("da") < cutoff) & (F.col("db") < cutoff))
+        .select("u", "v")
+        .distinct()
+    )
+    new = (
+        pairs.filter((F.col("da") >= cutoff) | (F.col("db") >= cutoff))
+        .select("u", "v")
+        .distinct()
+    )
+    labels = connected_components(base, src="u", dst="v")
+    return incremental_components(labels, new, src="u", dst="v").orderBy(
+        "node"
+    )
+
+
+SKEW_REPORT_SQL = """
+    WITH counts AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    b AS (SELECT k, c, CAST(FLOOR(log2(c)) AS BIGINT) AS bucket
+          FROM counts),
+    agg AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_count
+        FROM b GROUP BY bucket
+    ),
+    hk AS (
+        SELECT b.bucket, MAX(b.k) AS heaviest_key
+        FROM b JOIN agg USING (bucket)
+        WHERE b.c = agg.max_count
+        GROUP BY b.bucket
+    )
+    SELECT agg.bucket, n_keys, n_rows, max_count, heaviest_key
+    FROM agg JOIN hk ON hk.bucket = agg.bucket
+    ORDER BY agg.bucket
+"""
+
+
+@register("skew_report", SKEW_REPORT_SQL)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit of lineitem.l_partkey
+    (operators/skew.py::skew_report): distinct-key and row mass per
+    log2 frequency bucket plus each bucket's heaviest key — the
+    offline twin of adaptive_salted_join's online CMS hot-key
+    detection, and the report that says whether a key column needs
+    salting before the shuffle falls over."""
+    from defimap_data_pipelines_spark.operators.skew import skew_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_partkey").orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -10397,15 +10544,15 @@ def q_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The 9 reference-parity flagships stay first per the standing rule;
 # the final 5 slots carry queries changed or added this round.
 #
-# Round-6 rotation candidates (registered in r5 after the window
+# Round-6 rotation: the full 18-query r5 backlog above took slots
+# 10-27 (r5 verdict #1) and all earned driver rows; 19 round-6
+# registrations fill most of the rest.
+#
+# Round-7 rotation candidates (registered in r6 after the window
 # filled; each already green under tools/parity.py at sf0.01):
-# gopher_repetition, kmv_source_overlap, weighted_sample,
-# adaptive_skew_join, doc_chunking, snapshot_diff, mad_outliers,
-# sampled_quantiles, embedding_standardize, grouped_kmeans,
-# ewma_quantized, label_propagation, triangle_count, kcore_rounds,
-# khop_reach, rendezvous_sharding, apportion_budget, bigram_lift —
-# swap these in for r5 greens next round
-# (bpe_encode is rows-only; it never takes a window slot).
+# incremental_cc, skew_report — swap these in for prior greens next
+# round. (bpe_encode and the other 3 rows-only entries never take
+# window slots.)
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)

@@ -528,3 +528,78 @@ class TestPqEncode:
                 .collect()
             )
             assert sizes == [5, 5, 5, 5]
+
+
+class TestIncrementalCC:
+    def test_merge_and_new_nodes(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        base = spark.createDataFrame(
+            [(1, 2), (3, 4)], "src long, dst long"
+        )
+        labels = connected_components(base)
+        # 2-3 merges the two old components; 5-6 is entirely new
+        new = spark.createDataFrame(
+            [(2, 3), (5, 6)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in incremental_components(labels, new).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+    def test_matches_full_recompute(self, spark):
+        import random
+
+        from defimap_data_pipelines_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        rnd = random.Random(13)
+        edges = [
+            (rnd.randrange(40), rnd.randrange(40)) for _ in range(60)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        cut = len(edges) // 2
+        base = spark.createDataFrame(edges[:cut], "src long, dst long")
+        new = spark.createDataFrame(edges[cut:], "src long, dst long")
+        full = spark.createDataFrame(edges, "src long, dst long")
+        inc = {
+            r["node"]: r["component"]
+            for r in incremental_components(
+                connected_components(base), new
+            ).collect()
+        }
+        ref = {
+            r["node"]: r["component"]
+            for r in connected_components(full).collect()
+        }
+        assert inc == ref
+
+
+class TestSkewReport:
+    def test_hand_buckets(self, spark):
+        from defimap_data_pipelines_spark.operators.skew import skew_report
+
+        rows = (
+            [("a",)] + [("b",)] * 2 + [("c",)] * 2 + [("d",)] * 5
+        )
+        df = spark.createDataFrame(rows, "k string")
+        got = {
+            r["bucket"]: (
+                r["n_keys"],
+                r["n_rows"],
+                r["max_count"],
+                r["heaviest_key"],
+            )
+            for r in skew_report(df, "k").collect()
+        }
+        assert got == {
+            0: (1, 1, 1, "a"),
+            1: (2, 4, 2, "c"),  # tie c/b broken toward max key
+            2: (1, 5, 5, "d"),
+        }
