@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "pq_encode",
     "lsh_dedup_recall",
     "twap_per_user",
+    "incremental_cc",
+    "skew_report",
 ]
 
 
