@@ -603,3 +603,114 @@ class TestSkewReport:
             1: (2, 4, 2, "c"),  # tie c/b broken toward max key
             2: (1, 5, 5, "d"),
         }
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis) for the round-6 recursion/closed-form pairs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+class TestRound6Properties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=2,
+            max_size=25,
+        )
+    )
+    def test_cusum_closed_form_equals_loop(self, spark, xs):
+        from defimap_data_pipelines_spark.operators.timeseries import (
+            cusum_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "t int, xq long"
+        )
+        got = {
+            r["t"]: r["score_q"]
+            for r in cusum_scores(df, "t", "xq").collect()
+        }
+        n, s = len(xs), sum(xs)
+        stv, want = 0, {}
+        for i, x in enumerate(xs):
+            stv = max(0, stv + (n * x - s))
+            want[i] = stv
+        assert got == want
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from("abcdefg"),
+            min_size=6,
+            max_size=40,
+        )
+    )
+    def test_winnowing_equals_python(self, spark, toks):
+        import hashlib
+
+        from defimap_data_pipelines_spark.operators.textops import (
+            winnowing_fingerprints,
+        )
+
+        text = " ".join(toks)
+        k, w = 3, 4
+        grams = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ]
+        d = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        rows = winnowing_fingerprints(d, k=k, w=w).collect()
+        if len(grams) < w:
+            assert rows == []
+            return
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        fps = {min(hs[p : p + w]) for p in range(len(hs) - w + 1)}
+        assert rows[0]["n_fp"] == len(fps)
+        assert rows[0]["fp_sum"] == sum(h % 1000000007 for h in fps)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=25),
+                st.integers(min_value=0, max_value=25),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_incremental_cc_any_split(self, spark, edges):
+        from defimap_data_pipelines_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            return
+        cut = len(edges) // 2
+        base, new = edges[:cut], edges[cut:]
+        full = spark.createDataFrame(edges, "src long, dst long")
+        ref = {
+            r["node"]: r["component"]
+            for r in connected_components(full).collect()
+        }
+        if not base or not new:
+            return
+        inc = {
+            r["node"]: r["component"]
+            for r in incremental_components(
+                connected_components(
+                    spark.createDataFrame(base, "src long, dst long")
+                ),
+                spark.createDataFrame(new, "src long, dst long"),
+            ).collect()
+        }
+        assert inc == ref
