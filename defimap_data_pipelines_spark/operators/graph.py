@@ -827,3 +827,80 @@ def incremental_components(
             "component"
         ),
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic uniform random walks — the node2vec/DeepWalk
+    corpus generator with the repo's replayable-sampling discipline:
+    the step taken at (node, walk, step) is neighbor index
+    md5(node|walk|step) mod degree over the id-sorted adjacency, so
+    every path is a pure function of the graph (the A-ES
+    weighted-sample trick applied to walk transitions). No RNG state,
+    no seed plumbing, bit-identical on any cluster layout — and an
+    unrolled SQL oracle replays every hop.
+
+    Returns (start, walk, path) with path the '->'-joined node
+    sequence of ``length`` hops. ``starts`` is a one-column frame.
+
+    Shape: adjacency is ranked once (row_number per node, degree
+    attached); each hop is ONE equi-ish join — position joins
+    adjacency on (node, chosen index), with the md5-mod-degree choice
+    evaluated inside the join condition so no extra degree join is
+    needed. |walks| rows flow through length joins: at 100 TB this is
+    the standard iterative-join walk engine, shuffling walk rows on
+    the current node key each hop while the ranked adjacency stays
+    partitioned.
+    """
+    sym = edges.select(src, dst).unionByName(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node").orderBy("nbr")
+    adj = (
+        sym.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .withColumn("idx", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("node")))
+        .localCheckpoint()
+    )
+    cur = (
+        starts.select(F.col(starts.columns[0]).alias("start"))
+        .crossJoin(
+            F.broadcast(
+                starts.sparkSession.range(walks_per_node).select(
+                    F.col("id").alias("walk")
+                )
+            )
+        )
+        .select(
+            "start",
+            "walk",
+            F.col("start").alias("cur"),
+            F.col("start").cast("string").alias("path"),
+        )
+    )
+    for s in range(length):
+        choice = F.expr(
+            "CAST(conv(substring(md5(concat(CAST(cur AS STRING), '|',"
+            f" CAST(walk AS STRING), '|', '{s}')), 1, 15), 16, 10)"
+            " AS BIGINT) % deg"
+        )
+        cur = (
+            cur.join(adj, (adj["node"] == cur["cur"]) & (adj["idx"] == choice))
+            .select(
+                "start",
+                "walk",
+                F.col("nbr").alias("cur"),
+                F.concat(
+                    F.col("path"), F.lit("->"), F.col("nbr").cast("string")
+                ).alias("path"),
+            )
+        )
+    return cur.select("start", "walk", "path")

@@ -10547,6 +10547,68 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6: deterministic random walks
+# --------------------------------------------------------------------------
+
+def _walk_step_sql(k: int) -> str:
+    return f"""
+    d{k + 1} AS (
+        SELECT d.start, d.walk, i.nbr AS cur,
+               d.path || '->' || CAST(i.nbr AS VARCHAR) AS path
+        FROM d{k} d JOIN idx i
+          ON i.node = d.cur
+         AND i.idx = ('0x' || substr(md5(CAST(d.cur AS VARCHAR) || '|'
+                      || CAST(d.walk AS VARCHAR) || '|{k}'), 1, 15))::BIGINT
+                     % i.deg
+    )"""
+
+
+GRAPH_WALKS_SQL = f"""
+    WITH {_REPEAT_COPURCHASE_ED_SQL.strip()},
+    sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+    idx AS (
+        SELECT node, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1
+                   AS idx,
+               COUNT(*) OVER (PARTITION BY node) AS deg
+        FROM (SELECT u AS node, v AS nbr FROM sym)
+    ),
+    starts AS (SELECT DISTINCT node AS start FROM idx WHERE node < 1000),
+    d0 AS (
+        SELECT start, CAST(w AS BIGINT) AS walk, start AS cur,
+               CAST(start AS VARCHAR) AS path
+        FROM starts, (VALUES (0), (1)) t(w)
+    ),{_walk_step_sql(0)},{_walk_step_sql(1)},{_walk_step_sql(2)}
+    SELECT start, walk, path FROM d3 ORDER BY start, walk
+"""
+
+
+@register("graph_walks", GRAPH_WALKS_SQL)
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks over the repeat co-purchase
+    graph (operators/graph.py::deterministic_walks): 2 walks x 3 hops
+    from every part id < 1000 — the node2vec/DeepWalk corpus
+    generator with md5-replayable transitions (neighbor index =
+    md5(node|walk|step) mod degree over the id-sorted adjacency), so
+    the exact paths — not just their statistics — replay in the
+    unrolled SQL oracle."""
+    from defimap_data_pipelines_spark.operators.graph import (
+        deterministic_walks,
+    )
+
+    e = _repeat_copurchase_edges(spark, sf_dir)
+    sym_nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+        .filter(F.col("n") < 1000)
+    )
+    return deterministic_walks(
+        e, sym_nodes, walks_per_node=2, length=3
+    ).orderBy("start", "walk")
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered

@@ -714,3 +714,34 @@ class TestRound6Properties:
             ).collect()
         }
         assert inc == ref
+
+
+class TestDeterministicWalks:
+    def test_paths_follow_edges_and_replay(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import (
+            deterministic_walks,
+        )
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+        e = spark.createDataFrame(edges, "u long, v long")
+        starts = spark.createDataFrame([(1,), (3,)], "n long")
+        out = deterministic_walks(e, starts, walks_per_node=2, length=4)
+        rows = out.collect()
+        assert len(rows) == 4  # 2 starts x 2 walks
+        adj = set()
+        for u, v in edges:
+            adj.add((u, v))
+            adj.add((v, u))
+        for r in rows:
+            ids = [int(x) for x in r["path"].split("->")]
+            assert ids[0] == r["start"] and len(ids) == 5
+            for a, b in zip(ids, ids[1:]):
+                assert (a, b) in adj, (r["path"], (a, b))
+        # determinism: a second invocation yields identical paths
+        again = {
+            (r["start"], r["walk"]): r["path"]
+            for r in deterministic_walks(
+                e, starts, walks_per_node=2, length=4
+            ).collect()
+        }
+        assert again == {(r["start"], r["walk"]): r["path"] for r in rows}
