@@ -137,6 +137,12 @@ BENCH_QUERIES = [
     "twap_per_user",
     "incremental_cc",
     "skew_report",
+    "graph_walks",
+    "spearman_corr",
+    "mannwhitney_u",
+    "kaplan_meier",
+    "holt_forecast",
+    "seasonal_anomalies",
 ]
 
 

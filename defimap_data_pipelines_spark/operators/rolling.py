@@ -259,3 +259,92 @@ def ewma_quantized(
         F.col("o").alias(order_col),
         "ewma_q",
     )
+
+
+def holt_quantized(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing with
+    alpha = beta = 1/2 as an EXACT two-state integer recursion — the
+    ewma_quantized trick extended to coupled state (level + trend),
+    which is what turns "smoothed forecast" from a float artifact
+    into a value-hash-checkable column:
+
+        l_1 = q(x_1),                 b_1 = 0
+        l_t = (q(x_t) + l_{t-1} + b_{t-1}) div 2
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) div 2
+
+    with q(x) = round(x * micro) and ``div`` truncating toward zero
+    (the Spark/DuckDB-shared convention; Python's ``//`` floors, so
+    the loop truncs explicitly). The one-step-ahead forecast is the
+    exact integer l_t + b_t. A recursive-CTE oracle carries BOTH
+    state columns and replays every step bit-for-bit.
+
+    Same execution shape and (key, order)-uniqueness contract as
+    ewma_quantized: stable sort, loud ValueError on duplicate order
+    keys, per-key Python loop inside Arrow-batched applyInPandas
+    (two-variable coupled recursions don't vectorize; keys partition
+    freely, which is the 100 TB story — one pass per key in event
+    order, exactly the shape a streaming forecaster takes).
+
+    Returns (key, order, level_q, trend_q, forecast_q), all in
+    micro-units.
+    """
+    import pandas as pd
+
+    def trunc2(s: int) -> int:
+        return -((-s) // 2) if s < 0 else s // 2
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ord", kind="stable")
+        if pdf["_ord"].duplicated().any():
+            raise ValueError(
+                "holt_quantized: duplicate order values within key "
+                f"{pdf['_k'].iloc[0]!r}; (key_col, order_col) must "
+                "uniquely identify rows"
+            )
+        xs = pdf["_xq"].tolist()
+        ls, bs, fs = [], [], []
+        l = b = None
+        for xq in xs:
+            if l is None:
+                l, b = xq, 0
+            else:
+                l_prev = l
+                l = trunc2(xq + l + b)
+                b = trunc2((l - l_prev) + b)
+            ls.append(l)
+            bs.append(b)
+            fs.append(l + b)
+        return pd.DataFrame(
+            {
+                "k": pdf["_k"],
+                "o": pdf["_ord"],
+                "level_q": ls,
+                "trend_q": bs,
+                "forecast_q": fs,
+            }
+        )
+
+    staged = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_ord"),
+        F.round(F.col(value_col) * micro).cast("long").alias("_xq"),
+    )
+    k_t = staged.schema["_k"].dataType.simpleString()
+    o_t = staged.schema["_ord"].dataType.simpleString()
+    out = staged.groupBy("_k").applyInPandas(
+        run,
+        f"k {k_t}, o {o_t}, level_q long, trend_q long, forecast_q long",
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("o").alias(order_col),
+        "level_q",
+        "trend_q",
+        "forecast_q",
+    )

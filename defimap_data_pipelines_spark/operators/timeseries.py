@@ -158,6 +158,90 @@ def acf_quantized(
     )
 
 
+def seasonal_residuals(
+    series: DataFrame,
+    day_col: str,
+    value_q_col: str,
+    micro: int = 1_000,
+) -> DataFrame:
+    """Day-of-week seasonal decomposition with z-scored residuals —
+    the "is Tuesday actually anomalous, or is it just Tuesday"
+    detrending step every event-volume monitor needs before
+    thresholding.
+
+    seasonal(dow) = mean of the integer series over that weekday
+    (exact int sums, one double division per of-7 bucket); residual =
+    x - seasonal(dow), quantized to micro-units before the global
+    moment sums so the z-score's mean/variance accumulate as exact
+    int64 in any order. z = (r - mean_r) / sample_std(r), one double
+    expression over five exact scalars.
+
+    int64 headroom: the residual grid only needs 1/n_dow resolution
+    (seasonal means are rationals over day counts), so milli-units
+    default; m * (resid_u)^2 < 9.2e18 bounds |resid| * micro to
+    ~3e8/sqrt(days) — quantize coarser for larger daily magnitudes.
+
+    Weekday convention: ISO (Mon=1..Sun=7) — Spark's weekday()+1;
+    replays as DuckDB isodow(). (Spark dayofweek() is Sun=1 — the
+    classic cross-engine off-by-one, avoided here.)
+
+    Input is the period-grain frame (one row per day, integer value),
+    same bounded-frame contract as acf_quantized. The seasonal and
+    moment frames are O(7) and O(1) broadcasts.
+    """
+    dow = F.expr(f"weekday({day_col}) + 1")
+    base = series.select(
+        day_col,
+        F.col(value_q_col).alias("_xq"),
+        dow.cast("int").alias("dow"),
+    )
+    seasonal = base.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+        F.sum("_xq").alias("_sd"),
+    )
+    resid = (
+        base.join(F.broadcast(seasonal), "dow")
+        .withColumn(
+            "resid_u",
+            F.round(
+                (
+                    F.col("_xq").cast("double")
+                    - F.col("_sd").cast("double") / F.col("_nd")
+                )
+                * micro
+            ).cast("long"),
+        )
+        .drop("_nd", "_sd")
+    )
+    moments = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("resid_u").alias("_sr"),
+        F.sum(F.col("resid_u") * F.col("resid_u")).alias("_srr"),
+    )
+    mean_r = F.col("_sr").cast("double") / F.col("_m")
+    var_r = (
+        F.col("_srr").cast("double")
+        - F.col("_sr").cast("double") * F.col("_sr") / F.col("_m")
+    ) / (F.col("_m") - 1)
+    # A perfectly-seasonal series has residual variance EXACTLY 0
+    # (all integer sums are 0), so the z guard is an exact-zero
+    # compare replaying identically in the oracle — and it keeps
+    # ANSI mode from raising DIVIDE_BY_ZERO.
+    return (
+        resid.crossJoin(F.broadcast(moments))
+        .select(
+            day_col,
+            "dow",
+            F.col("_xq").alias("xq"),
+            "resid_u",
+            F.when(
+                var_r > 0,
+                F.round((F.col("resid_u") - mean_r) / F.sqrt(var_r), 9),
+            ).alias("z"),
+        )
+    )
+
+
 def cusum_scores(
     series: DataFrame,
     order_col: str,
