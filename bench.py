@@ -143,6 +143,11 @@ BENCH_QUERIES = [
     "kaplan_meier",
     "holt_forecast",
     "seasonal_anomalies",
+    "rrf_fusion",
+    "itemcf_topk",
+    "community_modularity",
+    "js_divergence",
+    "ams_f2_moment",
 ]
 
 

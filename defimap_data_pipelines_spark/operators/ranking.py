@@ -307,3 +307,142 @@ def bigram_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("ppl"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of N ranked lists: score(d) = sum over lists of 1/(k + rank_d).
+    The standard hybrid-search combiner — BM25 and embedding rankers
+    disagree on scale but agree on order, so fuse on RANKS.
+
+    Each reciprocal is a pure function of an INTEGER rank, quantized
+    to nano-units before the sum (round(1e9/(k+rank))), so the fused
+    score is an exact integer both engines aggregate order-free —
+    float RRF sums would be engine-order-dependent. k=60 per the
+    paper.
+
+    Input frames carry (id_col, rank_col in 1..top_n); output
+    (id, rrf_nano, in_lists, rank) for the top rows, ranked by
+    (rrf_nano DESC, id). Top-N via sort+limit first
+    (TakeOrderedAndProject), then the tiny head is row_numbered —
+    no global window over the full candidate set (the bm25_scores
+    pattern).
+
+    Scale shape: each input list is already small (top-N per
+    ranker); the union/groupBy is over O(N * top_n) rows regardless
+    of corpus size — fusion cost is independent of the 100 TB scan
+    behind each ranker.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.round(1_000_000_000.0 / (F.lit(k) + F.col(rank_col)))
+            .cast("long")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    fused = u.groupBy("id").agg(
+        F.sum("_c").alias("rrf_nano"),
+        F.count(F.lit(1)).cast("long").alias("in_lists"),
+    )
+    head = fused.orderBy(
+        F.col("rrf_nano").desc(), F.col("id").asc()
+    ).limit(top)
+    w = Window.orderBy(F.col("rrf_nano").desc(), F.col("id").asc())
+    return head.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        F.col("id").alias(id_col), "rrf_nano", "in_lists", "rank"
+    )
+
+
+def itemcf_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    max_basket: int = 64,
+    item_filter=None,
+) -> DataFrame:
+    """Item-item collaborative filtering: top-k most-similar items by
+    co-occurrence cosine sim(i,j) = c_ij / sqrt(c_i * c_j), the
+    classic Sarwar et al. (WWW'01) item-based recommender on implicit
+    baskets.
+
+    c_ij (baskets containing both) and c_i (baskets containing i)
+    are exact int64 counts, so the cosine is one double expression of
+    exact ints — identical both engines, rank-stable with the
+    (sim DESC, j ASC) tie-break.
+
+    Scale: the pair generation is the basket self-join — quadratic in
+    BASKET SIZE, not corpus size. ``max_basket`` drops
+    pathological mega-baskets before the join (the standard itemCF
+    blowup cap; a basket with 10k items contributes 1e8 pairs and no
+    signal). ``item_filter`` (a Column predicate on the LEFT item)
+    prunes pair generation to the items being recommended FOR —
+    applied before the join, not after the count.
+    """
+    bp = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    sizes = bp.groupBy("b").agg(F.count(F.lit(1)).alias("_sz"))
+    bp = (
+        bp.join(
+            sizes.filter(F.col("_sz") <= max_basket).select("b"), "b"
+        )
+    ).cache()  # three consumers: left pairs, right pairs, item counts
+    ci = bp.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    left = bp.select("b", F.col("i").alias("li"))
+    if item_filter is not None:
+        left = left.filter(item_filter(F.col("li")))
+    pairs = (
+        left.join(bp.select("b", F.col("i").alias("rj")), "b")
+        .filter(F.col("li") != F.col("rj"))
+        .groupBy(F.col("li").alias("i"), F.col("rj").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cij"))
+    )
+    # item-count joins deliberately carry NO broadcast hint: the dim
+    # is catalog-sized (could be 1e8 items at 100 TB) — AQE broadcasts
+    # it when it is actually small, shuffles when it is not
+    scored = (
+        pairs.join(
+            ci.select(F.col("i").alias("_ii"), F.col("c").alias("ci")),
+            F.col("i") == F.col("_ii"),
+        )
+        .join(
+            ci.select(F.col("i").alias("_jj"), F.col("c").alias("cj")),
+            F.col("j") == F.col("_jj"),
+        )
+        .select(
+            "i",
+            "j",
+            "cij",
+            F.round(
+                F.col("cij").cast("double")
+                / F.sqrt(
+                    F.col("ci").cast("double") * F.col("cj")
+                ),
+                9,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.col("sim").desc(), F.col("j").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -304,3 +304,89 @@ def kmv_distinct_by(
         .alias("kmv_estimate"),
         "n_kept",
     )
+
+
+def ams_sign(key, j: int) -> Column:
+    """Four-wise-ish ±1 sign for AMS estimator ``j``: parity of the
+    md5-derived bucket of ``key || '|' || j`` — the engine-portable
+    hash family (see hash_bucket's md5 contract in sampling.py).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", key.cast("string"), F.lit(str(j)))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    )
+    return 2 * (h.cast("long") % 2) - 1
+
+
+def ams_sign_sql(key_expr: str, j: int) -> str:
+    """DuckDB twin of :func:`ams_sign`."""
+    return (
+        f"(2 * (('0x' || substr(md5(CAST({key_expr} AS VARCHAR)"
+        f" || '|{j}'), 1, 8))::BIGINT % 2) - 1)"
+    )
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    estimators: int = 16,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    STOC'96): F2 = sum over keys of count^2 — the self-join size, the
+    number every join planner wants before it commits to a shuffle.
+
+    Each estimator j keeps ONE counter: Y_j = (sum over ROWS of
+    s_j(key))^2, where s_j is a ±1 hash sign. E[Y_j] = F2 exactly,
+    and crucially the inner sum needs NO per-key groupBy — the
+    sketch collapses the heaviest aggregation in the engine into k
+    scan-side integer expressions in a single agg. Zero shuffles
+    beyond the scalar collect; at 100 TB this is one pass with a
+    k-int state, merging across partitions by addition (linear
+    sketch, same mergeability as CMS).
+
+    Everything is exact int64 (signs are ±1, sums and squares of
+    sums), so the estimate replays bit-for-bit in the oracle. The
+    estimate is the mean of the k squares; relative error ~
+    sqrt(2/estimators) (35% at k=16 — this is a planner hint, not an
+    accountant; raise k quadratically for precision).
+
+    Returns one row: (estimators, f2_est, f2_exact, rel_err) — the
+    exact F2 is computed alongside (one groupBy) so the query itself
+    certifies the estimate, the same est-vs-exact contract as
+    kmv_distinct.
+    """
+    key = F.col(key_col)
+    sums = df.agg(
+        *[
+            F.sum(ams_sign(key, j)).cast("long").alias(f"_y{j}")
+            for j in range(estimators)
+        ]
+    )
+    y_total = None
+    for j in range(estimators):
+        sq = F.col(f"_y{j}") * F.col(f"_y{j}")
+        y_total = sq if y_total is None else y_total + sq
+    est = y_total.cast("double") / estimators
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .agg(F.sum(F.col("_c") * F.col("_c")).alias("f2_exact"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(estimators).cast("int").alias("estimators"),
+            F.round(est, 6).alias("f2_est"),
+            "f2_exact",
+            F.round(
+                F.abs(est - F.col("f2_exact").cast("double"))
+                / F.col("f2_exact"),
+                9,
+            ).alias("rel_err"),
+        )
+    )

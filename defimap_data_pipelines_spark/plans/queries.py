@@ -5379,8 +5379,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("vector", "stream", "filter")
 
-BM25_SQL = f"""
-    WITH post AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+# Shared CTE core ending at `scored` (doc_id, bm25) — BM25_SQL ranks
+# it directly; RRF_SQL fuses it with the embedding ranking.
+_BM25_CORE_SQL = f"""post AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
     qt AS (SELECT doc_id, token, COUNT(*) AS tf FROM post
            WHERE token IN {str(_BM25_TERMS)} GROUP BY 1, 2),
     dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY 1),
@@ -5401,7 +5402,10 @@ BM25_SQL = f"""
         CROSS JOIN stats
     ),
     scored AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) / 1000000.0 AS bm25
-               FROM per GROUP BY doc_id)
+               FROM per GROUP BY doc_id)"""
+
+BM25_SQL = f"""
+    WITH {_BM25_CORE_SQL}
     SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
           FROM scored)
@@ -10928,6 +10932,393 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("xq")
     )
     return seasonal_residuals(daily, "day", "xq").orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Round 6 wave 6: hybrid retrieval, recsys, and distribution divergence
+# --------------------------------------------------------------------------
+
+RRF_SQL = f"""
+    WITH {{core}},
+    br AS (
+        SELECT doc_id, CAST(rn AS BIGINT) AS rank
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (
+                  ORDER BY bm25 DESC, doc_id ASC) AS rn FROM scored)
+        WHERE rn <= 50
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+    q0 AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cos AS (
+        SELECT v.vec_id, {_cosine_sql('qe', 'e')} AS c
+        FROM v, q0 WHERE v.vec_id != 0
+    ),
+    cr AS (
+        SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS rank
+        FROM (SELECT vec_id, ROW_NUMBER() OVER (
+                  ORDER BY c DESC, vec_id ASC) AS rn FROM cos)
+        WHERE rn <= 50
+    ),
+    fused AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(ROUND(1000000000.0 / (60 + rank))
+                             AS BIGINT)) AS BIGINT) AS rrf_nano,
+               CAST(COUNT(*) AS BIGINT) AS in_lists
+        FROM (SELECT * FROM br UNION ALL SELECT * FROM cr)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_nano, in_lists, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY rrf_nano DESC, doc_id ASC) AS rn FROM fused)
+    WHERE rn <= 20 ORDER BY rank
+""".format(core=_BM25_CORE_SQL)
+
+
+@register("rrf_fusion", RRF_SQL)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion of the BM25 top-50 and
+    the embedding-cosine top-50 for one query
+    (operators/ranking.py::rrf_fuse) — the standard way to combine
+    lexical and semantic retrieval without calibrating their
+    incomparable scores. Both rankers order on cross-engine
+    bit-identical scores (BM25 is an exact integer sum; cosine is
+    the same sequential 64-element fold both engines run — the
+    invariant every cosine query here already rests on), so the rank
+    permutations match; each reciprocal then rides as a
+    nano-quantized integer."""
+    from pyspark.sql.window import Window
+
+    from defimap_data_pipelines_spark.operators.ranking import (
+        bm25_scores,
+        rrf_fuse,
+    )
+    from defimap_data_pipelines_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    br = bm25_scores(docs, list(_BM25_TERMS), top=50).select(
+        "doc_id", "rank"
+    )
+    ct = cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=50)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    cr = ct.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([br, cr], top=20).orderBy("rank")
+
+
+ITEMCF_SQL = """
+    WITH bp AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    sz AS (SELECT b FROM bp GROUP BY b HAVING COUNT(*) <= 64),
+    bpf AS (SELECT bp.b, bp.i FROM bp JOIN sz ON bp.b = sz.b),
+    ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM bpf GROUP BY i),
+    pairs AS (
+        SELECT a.i AS i, c2.i AS j, CAST(COUNT(*) AS BIGINT) AS cij
+        FROM bpf a JOIN bpf c2 ON a.b = c2.b AND a.i != c2.i
+        WHERE a.i < 100
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.i, p.j, p.cij,
+               ROUND(CAST(p.cij AS DOUBLE)
+                     / sqrt(CAST(ca.c AS DOUBLE) * cb.c), 9) AS sim
+        FROM pairs p
+        JOIN ci ca ON ca.i = p.i
+        JOIN ci cb ON cb.i = p.j
+    )
+    SELECT i, j, cij, sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+              ORDER BY sim DESC, j ASC) AS rn FROM scored)
+    WHERE rn <= 5 ORDER BY i, sim DESC, j
+"""
+
+
+@register("itemcf_topk", ITEMCF_SQL)
+def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering over order baskets
+    (operators/ranking.py::itemcf_topk): top-5 co-purchase
+    recommendations for parts with id < 100 by co-occurrence cosine
+    — exact integer basket counts, one double cosine per pair,
+    quadratic only in (capped) basket size. The left-item filter is
+    pushed BEFORE the basket self-join, so recommendation-set pruning
+    shrinks pair generation, not just output."""
+    from defimap_data_pipelines_spark.operators.ranking import (
+        itemcf_topk,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = itemcf_topk(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        k=5,
+        max_basket=64,
+        item_filter=lambda c: c < 100,
+    )
+    return out.orderBy("i", F.col("sim").desc(), "j")
+
+
+MODULARITY_SQL = f"""
+    WITH {_REPEAT_COPURCHASE_ED_SQL.strip()},
+    lbl AS (SELECT p_partkey AS node, p_brand AS com FROM part),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed),
+    within AS (
+        SELECT la.com, CAST(COUNT(*) AS BIGINT) AS ec
+        FROM ed
+        JOIN lbl la ON la.node = ed.u
+        JOIN lbl lb ON lb.node = ed.v
+        WHERE la.com = lb.com
+        GROUP BY la.com
+    ),
+    sym AS (SELECT u FROM ed UNION ALL SELECT v AS u FROM ed),
+    degs AS (
+        SELECT lbl.com, CAST(COUNT(*) AS BIGINT) AS dc
+        FROM sym JOIN lbl ON lbl.node = sym.u
+        GROUP BY lbl.com
+    ),
+    per AS (
+        SELECT d.com,
+               COALESCE(w.ec, 0) AS ec,
+               d.dc,
+               CAST(ROUND((CAST(COALESCE(w.ec, 0) AS DOUBLE) / m.m
+                           - (CAST(d.dc AS DOUBLE) / (2 * m.m))
+                             * (CAST(d.dc AS DOUBLE) / (2 * m.m)))
+                          * 1000000000) AS BIGINT) AS q_nano
+        FROM degs d LEFT JOIN within w ON w.com = d.com, m
+    )
+    SELECT com, ec, dc, CAST(q_nano AS BIGINT) AS q_nano
+    FROM per ORDER BY com
+"""
+
+
+@register("community_modularity", MODULARITY_SQL)
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity contribution of each part-brand "community"
+    on the repeat co-purchase graph: Q_c = e_c/m - (d_c/2m)^2 — the
+    partition-quality score that tells you whether a grouping (here:
+    brand) actually captures the graph's co-purchase structure.
+    Edge/degree masses are exact int64; each community's Q rides as a
+    nano-quantized integer (sum them for total Q). Communities with
+    zero internal edges still appear (LEFT JOIN + COALESCE) — they
+    are the signal that a label is structurally meaningless."""
+    ed = _repeat_copurchase_edges(spark, sf_dir).cache()
+    lbl = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
+    )
+    m = ed.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    within = (
+        ed.join(
+            lbl.select(
+                F.col("node").alias("u"), F.col("com").alias("ca")
+            ),
+            "u",
+        )
+        .join(
+            lbl.select(
+                F.col("node").alias("v"), F.col("com").alias("cb")
+            ),
+            "v",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("com"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    sym = ed.select(F.col("u").alias("node")).unionByName(
+        ed.select(F.col("v").alias("node"))
+    )
+    degs = (
+        sym.join(lbl, "node")
+        .groupBy("com")
+        .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    )
+    half = F.col("dc").cast("double") / (2 * F.col("m"))
+    return (
+        degs.join(within, "com", "left")
+        .withColumn("ec", F.coalesce(F.col("ec"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "com",
+            "ec",
+            "dc",
+            F.round(
+                (F.col("ec").cast("double") / F.col("m") - half * half)
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("q_nano"),
+        )
+        .orderBy("com")
+    )
+
+
+JS_DIVERGENCE_SQL = f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS token FROM documents
+    ),
+    cnt AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+            FROM cnt GROUP BY source),
+    pairs AS (
+        SELECT a.source AS s_a, b.source AS s_b
+        FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    terms AS (
+        SELECT p.s_a, p.s_b, t.token,
+               COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+        FROM pairs p
+        JOIN (SELECT DISTINCT token FROM cnt) t ON TRUE
+        LEFT JOIN cnt ca ON ca.source = p.s_a AND ca.token = t.token
+        LEFT JOIN cnt cb ON cb.source = p.s_b AND cb.token = t.token
+        WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0
+    ),
+    contrib AS (
+        SELECT s_a, s_b,
+               CAST(ROUND((
+                   CASE WHEN c_a > 0 THEN
+                       0.5 * (CAST(c_a AS DOUBLE) / ta.t)
+                       * ln((CAST(c_a AS DOUBLE) / ta.t)
+                            / (0.5 * (CAST(c_a AS DOUBLE) / ta.t
+                                      + CAST(c_b AS DOUBLE) / tb.t)))
+                   ELSE 0.0 END
+                 + CASE WHEN c_b > 0 THEN
+                       0.5 * (CAST(c_b AS DOUBLE) / tb.t)
+                       * ln((CAST(c_b AS DOUBLE) / tb.t)
+                            / (0.5 * (CAST(c_a AS DOUBLE) / ta.t
+                                      + CAST(c_b AS DOUBLE) / tb.t)))
+                   ELSE 0.0 END) * 1000000000) AS BIGINT) AS j_nano
+        FROM terms
+        JOIN tot ta ON ta.source = terms.s_a
+        JOIN tot tb ON tb.source = terms.s_b
+    )
+    SELECT s_a, s_b,
+           CAST(SUM(j_nano) AS BIGINT) AS js_nano
+    FROM contrib GROUP BY 1, 2 ORDER BY s_a, s_b
+"""
+
+
+@register("js_divergence", JS_DIVERGENCE_SQL)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of sources' token
+    distributions — the bounded, symmetric distribution-shift metric
+    (0 = identical mix, ln 2 = disjoint vocabularies) a corpus
+    curation job tracks to detect when one source's content drifts.
+    Per-token contributions are nano-quantized integers before the
+    one order-sensitive sum (the standing ln-term trick); the
+    full-outer token alignment is a vocabulary-sized frame, not a
+    document-sized one."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(ws_tokens(F.col("text"))).alias("token")
+        )
+    )
+    cnt = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).cache()  # feeds totals AND both sides of the pair alignment
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    pairs = (
+        tot.select(F.col("source").alias("s_a"), F.col("t").alias("ta"))
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("s_b"), F.col("t").alias("tb")
+                )
+            ),
+            F.col("s_a") < F.col("s_b"),
+        )
+    )
+    a = cnt.select(
+        F.col("source").alias("s_a"),
+        F.col("token").alias("token"),
+        F.col("c").alias("c_a"),
+    )
+    b = cnt.select(
+        F.col("source").alias("s_b"),
+        F.col("token").alias("token"),
+        F.col("c").alias("c_b"),
+    )
+    aligned = (
+        pairs.join(
+            cnt.select("token").distinct(), F.lit(True), "cross"
+        )
+        .join(a, ["s_a", "token"], "left")
+        .join(b, ["s_b", "token"], "left")
+        .withColumn("c_a", F.coalesce(F.col("c_a"), F.lit(0)))
+        .withColumn("c_b", F.coalesce(F.col("c_b"), F.lit(0)))
+        .filter(F.col("c_a") + F.col("c_b") > 0)
+    )
+    pa = F.col("c_a").cast("double") / F.col("ta")
+    pb = F.col("c_b").cast("double") / F.col("tb")
+    mid = 0.5 * (pa + pb)
+    term = F.when(
+        F.col("c_a") > 0, 0.5 * pa * F.log(pa / mid)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("c_b") > 0, 0.5 * pb * F.log(pb / mid)
+    ).otherwise(F.lit(0.0))
+    return (
+        aligned.withColumn(
+            "j_nano", F.round(term * 1_000_000_000).cast("long")
+        )
+        .groupBy("s_a", "s_b")
+        .agg(F.sum("j_nano").alias("js_nano"))
+        .orderBy("s_a", "s_b")
+    )
+
+
+def _ams_f2_sql(estimators: int = 16) -> str:
+    from defimap_data_pipelines_spark.operators.sketches import (
+        ams_sign_sql,
+    )
+
+    ys = ",\n               ".join(
+        f"CAST(SUM({ams_sign_sql('l_partkey', j)}) AS BIGINT) AS y{j}"
+        for j in range(estimators)
+    )
+    sq = " + ".join(f"y{j} * y{j}" for j in range(estimators))
+    return f"""
+    WITH s AS (
+        SELECT {ys}
+        FROM lineitem
+    ),
+    ex AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT CAST({estimators} AS INT) AS estimators,
+           ROUND(CAST({sq} AS DOUBLE) / {estimators}, 6) AS f2_est,
+           f2_exact,
+           ROUND(abs(CAST({sq} AS DOUBLE) / {estimators}
+                     - CAST(f2_exact AS DOUBLE)) / f2_exact, 9)
+               AS rel_err
+    FROM s, ex
+"""
+
+
+AMS_F2_SQL = _ams_f2_sql(16)
+
+
+@register("ams_f2_moment", AMS_F2_SQL)
+def q_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment (self-join size) of lineitem.l_partkey
+    via the AMS ±1 sketch (operators/sketches.py::ams_f2) — the
+    join-blowup predictor that needs NO per-key groupBy: 16 scan-side
+    integer sign-sums in one agg, squared and averaged, checked
+    against the exact sum-of-squared-counts in the same row. The
+    online sibling of skew_report's offline key audit."""
+    from defimap_data_pipelines_spark.operators.sketches import ams_f2
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return ams_f2(li, "l_partkey", estimators=16)
 
 
 # --------------------------------------------------------------------------
