@@ -11276,18 +11276,22 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ams_f2_sql(estimators: int = 16) -> str:
     from defimap_data_pipelines_spark.operators.sketches import (
+        ams_hash_bits_sql,
         ams_sign_sql,
     )
 
     ys = ",\n               ".join(
-        f"CAST(SUM({ams_sign_sql('l_partkey', j)}) AS BIGINT) AS y{j}"
+        f"CAST(SUM({ams_sign_sql('h', j)}) AS BIGINT) AS y{j}"
         for j in range(estimators)
     )
     sq = " + ".join(f"y{j} * y{j}" for j in range(estimators))
     return f"""
-    WITH s AS (
+    WITH bits AS (
+        SELECT {ams_hash_bits_sql('l_partkey')} AS h FROM lineitem
+    ),
+    s AS (
         SELECT {ys}
-        FROM lineitem
+        FROM bits
     ),
     ex AS (
         SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact

@@ -147,19 +147,26 @@ class TestAmsF2:
 
     def test_sign_is_plus_minus_one(self, spark):
         from defimap_data_pipelines_spark.operators.sketches import (
+            ams_hash_bits,
             ams_sign,
         )
 
         df = spark.createDataFrame(
             [(str(i),) for i in range(64)], "k string"
         )
+        bits = ams_hash_bits(F.col("k"))
         vals = {
             r["s"]
-            for r in df.select(
-                ams_sign(F.col("k"), 3).alias("s")
-            ).collect()
+            for r in df.select(ams_sign(bits, 3).alias("s")).collect()
         }
         assert vals == {-1, 1}
+
+    def test_estimator_cap(self, spark):
+        from defimap_data_pipelines_spark.operators.sketches import ams_f2
+
+        df = spark.createDataFrame([("x",)], "k string")
+        with pytest.raises(ValueError, match=r"\[1, 60\]"):
+            ams_f2(df, "k", estimators=61)
 
 
 class TestModularityQuery:
