@@ -190,11 +190,15 @@ def seasonal_residuals(
     moment frames are O(7) and O(1) broadcasts.
     """
     dow = F.expr(f"weekday({day_col}) + 1")
+    # O(days) frame with THREE downstream consumers (seasonal means,
+    # residual join, and transitively the moment sums) — without the
+    # cache each Catalyst branch re-runs whatever raw-event
+    # aggregation produced `series` (the bigram_lift lesson).
     base = series.select(
         day_col,
         F.col(value_q_col).alias("_xq"),
         dow.cast("int").alias("dow"),
-    )
+    ).cache()
     seasonal = base.groupBy("dow").agg(
         F.count(F.lit(1)).cast("long").alias("_nd"),
         F.sum("_xq").alias("_sd"),

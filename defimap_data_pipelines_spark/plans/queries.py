@@ -11354,9 +11354,12 @@ def q_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Round-7 rotation candidates (registered in r6 after the window
 # filled; each already green under tools/parity.py at sf0.01):
-# incremental_cc, skew_report — swap these in for prior greens next
-# round. (bpe_encode and the other 3 rows-only entries never take
-# window slots.)
+# incremental_cc, skew_report, graph_walks, spearman_corr,
+# mannwhitney_u, kaplan_meier, holt_forecast, seasonal_anomalies,
+# rrf_fusion, itemcf_topk, community_modularity, js_divergence,
+# ams_f2_moment — swap these in for prior greens next round.
+# (bpe_encode and the other 3 rows-only entries never take window
+# slots.)
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
