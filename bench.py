@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "community_modularity",
     "js_divergence",
     "ams_f2_moment",
+    "markov_stationary",
+    "bootstrap_ci",
 ]
 
 

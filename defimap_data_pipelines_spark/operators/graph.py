@@ -904,3 +904,64 @@ def deterministic_walks(
             )
         )
     return cur.select("start", "walk", "path")
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    rounds: int = 6,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Approximate stationary distribution of the empirical Markov
+    chain defined by integer transition counts — "what does the event
+    mix converge to if users keep behaving like this", the steady
+    state behind any next-event model.
+
+    Power iteration in EXACT integer micro-units (the
+    pagerank_quantized discipline on a stochastic instead of a
+    column-stochastic-with-teleport matrix):
+
+        v_0[t]   = micro div |states|
+        v_{k+1}[b] = sum_a (v_k[a] * c_ab) div r_a
+
+    with c_ab the transition count and r_a = sum_b c_ab the row
+    total. ``div`` truncates in both engines, so every round — and
+    therefore the whole unrolled recursion — replays bit-for-bit in
+    a SQL oracle. Truncation leaks <= |states| micro-units per round
+    (documented, deterministic); states without OUTGOING transitions
+    drain mass (the chain restricted to observed sources is
+    sub-stochastic) — scores are relative weights, not an exactly
+    normalized distribution.
+
+    Shape: the (a, b, c, r) frame is O(states^2) — category-sized,
+    not event-sized; each round is one tiny join + groupBy. The raw
+    event table is touched only to build the counts.
+    """
+    cnt = transitions.select(
+        F.col(src_col).alias("a"),
+        F.col(dst_col).alias("b"),
+        F.col(weight_col).cast("long").alias("c"),
+    )
+    r = cnt.groupBy("a").agg(F.sum("c").alias("r"))
+    cr = cnt.join(r, "a").cache()  # one consumer per round
+    nodes = cr.select("a").distinct()
+    n_states = nodes.count()  # scalar; the states frame is tiny
+    if n_states == 0:
+        raise ValueError("markov_stationary: no transitions")
+    v = nodes.select(
+        F.col("a").alias("t"),
+        F.lit(micro // n_states).cast("long").alias("v"),
+    )
+    for _ in range(rounds):
+        v = (
+            cr.join(v, cr["a"] == v["t"])
+            .select(
+                F.col("b"),
+                F.expr("(v * c) div r").alias("_m"),
+            )
+            .groupBy(F.col("b").alias("t"))
+            .agg(F.sum("_m").cast("long").alias("v"))
+        )
+    return v.select(F.col("t"), F.col("v").alias("v_micro"))

@@ -11326,6 +11326,154 @@ def q_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 7: Markov steady state + deterministic bootstrap
+# --------------------------------------------------------------------------
+
+def _markov_sql(rounds: int = 6) -> str:
+    parts = [
+        """
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    cnt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM cnt GROUP BY a),
+    cr AS (SELECT cnt.a, cnt.b, cnt.c, r.r
+           FROM cnt JOIN r ON cnt.a = r.a),
+    nodes AS (SELECT DISTINCT a FROM cr),
+    v0 AS (SELECT a AS t,
+                  CAST(1000000 // (SELECT COUNT(*) FROM nodes)
+                       AS BIGINT) AS v
+           FROM nodes)"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f""",
+    v{k + 1} AS (
+        SELECT cr.b AS t,
+               CAST(SUM((v.v * cr.c) // cr.r) AS BIGINT) AS v
+        FROM v{k} v JOIN cr ON cr.a = v.t GROUP BY cr.b
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT t AS event_type, v AS v_micro
+    FROM v{rounds} ORDER BY event_type"""
+    )
+    return "".join(parts)
+
+
+MARKOV_SQL = _markov_sql(6)
+
+
+@register("markov_stationary", MARKOV_SQL)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state event mix of the per-user event-type transition
+    chain (operators/graph.py::markov_stationary) — 6 rounds of
+    integer power iteration over the O(types^2) empirical transition
+    matrix, the pagerank unroll trick on a stochastic matrix. The
+    answer to "where does user behavior settle", one step past
+    event_transitions' raw counts."""
+    from pyspark.sql.window import Window
+
+    from defimap_data_pipelines_spark.operators.graph import (
+        markov_stationary,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        markov_stationary(pairs, "a", "b", "c", rounds=6)
+        .select(F.col("t").alias("event_type"), "v_micro")
+        .orderBy("event_type")
+    )
+
+
+def _bootstrap_sql(resamples: int = 32, quantum: int = 100) -> str:
+    from defimap_data_pipelines_spark.operators.sampling import (
+        _boot_word_sql,
+        poisson_weight_sql,
+    )
+
+    word_cols = ",\n               ".join(
+        f"{_boot_word_sql('event_id', i, lo)} AS w{i}_{int(lo)}"
+        for i in range((resamples + 7) // 8)
+        for lo in (True, False)
+    )
+    sums = []
+    for b in range(resamples):
+        w = poisson_weight_sql(f"w{b // 8}_{int(b % 8 < 4)}", b % 4)
+        sums.append(
+            f"CAST(SUM({w} * xq) AS BIGINT) AS sb{b},\n               "
+            f"CAST(SUM({w}) AS BIGINT) AS nb{b}"
+        )
+    cases = ", ".join(
+        f"CASE WHEN nb{b} > 0 THEN CAST(sb{b} AS DOUBLE) / nb{b}"
+        f" / {quantum} END"
+        for b in range(resamples)
+    )
+    sum_block = ",\n               ".join(sums)
+    return f"""
+    WITH words AS (
+        SELECT CAST(ROUND(value * {quantum}) AS BIGINT) AS xq,
+               {word_cols}
+        FROM events
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS s,
+               {sum_block}
+        FROM words
+    ),
+    m AS (
+        SELECT *, list_sort(list_filter([{cases}],
+                  x -> x IS NOT NULL)) AS ms
+        FROM agg
+    )
+    SELECT n,
+           ROUND(CAST(s AS DOUBLE) / n / {quantum}, 9) AS mean,
+           ROUND(ms[2], 9) AS ci_lo,
+           ROUND(ms[len(ms) - 1], 9) AS ci_hi,
+           CAST({resamples} AS INT) AS resamples
+    FROM m
+"""
+
+
+BOOTSTRAP_SQL = _bootstrap_sql(32, 100)
+
+
+@register("bootstrap_ci", BOOTSTRAP_SQL)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~94% Poisson-bootstrap confidence interval for mean event
+    value (operators/sampling.py::poisson_bootstrap_mean): all 32
+    resample means from ONE scan via per-row md5-derived Poisson(1)
+    weights — a bootstrap whose "randomness" value-hash-replays in
+    the oracle. CI is (2nd smallest, 2nd largest) order statistic of
+    the resample means; no interpolation conventions to disagree
+    on."""
+    from defimap_data_pipelines_spark.operators.sampling import (
+        poisson_bootstrap_mean,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return poisson_bootstrap_mean(
+        e, "event_id", "value", resamples=32, quantum=100
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered

@@ -1,0 +1,155 @@
+"""Closed-form tests for round-6 wave-7 operators: Markov stationary
+distribution and the deterministic Poisson bootstrap."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestMarkovStationary:
+    def test_two_state_chain_converges(self, spark):
+        # P = [[0, 1], [1, 0]] alternating chain: uniform start stays
+        # uniform (the exact stationary distribution, integer-exact:
+        # v*1e6/2 swaps between the states each round).
+        from defimap_data_pipelines_spark.operators.graph import (
+            markov_stationary,
+        )
+
+        t = spark.createDataFrame(
+            [("a", "b", 10), ("b", "a", 10)], "a string, b string, c long"
+        )
+        got = {
+            r["t"]: r["v_micro"]
+            for r in markov_stationary(t, "a", "b", "c", rounds=4).collect()
+        }
+        assert got == {"a": 500000, "b": 500000}
+
+    def test_absorbing_state_accumulates(self, spark):
+        # a->b only, b->b self loop: all mass should drain toward b.
+        from defimap_data_pipelines_spark.operators.graph import (
+            markov_stationary,
+        )
+
+        t = spark.createDataFrame(
+            [("a", "b", 1), ("b", "b", 1)], "a string, b string, c long"
+        )
+        got = {
+            r["t"]: r["v_micro"]
+            for r in markov_stationary(t, "a", "b", "c", rounds=6).collect()
+        }
+        # after round 1 all of a's mass is in b and stays there
+        assert got["b"] == 1000000
+        assert got.get("a", 0) == 0 or "a" not in got
+
+    def test_matches_plain_python(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import (
+            markov_stationary,
+        )
+
+        counts = {
+            ("a", "a"): 5,
+            ("a", "b"): 3,
+            ("b", "a"): 2,
+            ("b", "c"): 6,
+            ("c", "a"): 4,
+        }
+        t = spark.createDataFrame(
+            [(a, b, c) for (a, b), c in counts.items()],
+            "a string, b string, c long",
+        )
+        rounds = 5
+        got = {
+            r["t"]: r["v_micro"]
+            for r in markov_stationary(
+                t, "a", "b", "c", rounds=rounds
+            ).collect()
+        }
+        # replay in plain integers with trunc division
+        states = sorted({a for a, _ in counts})
+        r = {
+            a: sum(c for (x, _), c in counts.items() if x == a)
+            for a in states
+        }
+        v = {s: 1_000_000 // len(states) for s in states}
+        for _ in range(rounds):
+            nxt: dict = {}
+            for (a, b), c in counts.items():
+                if a in v:
+                    m = v[a] * c
+                    q = -((-m) // r[a]) if m < 0 else m // r[a]
+                    nxt[b] = nxt.get(b, 0) + q
+            v = nxt
+        assert got == v
+
+    def test_empty_raises(self, spark):
+        from defimap_data_pipelines_spark.operators.graph import (
+            markov_stationary,
+        )
+
+        t = spark.createDataFrame([], "a string, b string, c long")
+        with pytest.raises(ValueError, match="no transitions"):
+            markov_stationary(t, "a", "b", "c")
+
+
+class TestPoissonBootstrap:
+    def test_weights_follow_poisson_cdf(self, spark):
+        # Over many keys the weight distribution must match the
+        # integer-threshold Poisson(1) CDF closely.
+        from defimap_data_pipelines_spark.operators.sampling import (
+            _POISSON_T,
+            _boot_word,
+            poisson_weight,
+        )
+
+        n = 20000
+        df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+        w = df.select(
+            poisson_weight(_boot_word(F.col("k"), 0, True), 0).alias("w")
+        )
+        dist = {
+            r["w"]: r["c"]
+            for r in w.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        p0 = dist.get(0, 0) / n
+        p1 = dist.get(1, 0) / n
+        assert abs(p0 - math.exp(-1)) < 0.02
+        assert abs(p1 - math.exp(-1)) < 0.02
+        # mean weight ~ 1
+        mean_w = sum(k * c for k, c in dist.items()) / n
+        assert abs(mean_w - 1.0) < 0.03
+        # max weight respects the CDF truncation
+        assert max(dist) <= len(_POISSON_T)
+
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        from defimap_data_pipelines_spark.operators.sampling import (
+            poisson_bootstrap_mean,
+        )
+
+        rows = [(i, float(100 + (i * 37) % 50)) for i in range(4000)]
+        df = spark.createDataFrame(rows, "k long, v double")
+        a = poisson_bootstrap_mean(df, "k", "v", resamples=32).collect()[0]
+        b = (
+            poisson_bootstrap_mean(
+                df.repartition(13), "k", "v", resamples=32
+            ).collect()[0]
+        )
+        assert a == b  # layout-independent, bit for bit
+        assert a["n"] == 4000
+        assert a["ci_lo"] < a["mean"] < a["ci_hi"]
+        # true mean of the deterministic ramp is within the CI
+        true_mean = sum(v for _, v in rows) / len(rows)
+        assert a["ci_lo"] - 1 < true_mean < a["ci_hi"] + 1
+        # CI width ~ 2*2sigma/sqrt(n): sanity that it's not degenerate
+        assert 0 < a["ci_hi"] - a["ci_lo"] < 5
+
+    def test_resample_cap(self, spark):
+        from defimap_data_pipelines_spark.operators.sampling import (
+            poisson_bootstrap_mean,
+        )
+
+        df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        with pytest.raises(ValueError, match=r"\[1, 64\]"):
+            poisson_bootstrap_mean(df, "k", "v", resamples=65)
