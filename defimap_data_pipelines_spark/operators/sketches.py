@@ -398,3 +398,42 @@ def ams_f2(
             ).alias("rel_err"),
         )
     )
+
+
+def ams_sign_sums(
+    df: DataFrame,
+    key_col: str,
+    estimators: int = 16,
+) -> DataFrame:
+    """Long-form AMS state: one (j, y) row per estimator with
+    y_j = sum of ±1 signs over rows. This IS the sketch — linear in
+    the data, so two states merge by summing y per j (the CMS-grid
+    mergeability contract, k integers instead of a grid), which is
+    what the streaming maintenance job persists.
+    """
+    if not 1 <= estimators <= 60:
+        raise ValueError("estimators must be in [1, 60] (md5 bits)")
+    bitted = df.select(ams_hash_bits(F.col(key_col)).alias("_h"))
+    flat = bitted.agg(
+        *[
+            F.sum(ams_sign(F.col("_h"), j)).cast("long").alias(f"_y{j}")
+            for j in range(estimators)
+        ]
+    )
+    return flat.select(
+        F.posexplode(
+            F.array(*[F.col(f"_y{j}") for j in range(estimators)])
+        ).alias("j", "y")
+    ).select(F.col("j").cast("int").alias("j"), "y")
+
+
+def ams_f2_from_sums(sums: DataFrame) -> DataFrame:
+    """Close an (j, y) AMS state into the F2 estimate: mean of y^2."""
+    return sums.agg(
+        F.count(F.lit(1)).cast("int").alias("estimators"),
+        F.round(
+            F.sum(F.col("y") * F.col("y")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("f2_est"),
+    )

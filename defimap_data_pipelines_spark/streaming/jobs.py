@@ -526,6 +526,68 @@ def stream_cms_incremental(
     )
 
 
+def stream_ams_incremental(
+    key_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    name: str = "ams_stream",
+    key_col: str = "token",
+    estimators: int = 16,
+) -> "StreamingQuery":  # noqa: F821
+    """Maintain a LONG-LIVED AMS F2 sketch across micro-batches: each
+    batch's ±1 sign-sums ADD into the ModelStore-persisted (j, y)
+    state — k integers of state total, the cheapest self-join-size
+    monitor a streaming ingest can keep. Linear sketch, so merge ==
+    from-scratch exactly (the stream_cms_incremental contract; the
+    test asserts integer equality, not approximation).
+
+    The persisted state is k rows, pinned with localCheckpoint before
+    its own path is overwritten (the standing read-then-overwrite
+    discipline).
+    """
+    from defimap_data_pipelines_spark.operators.sketches import (
+        ams_sign_sums,
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        from pyspark.errors import AnalysisException
+
+        bsums = ams_sign_sums(
+            batch.select(F.col(key_col).alias("k")), "k", estimators
+        )
+        try:
+            existing = store.load_frame(spark, name).localCheckpoint()
+        except AnalysisException as e:
+            # only "not yet fitted" may fall through; a corrupt or
+            # unreadable store must propagate (the fit_or_load_frame
+            # narrowing, r5 advice)
+            cls = e.getCondition() or ""
+            if (
+                "PATH_NOT_FOUND" not in cls
+                and "PATH_NOT_FOUND" not in str(e)
+            ):
+                raise
+            existing = None
+        merged = (
+            bsums
+            if existing is None
+            else bsums.unionByName(existing)
+            .groupBy("j")
+            .agg(F.sum("y").cast("long").alias("y"))
+        )
+        store.save_frame(merged.select("j", "y"), name)
+
+    return (
+        key_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_decontaminate(
     doc_stream: DataFrame,
     store,

@@ -153,3 +153,63 @@ class TestPoissonBootstrap:
         df = spark.createDataFrame([(1, 1.0)], "k long, v double")
         with pytest.raises(ValueError, match=r"\[1, 64\]"):
             poisson_bootstrap_mean(df, "k", "v", resamples=65)
+
+
+def test_stream_ams_incremental_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Linear-sketch maintenance: AMS sign-sums merged across 3 token
+    micro-batches must equal the from-scratch sums INTEGER-EXACTLY,
+    and the closed F2 estimate must match the batch operator's."""
+    import os
+    import time
+
+    from defimap_data_pipelines_spark.operators.sketches import (
+        ams_f2_from_sums,
+        ams_sign_sums,
+    )
+    from defimap_data_pipelines_spark.pipelines.models import ModelStore
+    from defimap_data_pipelines_spark.streaming.jobs import (
+        stream_ams_incremental,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.col("event_type").alias("token"), "event_id")
+        .cache()
+    )
+    scratch = ams_sign_sums(events, "token", estimators=12)
+
+    arrivals = str(tmp_path / "ams_tokens")
+    os.makedirs(arrivals)
+    n = events.count()
+    ids = sorted(r.event_id for r in events.select("event_id").collect())
+    cuts = [ids[0], ids[n // 3], ids[2 * n // 3], None]
+    for i in range(3):
+        part = events.filter(F.col("event_id") >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(F.col("event_id") < cuts[i + 1])
+        chunk = str(tmp_path / f"amstok{i}")
+        part.select("token").coalesce(1).write.parquet(chunk)
+        src = [f for f in os.listdir(chunk) if f.endswith(".parquet")][0]
+        dst = os.path.join(arrivals, f"{i:02d}.parquet")
+        os.rename(os.path.join(chunk, src), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    store = ModelStore(str(tmp_path / "ams_models"))
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+    )
+    q = stream_ams_incremental(
+        stream, store, str(tmp_path / "ams_ckpt"), estimators=12
+    )
+    q.awaitTermination(120)
+
+    merged = store.load_frame(spark, "ams_stream")
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, scratch.collect()))
+    assert a == b  # linear sketch: merge == from-scratch, exactly
+    est_m = ams_f2_from_sums(merged).collect()[0]
+    est_b = ams_f2_from_sums(scratch).collect()[0]
+    assert est_m == est_b
+    assert est_m["estimators"] == 12
