@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "ams_f2_moment",
     "markov_stationary",
     "bootstrap_ci",
+    "top_event_paths",
+    "mutual_best_pairs",
+    "isotonic_calibration",
 ]
 
 

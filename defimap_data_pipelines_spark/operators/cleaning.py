@@ -118,3 +118,90 @@ def quantile_normalize_dims(
         F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_d")
     ).select("_rk", F.expr("_s div _d").alias("ref_q"))
     return ranked.join(ref, "_rk").select("id", "dim", "ref_q")
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Weighted isotonic regression per group via Pool-Adjacent-
+    Violators (Barlow et al. 1972) — the calibration-curve fitter:
+    the least-squares NON-DECREASING step function through
+    (x, mean(y)) points, e.g. P(convert | score-bucket) that a
+    monotone model is allowed to output.
+
+    Exactness: ``y_col`` must already be integer (quantize first —
+    indicator labels are the common case). Points pre-aggregate to
+    per-(group, x) (sum, count); PAVA runs on the O(buckets) frame
+    inside applyInPandas with pool-merge decisions by INTEGER
+    cross-multiplication (s_prev * c_cur > s_cur * c_prev — no float
+    ever), and the fitted value is (pool_sum * micro) div pool_count,
+    truncated — so the whole fit replays exactly.
+
+    A stack algorithm has no SQL twin, but the fit does: the minimax
+    identity y_hat(k) = max_{i<=k} min_{j>=k} mean(y[i..j]) turns
+    PAVA into an O(B^3) interval join an oracle can run — and
+    truncation COMMUTES with min/max (it is monotone), so quantized
+    minimax == quantized pool means bit-for-bit. The registered
+    query's oracle does exactly that.
+
+    Scale: the heavy input collapses in the one groupBy; PAVA itself
+    touches B rows per group (keep B bounded — it is a CURVE, not a
+    table). Groups partition freely.
+
+    Returns (group, x, n, y_hat_micro), one row per distinct x.
+    """
+    import pandas as pd
+
+    agg = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(x_col).alias("_x")
+    ).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_c"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_x", kind="stable")
+        ss = pdf["_s"].tolist()
+        cs = pdf["_c"].tolist()
+        # pools: [sum, count, n_points]
+        pools: list[list[int]] = []
+        for s, c in zip(ss, cs):
+            pools.append([s, c, 1])
+            while (
+                len(pools) > 1
+                and pools[-2][0] * pools[-1][1]
+                > pools[-1][0] * pools[-2][1]
+            ):
+                s2, c2, k2 = pools.pop()
+                pools[-1][0] += s2
+                pools[-1][1] += c2
+                pools[-1][2] += k2
+        fitted = []
+        for s, c, k in pools:
+            m = s * micro
+            q = -((-m) // c) if m < 0 else m // c  # trunc, not floor
+            fitted.extend([q] * k)
+        return pd.DataFrame(
+            {
+                "g": pdf["_g"],
+                "x": pdf["_x"],
+                "n": cs,
+                "y_hat_micro": fitted,
+            }
+        )
+
+    g_t = agg.schema["_g"].dataType.simpleString()
+    x_t = agg.schema["_x"].dataType.simpleString()
+    out = agg.groupBy("_g").applyInPandas(
+        run, f"g {g_t}, x {x_t}, n long, y_hat_micro long"
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("x").alias(x_col),
+        "n",
+        "y_hat_micro",
+    )

@@ -11473,6 +11473,174 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_PATHS_SQL = """
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type, 1) OVER w AS b,
+               LEAD(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT a, b, c, n FROM paths
+    ORDER BY n DESC, a, b, c LIMIT 20
+"""
+
+
+@register("top_event_paths", TOP_PATHS_SQL)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step user paths — the funnel-DISCOVERY query
+    (event_funnel checks a known funnel; this finds the funnels worth
+    checking). One window with two LEADs, one count, top-20 via
+    sort+limit (TakeOrderedAndProject — per-partition partial top-k,
+    never a global row_number window)."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        seq.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b", "c")
+        .limit(20)
+    )
+
+
+MUTUAL_BEST_SQL = """
+    WITH bp AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    sz AS (SELECT b FROM bp GROUP BY b HAVING COUNT(*) <= 64),
+    bpf AS (SELECT bp.b, bp.i FROM bp JOIN sz ON bp.b = sz.b),
+    ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM bpf GROUP BY i),
+    pairs AS (
+        SELECT a.i AS i, c2.i AS j, CAST(COUNT(*) AS BIGINT) AS cij
+        FROM bpf a JOIN bpf c2 ON a.b = c2.b AND a.i != c2.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.i, p.j, p.cij,
+               ROUND(CAST(p.cij AS DOUBLE)
+                     / sqrt(CAST(ca.c AS DOUBLE) * cb.c), 9) AS sim
+        FROM pairs p
+        JOIN ci ca ON ca.i = p.i
+        JOIN ci cb ON cb.i = p.j
+    ),
+    best AS (
+        SELECT i, j, cij, sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+                  ORDER BY sim DESC, j ASC) AS rn FROM scored)
+        WHERE rn = 1
+    )
+    SELECT x.i AS i, x.j AS j, x.cij AS cij, x.sim AS sim
+    FROM best x JOIN best y ON x.i = y.j AND x.j = y.i
+    WHERE x.i < x.j
+    ORDER BY i
+"""
+
+
+@register("mutual_best_pairs", MUTUAL_BEST_SQL)
+def q_mutual_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best matches on the co-purchase similarity: part
+    pairs that are each other's TOP-1 itemCF neighbor — the
+    mutual-nearest-neighbor criterion (bundle detection here; in
+    entity resolution, the classic high-precision match filter).
+    Composition: itemcf_topk(k=1) with no left filter, then a self
+    join of the O(items) best frame on (i=j', j=i')."""
+    from defimap_data_pipelines_spark.operators.ranking import (
+        itemcf_topk,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    best = itemcf_topk(li, "l_orderkey", "l_partkey", k=1).cache()
+    other = best.select(
+        F.col("i").alias("_yi"), F.col("j").alias("_yj")
+    )
+    return (
+        best.join(
+            other,
+            (F.col("i") == F.col("_yj")) & (F.col("j") == F.col("_yi")),
+        )
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "cij", "sim")
+        .orderBy("i")
+    )
+
+
+ISOTONIC_SQL = """
+    WITH pts AS (
+        SELECT CAST(ROUND(value) AS BIGINT) // 16 AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    ord AS (SELECT x, s, c, ROW_NUMBER() OVER (ORDER BY x) AS k
+            FROM pts),
+    pre AS (SELECT k, x, c,
+                   CAST(SUM(s) OVER (ORDER BY k) AS BIGINT) AS ps,
+                   CAST(SUM(c) OVER (ORDER BY k) AS BIGINT) AS pc
+            FROM ord),
+    iv AS (
+        SELECT a.k AS i, b.k AS j,
+               CAST((b.ps - COALESCE(a0.ps, 0)) * 1000000
+                    // (b.pc - COALESCE(a0.pc, 0)) AS BIGINT) AS q
+        FROM pre a
+        JOIN pre b ON b.k >= a.k
+        LEFT JOIN pre a0 ON a0.k = a.k - 1
+    ),
+    mn AS (
+        SELECT p.k, v.i, CAST(MIN(v.q) AS BIGINT) AS m
+        FROM pre p JOIN iv v ON v.i <= p.k AND v.j >= p.k
+        GROUP BY p.k, v.i
+    ),
+    fit AS (SELECT k, CAST(MAX(m) AS BIGINT) AS y_hat_micro
+            FROM mn GROUP BY k)
+    SELECT o.x, o.c AS n, f.y_hat_micro
+    FROM ord o JOIN fit f ON f.k = o.k
+    ORDER BY o.x
+"""
+
+
+@register("isotonic_calibration", ISOTONIC_SQL)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration curve P(purchase | value bucket)
+    (operators/cleaning.py::isotonic_fit): the least-squares monotone
+    step function through the bucket conversion rates, fitted by
+    integer-exact PAVA. The oracle runs a DIFFERENT algorithm — the
+    minimax identity max_{i<=k} min_{j>=k} mean(i..j) as an O(B^3)
+    interval join — and must land on bit-identical fitted values
+    (truncation commutes with min/max), which is about the strongest
+    cross-check an operator can get."""
+    from defimap_data_pipelines_spark.operators.cleaning import (
+        isotonic_fit,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.lit("all").alias("g"),
+        F.expr("CAST(ROUND(value) AS BIGINT) div 16").alias("x"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    return (
+        isotonic_fit(pts, "g", "x", "y")
+        .select("x", "n", "y_hat_micro")
+        .orderBy("x")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
@@ -11505,7 +11673,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental_cc, skew_report, graph_walks, spearman_corr,
 # mannwhitney_u, kaplan_meier, holt_forecast, seasonal_anomalies,
 # rrf_fusion, itemcf_topk, community_modularity, js_divergence,
-# ams_f2_moment — swap these in for prior greens next round.
+# ams_f2_moment, markov_stationary, bootstrap_ci, top_event_paths,
+# mutual_best_pairs, isotonic_calibration — swap these in for prior
+# greens next round.
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 

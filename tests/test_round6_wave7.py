@@ -213,3 +213,112 @@ def test_stream_ams_incremental_equals_batch_sketch(spark, sf_dir, tmp_path):
     est_b = ams_f2_from_sums(scratch).collect()[0]
     assert est_m == est_b
     assert est_m["estimators"] == 12
+
+
+def _pava_reference(points):
+    """Plain-Python minimax isotonic fit: y_hat(k) = max over i<=k of
+    min over j>=k of mean(y[i..j]), in exact fractions, truncated to
+    micro-units — a THIRD independent implementation (the operator is
+    a pool stack, the oracle an interval join)."""
+    from fractions import Fraction
+
+    n = len(points)
+    ss = [s for s, _ in points]
+    cs = [c for _, c in points]
+    out = []
+    for k in range(n):
+        best = None
+        for i in range(k + 1):
+            worst = None
+            for j in range(k, n):
+                m = Fraction(sum(ss[i:j + 1]), sum(cs[i:j + 1]))
+                worst = m if worst is None else min(worst, m)
+            best = worst if best is None else max(best, worst)
+        v = best * 1_000_000
+        q = int(v) if v >= 0 else -int(-v)  # trunc
+        out.append(q)
+    return out
+
+
+class TestIsotonicFit:
+    def test_monotone_and_matches_reference_many_cases(self, spark):
+        # 12 deterministic pseudo-random cases ride as 12 GROUPS of
+        # one DataFrame — one Spark job checks them all.
+        from defimap_data_pipelines_spark.operators.cleaning import (
+            isotonic_fit,
+        )
+
+        rows = []
+        cases = {}
+        for g in range(12):
+            pts = []
+            for x in range(1 + (g * 7) % 9):
+                s = ((g * 31 + x * 17) % 23) - 5
+                c = 1 + (g + x) % 4
+                pts.append((s, c))
+                rows.append((f"g{g}", x, s, c))
+            if pts:
+                cases[f"g{g}"] = pts
+        # expand (s over c rows): feed raw rows so the operator's own
+        # groupBy does the aggregation — emit c rows summing to s
+        raw = []
+        for gname, x, s, c in rows:
+            base = s // c
+            rem = s - base * c
+            for r in range(c):
+                raw.append((gname, x, base + (1 if r < rem else 0)))
+        df = spark.createDataFrame(raw, "g string, x long, y long")
+        got = isotonic_fit(df, "g", "x", "y").collect()
+        by_group: dict = {}
+        for r in got:
+            by_group.setdefault(r["g"], []).append((r["x"], r["y_hat_micro"]))
+        for gname, pts in cases.items():
+            fit = [v for _, v in sorted(by_group[gname])]
+            assert fit == _pava_reference(pts), gname
+            assert all(a <= b for a, b in zip(fit, fit[1:]))  # monotone
+
+    def test_already_monotone_unchanged(self, spark):
+        from defimap_data_pipelines_spark.operators.cleaning import (
+            isotonic_fit,
+        )
+
+        raw = [("g", x, x * 10) for x in range(5)]
+        df = spark.createDataFrame(raw, "g string, x long, y long")
+        got = sorted(
+            (r["x"], r["y_hat_micro"])
+            for r in isotonic_fit(df, "g", "x", "y").collect()
+        )
+        assert got == [(x, x * 10 * 1_000_000) for x in range(5)]
+
+    def test_strictly_decreasing_pools_to_global_mean(self, spark):
+        from defimap_data_pipelines_spark.operators.cleaning import (
+            isotonic_fit,
+        )
+
+        raw = [("g", x, 40 - 10 * x) for x in range(4)]  # 40,30,20,10
+        df = spark.createDataFrame(raw, "g string, x long, y long")
+        got = {
+            r["x"]: r["y_hat_micro"]
+            for r in isotonic_fit(df, "g", "x", "y").collect()
+        }
+        assert set(got.values()) == {25 * 1_000_000}
+
+
+class TestPathsAndBundles:
+    def test_top_paths_counts(self, spark, sf_dir):
+        from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+        got = QUERIES["top_event_paths"](spark, sf_dir).collect()
+        assert 0 < len(got) <= 20
+        ns = [r["n"] for r in got]
+        assert ns == sorted(ns, reverse=True)
+
+    def test_mutual_best_symmetry(self, spark, sf_dir):
+        from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+        got = QUERIES["mutual_best_pairs"](spark, sf_dir).collect()
+        for r in got:
+            assert r["i"] < r["j"]
+        # pairs are unique
+        pairs = [(r["i"], r["j"]) for r in got]
+        assert len(pairs) == len(set(pairs))
