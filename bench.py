@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "top_event_paths",
     "mutual_best_pairs",
     "isotonic_calibration",
+    "trailing_distinct_kmv",
 ]
 
 

@@ -437,3 +437,109 @@ def ams_f2_from_sums(sums: DataFrame) -> DataFrame:
             6,
         ).alias("f2_est"),
     )
+
+
+def trailing_distinct_kmv(
+    df: DataFrame,
+    day_col: str,
+    key_col: str,
+    window_days: int = 7,
+    k: int = 256,
+) -> DataFrame:
+    """Trailing-window distinct counts ("7-day active users per day")
+    via MERGEABLE per-day KMV sketches — the sliding-sketch pattern
+    that replaces the quadratic day-spine x history range join with
+    k doubles per day.
+
+    Per day: the k smallest distinct key hashes (one shuffle,
+    partial-aggregated). Per trailing window: union the <= window * k
+    hashes, re-take the k smallest (KMV's closure under union — the
+    Beyer et al. SIGMOD'07 multiset-operations property), estimate
+    (k-1)/u_k, exact when fewer than k distinct survive. All window
+    math happens on the O(days) per-day frame; the raw table is
+    scanned once.
+
+    Every hash is the md5-replayable kmv_hash, so the ESTIMATE —
+    not just the exact twin — is value-hash-checkable cross-engine.
+
+    Calendar semantics: a RANGE frame over the integer day number
+    (missing days do not silently stretch the window — the ROWS-frame
+    bug every hand-rolled trailing metric ships once).
+
+    Returns (day, exact_distinct, kmv_estimate, rel_err). The exact
+    column runs the range join both engines can afford at test scale;
+    at 100 TB drop it and keep the sketch — that asymmetry is the
+    operator's reason to exist.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.col(day_col).alias("day"), F.col(key_col).alias("key")
+    ).distinct().cache()  # feeds the sketch AND the exact twin
+    hashed = pairs.select(
+        "day",
+        F.datediff(
+            F.col("day"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("dnum"),
+        kmv_hash(F.col("key")).alias("h"),
+    )
+    wday = Window.partitionBy("day").orderBy("h")
+    per_day = (
+        hashed.withColumn("_rn", F.row_number().over(wday))
+        .filter(F.col("_rn") <= k)
+        .groupBy("day", "dnum")
+        .agg(F.sort_array(F.collect_list("h")).alias("arr"))
+    )
+    wtrail = Window.orderBy("dnum").rangeBetween(-(window_days - 1), 0)
+    merged = per_day.withColumn(
+        "ms",
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(F.collect_list("arr").over(wtrail))
+                )
+            ),
+            1,
+            k,
+        ),
+    )
+    est = F.when(
+        F.size(F.col("ms")) < k, F.size(F.col("ms")).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / F.element_at(F.col("ms"), k)
+    )
+    sketch = merged.select("day", "dnum", est.alias("kmv_estimate"))
+    spine = per_day.select("day", "dnum")
+    expairs = pairs.select(
+        F.datediff(
+            F.col("day"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("pnum"),
+        "key",
+    )
+    exact = (
+        spine.join(
+            expairs,
+            (F.col("pnum") >= F.col("dnum") - (window_days - 1))
+            & (F.col("pnum") <= F.col("dnum")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("key")).cast("long").alias(
+            "exact_distinct"
+        ))
+    )
+    return (
+        sketch.join(exact, "day")
+        .select(
+            "day",
+            "exact_distinct",
+            F.round("kmv_estimate", 9).alias("kmv_estimate"),
+            F.round(
+                F.abs(
+                    F.col("kmv_estimate")
+                    - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct"),
+                9,
+            ).alias("rel_err"),
+        )
+    )

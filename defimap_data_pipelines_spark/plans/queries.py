@@ -11641,6 +11641,108 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trailing_kmv_sql(window_days: int = 7, k: int = 256) -> str:
+    from defimap_data_pipelines_spark.operators.sketches import (
+        kmv_hash_sql,
+    )
+
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ),
+    hashed AS (
+        SELECT day,
+               CAST(date_diff('day', DATE '1970-01-01', day)
+                    AS BIGINT) AS dnum,
+               {kmv_hash_sql('user_id')} AS h
+        FROM pairs
+    ),
+    bk AS (
+        SELECT day, dnum, h
+        FROM (SELECT day, dnum, h,
+                     ROW_NUMBER() OVER (PARTITION BY day ORDER BY h)
+                         AS rn
+              FROM hashed)
+        WHERE rn <= {k}
+    ),
+    perday AS (
+        SELECT day, dnum, list_sort(list(h)) AS arr
+        FROM bk GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT day, dnum,
+               flatten(list(arr) OVER (
+                   ORDER BY dnum
+                   RANGE BETWEEN {window_days - 1} PRECEDING
+                         AND CURRENT ROW)) AS fl
+        FROM perday
+    ),
+    m2 AS (
+        SELECT day, dnum,
+               list_sort(list_distinct(fl))[1:{k}] AS ms
+        FROM merged
+    ),
+    sk AS (
+        SELECT day, dnum,
+               CASE WHEN len(ms) < {k}
+                    THEN CAST(len(ms) AS DOUBLE)
+                    ELSE {float(k - 1)!r} / ms[{k}] END AS kmv_estimate
+        FROM m2
+    ),
+    expairs AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', day)
+                    AS BIGINT) AS pnum,
+               user_id
+        FROM pairs
+    ),
+    ex AS (
+        SELECT s.day,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+                   AS exact_distinct
+        FROM (SELECT DISTINCT day, dnum FROM perday) s
+        JOIN expairs p
+          ON p.pnum >= s.dnum - {window_days - 1}
+         AND p.pnum <= s.dnum
+        GROUP BY s.day
+    )
+    SELECT sk.day, ex.exact_distinct,
+           ROUND(sk.kmv_estimate, 9) AS kmv_estimate,
+           ROUND(abs(sk.kmv_estimate
+                     - CAST(ex.exact_distinct AS DOUBLE))
+                 / ex.exact_distinct, 9) AS rel_err
+    FROM sk JOIN ex ON sk.day = ex.day
+    ORDER BY sk.day
+"""
+
+
+TRAILING_KMV_SQL = _trailing_kmv_sql(7, 256)
+
+
+@register("trailing_distinct_kmv", TRAILING_KMV_SQL)
+def q_trailing_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing active users per day via mergeable per-day KMV
+    sketches (operators/sketches.py::trailing_distinct_kmv) — the
+    sliding-sketch replacement for the day-spine range join, with
+    the exact twin computed alongside as certification (the
+    kmv_distinct est-vs-exact contract, now windowed). RANGE frame
+    over day numbers: missing calendar days cannot silently stretch
+    the window."""
+    from defimap_data_pipelines_spark.operators.sketches import (
+        trailing_distinct_kmv,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "user_id",
+    )
+    return trailing_distinct_kmv(
+        daily, "day", "user_id", window_days=7, k=256
+    ).orderBy("day")
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
@@ -11674,8 +11776,8 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mannwhitney_u, kaplan_meier, holt_forecast, seasonal_anomalies,
 # rrf_fusion, itemcf_topk, community_modularity, js_divergence,
 # ams_f2_moment, markov_stationary, bootstrap_ci, top_event_paths,
-# mutual_best_pairs, isotonic_calibration — swap these in for prior
-# greens next round.
+# mutual_best_pairs, isotonic_calibration, trailing_distinct_kmv —
+# swap these in for prior greens next round.
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 

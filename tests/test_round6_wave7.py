@@ -322,3 +322,61 @@ class TestPathsAndBundles:
         # pairs are unique
         pairs = [(r["i"], r["j"]) for r in got]
         assert len(pairs) == len(set(pairs))
+
+
+class TestTrailingDistinctKmv:
+    def test_exact_when_under_k(self, spark):
+        # fewer than k distinct keys in every window -> the sketch IS
+        # the exact count, and rel_err == 0
+        from defimap_data_pipelines_spark.operators.sketches import (
+            trailing_distinct_kmv,
+        )
+
+        rows = []
+        for d in range(10):
+            for u in range(5 + d):
+                rows.append((f"2024-02-{d + 1:02d}", u))
+        df = spark.createDataFrame(rows, "ds string, u long").select(
+            F.to_date("ds").alias("day"), "u"
+        )
+        got = trailing_distinct_kmv(
+            df, "day", "u", window_days=3, k=64
+        ).collect()
+        for r in got:
+            assert r["kmv_estimate"] == float(r["exact_distinct"])
+            assert r["rel_err"] == 0.0
+
+    def test_calendar_gap_does_not_stretch_window(self, spark):
+        # days 1, 2 then a gap to day 9: the day-9 window (3 days)
+        # must contain ONLY day 9's users, not reach back across the
+        # gap the way a ROWS frame would.
+        from defimap_data_pipelines_spark.operators.sketches import (
+            trailing_distinct_kmv,
+        )
+
+        rows = (
+            [("2024-02-01", u) for u in range(4)]
+            + [("2024-02-02", u) for u in range(4, 8)]
+            + [("2024-02-09", u) for u in range(8, 10)]
+        )
+        df = spark.createDataFrame(rows, "ds string, u long").select(
+            F.to_date("ds").alias("day"), "u"
+        )
+        got = {
+            r["day"].isoformat(): r["exact_distinct"]
+            for r in trailing_distinct_kmv(
+                df, "day", "u", window_days=3, k=64
+            ).collect()
+        }
+        assert got["2024-02-02"] == 8  # day1+day2
+        assert got["2024-02-09"] == 2  # gap: only its own users
+
+    def test_estimate_accuracy_at_scale(self, spark, sf_dir):
+        from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+        got = QUERIES["trailing_distinct_kmv"](spark, sf_dir).collect()
+        assert len(got) > 0
+        # k=256 -> expected relative error ~ 1/sqrt(254) ~ 6%;
+        # assert a loose 4-sigma bound on every day
+        for r in got:
+            assert r["rel_err"] < 0.25, (r["day"], r["rel_err"])
