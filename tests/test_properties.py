@@ -367,3 +367,120 @@ def test_warc_gz_roundtrip_and_truncation_salvage(records, cut_back):
     assert len(salvaged) <= len(records)
     for rec, (t, p) in zip(salvaged, records):
         assert rec["warc_type"] == t and rec["payload"] == p
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave properties: Holt recursion, Mann-Whitney vs brute force,
+# isotonic minimax identity under arbitrary integer inputs
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(-10_000, 10_000), min_size=1, max_size=25
+    )
+)
+def test_holt_matches_plain_recursion(spark, xs):
+    """holt_quantized == the closed-form two-state trunc recursion for
+    ANY integer series (signs, zeros, spikes)."""
+    from defimap_data_pipelines_spark.operators.rolling import (
+        holt_quantized,
+    )
+
+    rows = [("k", i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    got = {
+        r["o"]: (r["level_q"], r["trend_q"])
+        for r in holt_quantized(df, "k", "o", "v", micro=1).collect()
+    }
+
+    def trunc2(s):
+        return -((-s) // 2) if s < 0 else s // 2
+
+    l = b = None
+    for i, x in enumerate(xs):
+        if l is None:
+            l, b = x, 0
+        else:
+            lp = l
+            l = trunc2(x + l + b)
+            b = trunc2((l - lp) + b)
+        assert got[i] == (l, b), (i, xs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 6), min_size=2, max_size=12),
+    st.lists(st.integers(0, 6), min_size=2, max_size=12),
+)
+def test_mannwhitney_matches_bruteforce(spark, xs, ys):
+    """Block-arithmetic U == the O(n*m) pairwise definition, with
+    heavy ties (values drawn from 7 levels)."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        mannwhitney_pairs,
+    )
+
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mannwhitney_pairs(df, "g", "v", quantum=1).collect()
+    u2_brute = 0
+    for a in xs:
+        for b in ys:
+            if a > b:
+                u2_brute += 2
+            elif a == b:
+                u2_brute += 1
+    # all-tied (zero variance) inputs are dropped by contract
+    combined = xs + ys
+    if all(v == combined[0] for v in combined):
+        assert got == []
+    else:
+        assert len(got) == 1
+        assert got[0]["u2"] == u2_brute, (xs, ys)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-20, 20), st.integers(1, 4)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_isotonic_pava_equals_minimax(spark, pts):
+    """Stack PAVA == max-min interval identity (exact fractions) for
+    arbitrary weighted integer points — the operator/oracle
+    equivalence as a property, not just on the registered query."""
+    from fractions import Fraction
+
+    from defimap_data_pipelines_spark.operators.cleaning import (
+        isotonic_fit,
+    )
+
+    raw = []
+    for x, (s, c) in enumerate(pts):
+        base = s // c
+        rem = s - base * c
+        for r in range(c):
+            raw.append(("g", x, base + (1 if r < rem else 0)))
+    df = spark.createDataFrame(raw, "g string, x long, y long")
+    got = {
+        r["x"]: r["y_hat_micro"]
+        for r in isotonic_fit(df, "g", "x", "y").collect()
+    }
+    ss = [s for s, _ in pts]
+    cs = [c for _, c in pts]
+    n = len(pts)
+    for k in range(n):
+        best = None
+        for i in range(k + 1):
+            worst = None
+            for j in range(k, n):
+                m = Fraction(sum(ss[i:j + 1]), sum(cs[i:j + 1]))
+                worst = m if worst is None else min(worst, m)
+            best = worst if best is None else max(best, worst)
+        v = best * 1_000_000
+        q = int(v) if v >= 0 else -int(-v)
+        assert got[k] == q, (pts, k)
+    fit = [got[k] for k in range(n)]
+    assert all(a <= b for a, b in zip(fit, fit[1:]))
