@@ -212,3 +212,65 @@ def bottomk_sample_quantiles(
         )
         .select("q", F.col("_v").alias("quantile"))
     )
+
+
+def weighted_median_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col,
+    quantum: int = 100,
+) -> DataFrame:
+    """Lower weighted median of ``value_col`` under integer weights,
+    per group: the smallest value v with cumulative weight(<= v) >=
+    half the total weight. The robust center for "median price per
+    unit SOLD" style questions where each row speaks for
+    ``weight_col`` units, not one (plain median over rows answers a
+    different question).
+
+    The LOWER-median convention is deliberate: it always lands on an
+    observed value, needs no interpolation, and is a pure integer
+    decision (2 * cumw >= total under int64), so it replays exactly
+    in any engine. One groupBy to (group, value)-level weight sums —
+    value-distinct-sized, not row-sized — then a window cumsum and a
+    MIN over qualifying values. Returns (g, total_w, w_median).
+    """
+    from pyspark.sql import Window
+
+    vq = F.round(F.col(value_col) * quantum).cast("long")
+    per_v = (
+        df.select(
+            F.col(group_col).alias("g"),
+            vq.alias("vq"),
+            weight_col.cast("long").alias("w"),
+        )
+        .groupBy("g", "vq")
+        .agg(F.sum("w").alias("wv"))
+    )
+    cum = per_v.select(
+        "g",
+        "vq",
+        "wv",
+        F.sum("wv")
+        .over(
+            Window.partitionBy("g")
+            .orderBy("vq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cw"),
+        F.sum("wv")
+        .over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(
+            F.max("tw").alias("total_w"),
+            (F.min("vq").cast("double") / quantum).alias("w_median"),
+        )
+    )

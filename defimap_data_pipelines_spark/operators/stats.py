@@ -496,3 +496,514 @@ def rank_buckets(
     return df.withColumn("_rk", rn).withColumn("_nn", n).withColumn(
         out_col, F.expr("_rk div _nn")
     ).drop("_rk", "_nn")
+
+
+def _daily_pairs(
+    daily: DataFrame,
+) -> DataFrame:
+    """All ordered pairs (i < j by day) of a per-(group, day) integer
+    series ``(g, day, yq)`` — the substrate both Theil–Sen and
+    Mann–Kendall consume. The quadratic blowup happens AFTER the
+    per-day aggregation, on an O(groups * days) frame whose size is a
+    property of the calendar, not the row count — at 100 TB the pair
+    frame is the same few thousand rows it is at sf0.001, so the
+    self-join is broadcastable by construction.
+    """
+    a = daily.select(
+        F.col("g"),
+        F.col("day").alias("day_i"),
+        F.col("yq").alias("y_i"),
+    )
+    b = daily.select(
+        F.col("g"),
+        F.col("day").alias("day_j"),
+        F.col("yq").alias("y_j"),
+    )
+    return a.join(
+        F.broadcast(b), ["g"], "inner"
+    ).filter(F.col("day_i") < F.col("day_j"))
+
+
+def daily_series(
+    df: DataFrame,
+    group_col: str,
+    date_col,
+    value_col: str,
+    epoch: str,
+    quantum: int = 100,
+) -> DataFrame:
+    """Per-(group, day) exact-integer totals: ``(g, day, yq)`` with
+    day = days since ``epoch`` and yq = sum of quantized values. The
+    one full-data pass shared by the robust-trend operators; map-side
+    combine does the heavy lifting, output is calendar-sized."""
+    return (
+        df.groupBy(
+            F.col(group_col).alias("g"),
+            F.datediff(F.col(date_col).cast("date"), F.lit(epoch).cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * quantum).cast("long")).alias(
+                "yq"
+            )
+        )
+    )
+
+
+def theilsen_by_group(
+    daily: DataFrame,
+) -> DataFrame:
+    """Theil–Sen robust trend per group over an integer daily series
+    ``(g, day, yq)``: the median of all pairwise slopes (y_j - y_i) /
+    (day_j - day_i). Breakdown point ~29% — one bad day cannot move
+    it, which is why it beats OLS (operators/risk.py) for drift
+    monitoring on spiky metrics.
+
+    Determinism: each slope is quantized to nano-units via
+    floor(1e9 * dy / dx) — one multiply + one divide + one floor, an
+    identical expression tree both engines evaluate bit-identically —
+    and the median is extracted as the SUM of the two middle order
+    statistics of those int64 slopes (doubled-median trick: odd n
+    picks the middle twice), so the only unquantized float op is the
+    final de-scale. Returns (g, n_days, n_pairs, slope).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = _daily_pairs(daily).select(
+        "g",
+        F.floor(
+            (F.col("y_j") - F.col("y_i")).cast("double")
+            * 1_000_000_000.0
+            / (F.col("day_j") - F.col("day_i")).cast("double")
+        )
+        .cast("long")
+        .alias("s_nano"),
+    )
+    w = Window.partitionBy("g").orderBy("s_nano")
+    ranked = pairs.select(
+        "g",
+        "s_nano",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("_n"),
+    )
+    lo = F.expr("(_n + 1) div 2")
+    hi = F.expr("_n div 2 + 1")
+    days = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    med = ranked.groupBy("g").agg(
+        F.max("_n").alias("n_pairs"),
+        (
+            F.sum(F.when(F.col("_rn") == lo, F.col("s_nano")).otherwise(0))
+            + F.sum(F.when(F.col("_rn") == hi, F.col("s_nano")).otherwise(0))
+        ).alias("_med2"),
+    )
+    return (
+        days.join(med, "g")
+        .select(
+            "g",
+            "n_days",
+            "n_pairs",
+            F.round(
+                F.col("_med2").cast("double") / 2_000_000_000.0, 9
+            ).alias("slope"),
+        )
+    )
+
+
+def mann_kendall_trend(
+    daily: DataFrame,
+) -> DataFrame:
+    """Mann–Kendall trend test per group over an integer daily series
+    ``(g, day, yq)``: S = sum over pairs of sign(y_j - y_i), variance
+    with the tie correction Var(S) = [n(n-1)(2n+5) - sum t(t-1)(2t+5)]
+    / 18, and the continuity-corrected z. The standard
+    is-this-metric-monotonically-drifting test paired with
+    theilsen_by_group (the test says WHETHER, the slope says HOW
+    FAST).
+
+    Everything is exact int64 — S from sign() over integer diffs, the
+    tie term from a groupBy on yq — until the single final z
+    expression. 18 * Var fits headroom through ~200k-day series.
+    Returns (g, n_days, s_stat, z).
+    """
+    s = _daily_pairs(daily).groupBy("g").agg(
+        F.sum(
+            F.signum((F.col("y_j") - F.col("y_i")).cast("double")).cast(
+                "long"
+            )
+        ).alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("g", "yq")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("t")).alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("_tie18"),
+        )
+    )
+    var18 = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("_tie18")
+    ).cast("double") / 18.0
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var18),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var18),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        ties.join(s, "g")
+        .filter(var18 > 0)
+        .select("g", "n_days", "s_stat", F.round(z, 9).alias("z"))
+    )
+
+
+def burstiness_by_group(
+    df: DataFrame,
+    seq_col: str,
+    ts_col: str,
+    group_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Goh–Barabási burstiness B = (sigma - mu) / (sigma + mu) of
+    inter-event gaps, grouped by the type of the event that OPENED
+    each gap (mirrors kaplan_meier_curve's cohort convention). B -> -1
+    for clockwork traffic, 0 for Poisson, +1 for extreme bursts — the
+    one-number answer to "is this event stream organic or scripted".
+
+    Gaps are exact integer seconds from one LAG pass partitioned by
+    ``seq_col``; per-group (n, sum, sum-of-squares) are exact int64,
+    and sigma (sample convention, n-1) and mu meet only in the final
+    per-group expression. int64 headroom: sum(gap^2) needs
+    n * max_gap^2 < 9.2e18 — month-long second-resolution gaps
+    (~2.6e6 s) hold to ~1.3e6 gaps per group; re-quantize to minutes
+    beyond. Returns (g, n_gaps, mean_gap_s, burstiness).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(seq_col).orderBy(ts_col, tie_col)
+    gaps = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).alias("_ts"),
+            F.lead(F.col(ts_col)).over(w).alias("_nxt"),
+        )
+        # micros div 1e6: positive truncation, identical to DuckDB's
+        # epoch_us // 1000000 (kaplan_meier's duration convention)
+        .select(
+            "g",
+            F.expr(
+                "(unix_micros(_nxt) - unix_micros(_ts)) div 1000000"
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").alias("_s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("_ssq"),
+    ).filter(F.col("n_gaps") >= 2)
+    mu = F.col("_s").cast("double") / F.col("n_gaps")
+    sigma = F.sqrt(
+        (
+            F.col("_ssq").cast("double")
+            - F.col("_s").cast("double") * F.col("_s") / F.col("n_gaps")
+        )
+        / (F.col("n_gaps") - 1)
+    )
+    return agg.select(
+        "g",
+        "n_gaps",
+        F.round(mu, 9).alias("mean_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 9).alias("burstiness"),
+    )
+
+
+def mutual_information_2cat(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns,
+    plus both marginal entropies — the feature-redundancy /
+    leakage-screening primitive (MI ~ min(H) means one column nearly
+    determines the other; MI ~ 0 means independent, cf.
+    chi2_independence which tests the same thing without effect size).
+
+    One scan to the O(|X|*|Y|) contingency frame; marginals and the
+    grand total ride window sums over the cells (no second scan of the
+    raw table). Each cell's ln(n_xy * N / (n_x * n_y)) is quantized to
+    integer nano-nats and weighted by the exact cell count, so the
+    cross-cell accumulation is an int64 sum; same discipline for H(X),
+    H(Y). Returns one row (n, mi, h_x, h_y).
+    """
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    nx = F.sum("nxy").over(Window.partitionBy("x"))
+    ny = F.sum("nxy").over(Window.partitionBy("y"))
+    nn = F.sum("nxy").over(Window.partitionBy())
+    lnq = lambda col: F.round(F.log(col) * 1_000_000_000).cast(  # noqa: E731
+        "long"
+    )
+    terms = cells.select(
+        "x",
+        "y",
+        "nxy",
+        nx.alias("nx"),
+        ny.alias("ny"),
+        nn.alias("nn"),
+    ).select(
+        "nxy",
+        "nn",
+        (
+            F.col("nxy")
+            * lnq(
+                F.col("nxy").cast("double")
+                * F.col("nn")
+                / (F.col("nx").cast("double") * F.col("ny"))
+            )
+        ).alias("_mi_t"),
+        # entropy terms credited once per marginal cell: weight by
+        # nxy/nx fraction would break integrality, so tag the first
+        # cell of each marginal instead
+        F.row_number()
+        .over(Window.partitionBy("x").orderBy("y"))
+        .alias("_rx"),
+        F.row_number()
+        .over(Window.partitionBy("y").orderBy("x"))
+        .alias("_ry"),
+        (F.col("nx") * lnq(F.col("nx").cast("double") / F.col("nn")))
+        .alias("_hx_t"),
+        (F.col("ny") * lnq(F.col("ny").cast("double") / F.col("nn")))
+        .alias("_hy_t"),
+    )
+    out = terms.groupBy().agg(
+        F.max("nn").alias("n"),
+        F.sum("_mi_t").alias("_mi"),
+        F.sum(F.when(F.col("_rx") == 1, F.col("_hx_t")).otherwise(0)).alias(
+            "_hx"
+        ),
+        F.sum(F.when(F.col("_ry") == 1, F.col("_hy_t")).otherwise(0)).alias(
+            "_hy"
+        ),
+    )
+    scale = lambda c: F.round(  # noqa: E731
+        c.cast("double") / (F.lit(1_000_000_000.0) * F.col("n")), 9
+    )
+    return out.select(
+        "n",
+        scale(F.col("_mi")).alias("mi"),
+        scale(-F.col("_hx")).alias("h_x"),
+        scale(-F.col("_hy")).alias("h_y"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split_pred,
+    n_bins: int = 10,
+    quantum: int = 100,
+) -> DataFrame:
+    """Population Stability Index between the two halves of a split
+    predicate, per group: PSI = sum over bins of (p_a - p_b) *
+    ln(p_a / p_b). The model-monitoring standard for "has this
+    feature's distribution moved" (rule of thumb: < 0.1 stable,
+    > 0.25 action) — the effect-size companion to ks_drift's
+    hypothesis test.
+
+    Bins are equal-width over the group's quantized [min, max] —
+    integer arithmetic, engine-exact. Empty bins are materialized by
+    exploding a literal 0..n_bins-1 sequence per group and Laplace
+    add-1 smoothing keeps every log finite (documented: p_a =
+    (c_a + 1) / (t_a + n_bins)). Per-bin contributions are quantized
+    to integer nano-units and int-summed, so bin order can't move the
+    total. Returns (g, n_a, n_b, psi).
+
+    Shape: one scan for per-(group, bin, half) counts (map-side
+    combine), then all arithmetic on an O(groups * bins) frame.
+    """
+    from pyspark.sql.window import Window
+
+    vq = F.round(F.col(value_col) * quantum).cast("long")
+    half = F.when(split_pred, F.lit("a")).otherwise(F.lit("b"))
+    base = df.select(
+        F.col(group_col).alias("g"), vq.alias("vq"), half.alias("h")
+    )
+    lim = base.groupBy("g").agg(
+        F.min("vq").alias("_lo"), F.max("vq").alias("_hi")
+    )
+    binned = (
+        base.join(F.broadcast(lim), "g")
+        .select(
+            "g",
+            "h",
+            F.expr(
+                f"((vq - _lo) * {n_bins}) div (_hi - _lo + 1)"
+            ).alias("bin"),
+        )
+        .groupBy("g", "h", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        lim.select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias(
+                "bin"
+            ),
+        )
+    )
+    cells = (
+        grid.join(
+            binned.filter(F.col("h") == "a").select(
+                "g", "bin", F.col("c").alias("ca")
+            ),
+            ["g", "bin"],
+            "left",
+        )
+        .join(
+            binned.filter(F.col("h") == "b").select(
+                "g", "bin", F.col("c").alias("cb")
+            ),
+            ["g", "bin"],
+            "left",
+        )
+        .fillna(0, ["ca", "cb"])
+    )
+    wg = Window.partitionBy("g")
+    smoothed = cells.select(
+        "g",
+        "ca",
+        "cb",
+        F.sum("ca").over(wg).alias("ta"),
+        F.sum("cb").over(wg).alias("tb"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("ta") + n_bins)
+    pb = (F.col("cb") + 1).cast("double") / (F.col("tb") + n_bins)
+    contrib = F.round(
+        (pa - pb) * F.log(pa / pb) * 1_000_000_000
+    ).cast("long")
+    return (
+        smoothed.select(
+            "g", "ta", "tb", contrib.alias("_t")
+        )
+        .groupBy("g")
+        .agg(
+            F.max("ta").alias("n_a"),
+            F.max("tb").alias("n_b"),
+            F.round(
+                F.sum("_t").cast("double") / 1_000_000_000.0, 9
+            ).alias("psi"),
+        )
+    )
+
+
+def best_split_ig(
+    df: DataFrame,
+    value_col: str,
+    target_pred,
+    n_bins: int = 10,
+    quantum: int = 100,
+) -> DataFrame:
+    """Decision-stump split scan: information gain of splitting a
+    binary target at each of ``n_bins - 1`` equal-width thresholds of
+    ``value_col`` — the inner loop of tree induction and the
+    feature-triage primitive ("does value predict purchase at all,
+    and where is the knee?").
+
+    One scan to per-bin (n, positives); cumulative sums over the
+    O(bins) frame give every threshold's left/right counts at once —
+    the classic sort-once-scan-once split finder, except the "sort"
+    is a groupBy on a precomputed integer bin. Entropies are computed
+    in double from exact int64 counts (identical expression trees
+    both engines; 0 log 0 := 0 guarded by CASE), IG rounded at 9 dp.
+    Returns one row per threshold: (threshold, n_left, pos_left, ig),
+    threshold = highest bin id in the left part.
+    """
+    from pyspark.sql.window import Window
+
+    vq = F.round(F.col(value_col) * quantum).cast("long")
+    base = df.select(
+        vq.alias("vq"),
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    lim = base.groupBy().agg(
+        F.min("vq").alias("_lo"), F.max("vq").alias("_hi")
+    )
+    bins = (
+        base.crossJoin(F.broadcast(lim))
+        .select(
+            F.expr(f"((vq - _lo) * {n_bins}) div (_hi - _lo + 1)").alias(
+                "bin"
+            ),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        F.col("bin").alias("threshold"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("pos").over(wall).alias("post"),
+    ).filter(F.col("threshold") < n_bins - 1)
+
+    def ent(pos, n):
+        # -p ln p - q ln q with 0 ln 0 := 0, all from exact ints
+        p = pos.cast("double") / n
+        q = (n - pos).cast("double") / n
+        return -(
+            F.when(pos > 0, p * F.log(p)).otherwise(F.lit(0.0))
+            + F.when(n - pos > 0, q * F.log(q)).otherwise(F.lit(0.0))
+        )
+
+    nl, posl = F.col("nl"), F.col("posl")
+    nr = F.col("nn") - nl
+    posr = F.col("post") - posl
+    ig = (
+        ent(F.col("post"), F.col("nn"))
+        - (nl.cast("double") / F.col("nn")) * ent(posl, nl)
+        - F.when(
+            nr > 0,
+            (nr.cast("double") / F.col("nn")) * ent(posr, nr),
+        ).otherwise(F.lit(0.0))
+    )
+    return cum.select(
+        "threshold",
+        nl.alias("n_left"),
+        posl.alias("pos_left"),
+        F.round(ig, 9).alias("ig"),
+    )

@@ -11744,6 +11744,419 @@ def q_trailing_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 8: robust trend, drift effect size, and split scans
+# --------------------------------------------------------------------------
+
+#: Shared per-(event_type, day) exact-integer daily series — the one
+#: full-data pass both robust-trend oracles start from.
+_DAILY_EVENTS_SQL = """
+        SELECT event_type AS g,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS yq
+        FROM events GROUP BY 1, 2
+"""
+
+THEILSEN_SQL = f"""
+    WITH daily AS ({_DAILY_EVENTS_SQL}),
+    pairs AS (
+        SELECT a.g,
+               CAST(FLOOR(CAST(b.yq - a.yq AS DOUBLE) * 1000000000.0
+                          / CAST(b.day - a.day AS DOUBLE)) AS BIGINT)
+                   AS s_nano
+        FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+    ),
+    ranked AS (
+        SELECT g, s_nano,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY s_nano) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM pairs
+    ),
+    med AS (
+        SELECT g, CAST(MAX(n) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN rn = (n + 1) // 2
+                             THEN s_nano ELSE 0 END)
+                  + SUM(CASE WHEN rn = n // 2 + 1
+                             THEN s_nano ELSE 0 END) AS BIGINT) AS med2
+        FROM ranked GROUP BY g
+    ),
+    days AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY g
+    )
+    SELECT d.g AS event_type, d.n_days, m.n_pairs,
+           ROUND(CAST(med2 AS DOUBLE) / 2000000000.0, 9) AS slope
+    FROM days d JOIN med m ON d.g = m.g
+    ORDER BY event_type
+"""
+
+
+def _events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defimap_data_pipelines_spark.operators.stats import daily_series
+
+    e = read_table(spark, sf_dir, "events")
+    # O(types * days) frame with 2-3 consumers downstream (pair join
+    # sides + per-group counts): cache or Catalyst re-runs the full
+    # events scan per branch (the bigram_lift lesson).
+    return daily_series(e, "event_type", "ts", "value", "2024-01-01").cache()
+
+
+@register("theilsen_slope", THEILSEN_SQL)
+def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend per event type
+    (operators/stats.py::theilsen_by_group): median of all pairwise
+    slopes of the per-day value totals — a 29%-breakdown estimator
+    OLS beta (operators/risk.py) can't match on spiky metrics. The
+    O(days^2) pair join happens AFTER per-day aggregation, so the
+    pair frame is calendar-sized (435 pairs/group here) no matter how
+    many raw rows feed it; slopes ride as floor-quantized nano units
+    and the median is the sum of two int64 order statistics."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        theilsen_by_group,
+    )
+
+    daily = _events_daily(spark, sf_dir)
+    return (
+        theilsen_by_group(daily)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    )
+
+
+MANN_KENDALL_SQL = f"""
+    WITH daily AS ({_DAILY_EVENTS_SQL}),
+    s AS (
+        SELECT a.g,
+               CAST(SUM(CASE WHEN b.yq > a.yq THEN 1
+                             WHEN b.yq < a.yq THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+        GROUP BY a.g
+    ),
+    ties AS (
+        SELECT g, CAST(SUM(t) AS BIGINT) AS n_days,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        FROM (SELECT g, yq, CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY 1, 2) GROUP BY g
+    )
+    SELECT t.g AS event_type, t.n_days, s.s_stat,
+           ROUND(CASE WHEN s.s_stat > 0 THEN
+                       CAST(s.s_stat - 1 AS DOUBLE)
+                       / sqrt(CAST(t.n_days * (t.n_days - 1)
+                                   * (2 * t.n_days + 5) - t.tie18
+                              AS DOUBLE) / 18.0)
+                      WHEN s.s_stat < 0 THEN
+                       CAST(s.s_stat + 1 AS DOUBLE)
+                       / sqrt(CAST(t.n_days * (t.n_days - 1)
+                                   * (2 * t.n_days + 5) - t.tie18
+                              AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 9) AS z
+    FROM ties t JOIN s ON t.g = s.g
+    WHERE CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18
+          AS DOUBLE) / 18.0 > 0
+    ORDER BY event_type
+"""
+
+
+@register("mann_kendall", MANN_KENDALL_SQL)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the same daily series
+    (operators/stats.py::mann_kendall_trend): S = sum of pairwise
+    signs, tie-corrected variance, continuity-corrected z — the
+    is-it-drifting hypothesis test whose effect size is
+    theilsen_slope. All integer until the single z expression."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        mann_kendall_trend,
+    )
+
+    daily = _events_daily(spark, sf_dir)
+    return (
+        mann_kendall_trend(daily)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+    WITH per_v AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vq,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, vq, wv,
+               SUM(wv) OVER (PARTITION BY g ORDER BY vq
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cw,
+               SUM(wv) OVER (PARTITION BY g) AS tw
+        FROM per_v
+    )
+    SELECT g AS l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_w,
+           CAST(MIN(vq) AS DOUBLE) / 100 AS w_median
+    FROM cum WHERE 2 * cw >= tw GROUP BY g ORDER BY l_returnflag
+"""
+
+
+@register("weighted_median", WEIGHTED_MEDIAN_SQL)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag
+    (operators/quantiles.py::weighted_median_by_group) — each line
+    speaks for its l_quantity units, so this is the median price per
+    unit SOLD, not per order line. Lower-median convention = pure
+    int64 decision (2*cumw >= total), replayed exactly; the cumsum
+    runs over the value-distinct frame, not raw rows."""
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        weighted_median_by_group,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        weighted_median_by_group(
+            li, "l_returnflag", "l_extendedprice", F.col("l_quantity")
+        )
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag")
+    )
+
+
+BURSTINESS_SQL = """
+    WITH gaps AS (
+        SELECT event_type AS g,
+               (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts)) // 1000000 AS gap
+        FROM events
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS s,
+               CAST(SUM(gap * gap) AS BIGINT) AS ssq
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY g HAVING COUNT(*) >= 2
+    )
+    SELECT g AS event_type, n_gaps,
+           ROUND(CAST(s AS DOUBLE) / n_gaps, 9) AS mean_gap_s,
+           ROUND((sqrt((CAST(ssq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * s / n_gaps)
+                       / (n_gaps - 1))
+                  - CAST(s AS DOUBLE) / n_gaps)
+                 / (sqrt((CAST(ssq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * s / n_gaps)
+                         / (n_gaps - 1))
+                    + CAST(s AS DOUBLE) / n_gaps), 9) AS burstiness
+    FROM agg ORDER BY event_type
+"""
+
+
+@register("burstiness", BURSTINESS_SQL)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of inter-event gaps per opening event
+    type (operators/stats.py::burstiness_by_group): B = (sigma - mu)
+    / (sigma + mu) over exact integer-second gaps — -1 clockwork, 0
+    Poisson, +1 bursty; the organic-vs-scripted traffic fingerprint.
+    One LAG pass + int64 moment sums; sigma and mu meet only in the
+    final per-group expression."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        burstiness_by_group,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        burstiness_by_group(e, "user_id", "ts", "event_type", "event_id")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    )
+
+
+MUTUAL_INFO_SQL = """
+    WITH cells AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(COUNT(*) AS BIGINT) AS nxy
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT x, y, nxy,
+               SUM(nxy) OVER (PARTITION BY x) AS nx,
+               SUM(nxy) OVER (PARTITION BY y) AS ny,
+               SUM(nxy) OVER () AS nn,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) AS rx,
+               ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) AS ry
+        FROM cells
+    ),
+    t AS (
+        SELECT nn,
+               nxy * CAST(ROUND(ln(CAST(nxy AS DOUBLE) * nn
+                                   / (CAST(nx AS DOUBLE) * ny))
+                                * 1000000000) AS BIGINT) AS mi_t,
+               CASE WHEN rx = 1 THEN
+                    nx * CAST(ROUND(ln(CAST(nx AS DOUBLE) / nn)
+                                    * 1000000000) AS BIGINT)
+                    ELSE 0 END AS hx_t,
+               CASE WHEN ry = 1 THEN
+                    ny * CAST(ROUND(ln(CAST(ny AS DOUBLE) / nn)
+                                    * 1000000000) AS BIGINT)
+                    ELSE 0 END AS hy_t
+        FROM m
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n,
+           ROUND(CAST(SUM(mi_t) AS DOUBLE)
+                 / (1000000000.0 * MAX(nn)), 9) AS mi,
+           ROUND(CAST(-SUM(hx_t) AS DOUBLE)
+                 / (1000000000.0 * MAX(nn)), 9) AS h_x,
+           ROUND(CAST(-SUM(hy_t) AS DOUBLE)
+                 / (1000000000.0 * MAX(nn)), 9) AS h_y
+    FROM t
+"""
+
+
+@register("mutual_information", MUTUAL_INFO_SQL)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and order status
+    (operators/stats.py::mutual_information_2cat), with both marginal
+    entropies — the effect-size companion to chi2_independence
+    (MI ~ min(H) = near-duplicate columns; ~0 = independent). One
+    scan to the contingency cells; marginals ride window sums over
+    the O(|X|*|Y|) frame; every log term is nano-quantized and
+    count-weighted so the accumulation stays int64."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        mutual_information_2cat,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return mutual_information_2cat(o, "o_orderpriority", "o_orderstatus")
+
+
+PSI_SQL = """
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a'
+                    ELSE 'b' END AS h
+        FROM events
+    ),
+    lim AS (SELECT g, MIN(vq) AS lo, MAX(vq) AS hi FROM base GROUP BY g),
+    binned AS (
+        SELECT b.g, h, ((vq - lo) * 10) // (hi - lo + 1) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM base b JOIN lim l ON b.g = l.g GROUP BY 1, 2, 3
+    ),
+    grid AS (SELECT g, unnest(range(10)) AS bin FROM lim),
+    cells AS (
+        SELECT grid.g, grid.bin,
+               COALESCE(a.c, 0) AS ca, COALESCE(bb.c, 0) AS cb
+        FROM grid
+        LEFT JOIN (SELECT g, bin, c FROM binned WHERE h = 'a') a
+               USING (g, bin)
+        LEFT JOIN (SELECT g, bin, c FROM binned WHERE h = 'b') bb
+               USING (g, bin)
+    ),
+    sm AS (
+        SELECT g, ca, cb,
+               SUM(ca) OVER (PARTITION BY g) AS ta,
+               SUM(cb) OVER (PARTITION BY g) AS tb
+        FROM cells
+    )
+    SELECT g AS event_type, CAST(MAX(ta) AS BIGINT) AS n_a,
+           CAST(MAX(tb) AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(CAST(ROUND(
+                     (CAST(ca + 1 AS DOUBLE) / (ta + 10)
+                      - CAST(cb + 1 AS DOUBLE) / (tb + 10))
+                     * ln((CAST(ca + 1 AS DOUBLE) / (ta + 10))
+                          / (CAST(cb + 1 AS DOUBLE) / (tb + 10)))
+                     * 1000000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000000.0, 9) AS psi
+    FROM sm GROUP BY g ORDER BY event_type
+"""
+
+
+@register("psi_drift", PSI_SQL)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of event value, first half of
+    January vs second, per event type
+    (operators/stats.py::psi_drift) — the model-monitoring effect
+    size (< 0.1 stable / > 0.25 action) that complements ks_drift's
+    yes-no test. Equal-width integer bins over the group's range,
+    materialized 0..9 so empty bins still contribute under add-1
+    smoothing; per-bin terms nano-quantized into an int64 sum."""
+    from defimap_data_pipelines_spark.operators.stats import psi_drift
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        psi_drift(
+            e,
+            "event_type",
+            "value",
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        )
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    )
+
+
+def _ent_sql(pos: str, n: str) -> str:
+    """-p ln p - q ln q over exact int counts, 0 ln 0 := 0 — the
+    textual twin of best_split_ig's ent()."""
+    p = f"(CAST({pos} AS DOUBLE) / {n})"
+    q = f"(CAST({n} - {pos} AS DOUBLE) / {n})"
+    return (
+        f"-(CASE WHEN {pos} > 0 THEN {p} * ln({p}) ELSE 0.0 END"
+        f" + CASE WHEN {n} - {pos} > 0 THEN {q} * ln({q})"
+        f" ELSE 0.0 END)"
+    )
+
+
+BEST_SPLIT_SQL = f"""
+    WITH base AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    lim AS (SELECT MIN(vq) AS lo, MAX(vq) AS hi FROM base),
+    bins AS (
+        SELECT ((vq - lo) * 10) // (hi - lo + 1) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM base, lim GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin AS threshold,
+               SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS nl,
+               SUM(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS posl,
+               SUM(n) OVER () AS nn, SUM(pos) OVER () AS post
+        FROM bins
+    )
+    SELECT threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(posl AS BIGINT) AS pos_left,
+           ROUND({_ent_sql('post', 'nn')}
+                 - (CAST(nl AS DOUBLE) / nn) * {_ent_sql('posl', 'nl')}
+                 - CASE WHEN nn - nl > 0 THEN
+                        (CAST(nn - nl AS DOUBLE) / nn)
+                        * {_ent_sql('(post - posl)', '(nn - nl)')}
+                   ELSE 0.0 END, 9) AS ig
+    FROM cum WHERE threshold < 9 ORDER BY threshold
+"""
+
+
+@register("best_split_ig", BEST_SPLIT_SQL)
+def q_best_split_ig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split scan: information gain of "is this a
+    purchase?" at each equal-width value threshold
+    (operators/stats.py::best_split_ig) — the tree-induction inner
+    loop as a sort-free two-pass scan (one pass finds the range, one
+    bins and counts; every threshold's IG then falls out of an
+    O(bins) cumsum). Feature triage: a flat IG curve means value
+    doesn't predict purchasing at any cut."""
+    from defimap_data_pipelines_spark.operators.stats import best_split_ig
+
+    e = read_table(spark, sf_dir, "events")
+    return best_split_ig(
+        e, "value", F.col("event_type") == "purchase"
+    ).orderBy("threshold")
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
