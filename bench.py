@@ -154,6 +154,26 @@ BENCH_QUERIES = [
     "mutual_best_pairs",
     "isotonic_calibration",
     "trailing_distinct_kmv",
+    "theilsen_slope",
+    "mann_kendall",
+    "weighted_median",
+    "burstiness",
+    "mutual_information",
+    "psi_drift",
+    "best_split_ig",
+    "sortino_calmar",
+    "var_cvar",
+    "rolling_beta",
+    "roc_auc",
+    "lift_gains",
+    "attribution_credit",
+    "peak_concurrency",
+    "did_estimator",
+    "cuped_adjustment",
+    "ndcg_at_k",
+    "map_at_k",
+    "brier_calibration",
+    "leadlag_xcorr",
 ]
 
 

@@ -1,0 +1,389 @@
+"""Model-evaluation metrics as exact-integer rank arithmetic.
+
+The missing last mile of a training-data pipeline: after curation
+(dedup.py), quality scoring (textops.py), and split generation
+(sampling.py), you evaluate whether a score column actually predicts
+a label — AUC for discrimination, decile lift/gains for targeting.
+Both are rank statistics, so the mannwhitney_u doubled-rank trick
+(operators/stats.py) makes them pure int64 arithmetic: the only
+float op is the final ratio.
+
+Scale posture: everything aggregates to the score-DISTINCT level
+first (one map-side-combining groupBy over the raw rows), so the
+window passes run over an O(distinct scores) frame, not O(rows).
+`lift_gains` needs a true per-row rank for its tie-break, but gets
+it two-phase: a partitioned row_number WITHIN each score value plus
+the block's cumulative offset — no global row-grained window ever
+exists. Int64 headroom: rank-by-count products cap at ~2·n², safe
+through ~10⁹ rows; beyond that swap the doubled sums to decimal.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _score_blocks(
+    df: DataFrame, label_col, score_col: str, quantum: int
+) -> DataFrame:
+    """Collapse rows to (vq, cnt, pos): quantized-score blocks with
+    row and positive counts — the O(distinct) substrate both metrics
+    rank over."""
+    return (
+        df.select(
+            F.round(F.col(score_col) * quantum).cast("long").alias("vq"),
+            F.when(label_col, 1).otherwise(0).cast("long").alias("y"),
+        )
+        .groupBy("vq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").alias("pos"),
+        )
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col,
+    score_col: str,
+    quantum: int = 100,
+) -> DataFrame:
+    """ROC AUC of ``score_col`` predicting boolean ``label_col``,
+    tie-aware (ties contribute 1/2, the Mann-Whitney convention), as
+    one row (n_pos, n_neg, auc, gini).
+
+    AUC = (R₁ - n₁(n₁+1)/2) / (n₁n₀) where R₁ is the rank-sum of
+    positives under average ranks. Per tied block at cumulative
+    offset cb with cnt rows, the DOUBLED rank-sum contribution of its
+    pos positives is pos·(2·cb + cnt + 1) — an exact integer — so
+    2R₁ accumulates in int64 and AUC = (2R₁ - n₁(n₁+1)) / (2n₁n₀)
+    divides once at the end. gini = 2·AUC - 1 (the accuracy-ratio
+    form credit scoring reports).
+
+    The ordered window runs over score-distinct blocks only; with a
+    quantized score that's range-sized, not row-sized.
+    """
+    blocks = _score_blocks(df, label_col, score_col, quantum)
+    w = Window.orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = blocks.select(
+        "cnt",
+        "pos",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cb"),
+    )
+    agg = ranked.agg(
+        F.sum("pos").alias("n1"),
+        (F.sum("cnt") - F.sum("pos")).alias("n0"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cb") + F.col("cnt") + 1)
+        ).alias("r2"),
+    )
+    auc = (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / (2 * F.col("n1") * F.col("n0")).cast("double")
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(auc, 9).alias("auc"),
+        F.round(2 * auc - 1, 9).alias("gini"),
+    )
+
+
+def lift_gains(
+    df: DataFrame,
+    label_col,
+    score_col: str,
+    tiebreak_col: str,
+    quantum: int = 100,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table: rank rows by score
+    descending, cut into ``n_bins`` equal-count bins, and report per
+    bin (bin, n, pos, rate, lift, cum_gain). Bin 0's lift says "how
+    much better than random is targeting the top decile"; cum_gain
+    is the gains-curve y-axis.
+
+    Determinism under ties: a row's global rank is the cumulative
+    count of strictly-better scores (block offset, from the
+    score-distinct frame) plus its row_number within its own score
+    block ordered by ``tiebreak_col`` — exact, engine-independent,
+    and never materialized as a global row-grained window (the
+    within-block window is partitioned by score value). Bin =
+    (rank-1)·n_bins div n, an integer decision.
+    """
+    vq = F.round(F.col(score_col) * quantum).cast("long")
+    rows = df.select(
+        vq.alias("vq"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.when(label_col, 1).otherwise(0).cast("long").alias("y"),
+    )
+    blocks = rows.groupBy("vq").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wdesc = Window.orderBy(F.col("vq").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = blocks.select(
+        "vq", (F.sum("cnt").over(wdesc) - F.col("cnt")).alias("off")
+    )
+    win_block = Window.partitionBy("vq").orderBy("_tb")
+    ranked = (
+        rows.join(offs, "vq")
+        .select(
+            "y",
+            (F.col("off") + F.row_number().over(win_block)).alias("rk"),
+        )
+    )
+    total = blocks.agg(F.sum("cnt").alias("_n"))
+    binned = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.expr(f"((rk - 1) * {n_bins}) div _n").alias("bin"), "y", "_n"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = binned.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("pos").over(wcum).alias("cum_pos"),
+        F.sum("pos").over(wall).alias("tp"),
+        F.sum("n").over(wall).alias("tn"),
+    )
+    return out.select(
+        "bin",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n"), 9).alias("rate"),
+        F.round(
+            (F.col("pos").cast("double") * F.col("tn"))
+            / (F.col("n").cast("double") * F.col("tp")),
+            9,
+        ).alias("lift"),
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("tp"), 9
+        ).alias("cum_gain"),
+    )
+
+
+def ndcg_weight_nano(rank: int) -> int:
+    """round(1e9 / log2(rank+1)): the nano-quantized DCG position
+    weight — exported so oracle SQL can embed the SAME int literals
+    instead of trusting two engines' log2 to agree to the last ulp."""
+    return round(1e9 / math.log2(rank + 1))
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col,
+    tiebreak_col: str,
+    rel_col,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query NDCG@k of a ranking: rank candidates by
+    ``score_col`` descending (``tiebreak_col`` ascending breaks ties
+    deterministically), take the top k, and score
+    DCG = sum(rel_i / log2(i+1)) against the ideal ordering's IDCG
+    (relevance descending, same tie-break). Returns one row per query
+    group: (query, n_cands, dcg, idcg, ndcg); a group with zero total
+    relevance reports NULL ndcg (0/0 is "nothing to rank", not 0).
+
+    Two windows, BOTH partitioned by the query key — rank fan-in is
+    per-group, never global — over the same single scan (one
+    projection computes both row_numbers). The log2 weights enter
+    NANO-QUANTIZED: wq_i = round(1e9 / log2(i+1)) as int64 literals,
+    so the DCG sums are exact integers (a float SUM's addition order
+    is partition-dependent; an int sum is not) and dcg/idcg/ndcg each
+    do exactly one float division at the end.
+    """
+    wq = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_tb").asc()
+    )
+    wr = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_tb").asc()
+    )
+    ranked = df.select(
+        F.col(query_col).alias("_q"),
+        score_col.alias("_s") if not isinstance(score_col, str)
+        else F.col(score_col).alias("_s"),
+        F.col(tiebreak_col).alias("_tb"),
+        (rel_col if not isinstance(rel_col, str) else F.col(rel_col))
+        .cast("long")
+        .alias("_rel"),
+    ).select(
+        "_q",
+        "_rel",
+        F.row_number().over(wq).alias("_rk"),
+        F.row_number().over(wr).alias("_ik"),
+    )
+    wq = [ndcg_weight_nano(i + 1) for i in range(k)]
+    wgt_rk = F.element_at(
+        F.array(*[F.lit(w).cast("long") for w in wq]), F.col("_rk")
+    )
+    wgt_ik = F.element_at(
+        F.array(*[F.lit(w).cast("long") for w in wq]), F.col("_ik")
+    )
+    agg = ranked.groupBy(F.col("_q").alias("query")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.sum(
+            F.when(F.col("_rk") <= k, F.col("_rel") * wgt_rk).otherwise(
+                F.lit(0)
+            )
+        ).alias("_dcgq"),
+        F.sum(
+            F.when(F.col("_ik") <= k, F.col("_rel") * wgt_ik).otherwise(
+                F.lit(0)
+            )
+        ).alias("_idcgq"),
+    )
+    return agg.select(
+        "query",
+        "n_cands",
+        F.round(F.col("_dcgq").cast("double") / 1e9, 9).alias("dcg"),
+        F.round(F.col("_idcgq").cast("double") / 1e9, 9).alias("idcg"),
+        F.round(
+            F.col("_dcgq").cast("double")
+            / F.when(F.col("_idcgq") > 0, F.col("_idcgq")),
+            9,
+        ).alias("ndcg"),
+    )
+
+
+def avg_precision_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col,
+    tiebreak_col: str,
+    rel_bool,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query Average Precision@k with binary relevance: rank by
+    score descending (tie-break ascending), AP = sum over relevant
+    ranks i<=k of precision@i, divided by min(k, total relevant in
+    the group). Returns (query, n_cands, n_rel, ap).
+
+    EXACT-integer AP: precision@i = cum_rel_i / i sums as
+    cum_rel_i * (L/i) where L = lcm(1..k) — every term is an int64,
+    so the sum never depends on float addition order (a groupBy SUM
+    of doubles is partition-order-nondeterministic; this one is not).
+    One divide at the end: ap = sum / (L * min(k, n_rel)).
+    """
+    lcm = 1
+    for i in range(1, k + 1):
+        lcm = lcm * i // math.gcd(lcm, i)
+    wq = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_tb").asc()
+    )
+    wcum = wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = df.select(
+        F.col(query_col).alias("_q"),
+        score_col.alias("_s") if not isinstance(score_col, str)
+        else F.col(score_col).alias("_s"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.when(rel_bool, 1).otherwise(0).cast("long").alias("_y"),
+    ).select(
+        "_q",
+        "_y",
+        F.row_number().over(wq).alias("_rk"),
+        F.sum("_y").over(wcum).alias("_cum"),
+    )
+    # integer weights L/i folded to a literal lookup array
+    wgt = F.element_at(
+        F.array(*[F.lit(lcm // (i + 1)) for i in range(k)]),
+        F.col("_rk"),
+    )
+    agg = ranked.groupBy(F.col("_q").alias("query")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.sum("_y").alias("n_rel"),
+        F.sum(
+            F.when(
+                (F.col("_y") == 1) & (F.col("_rk") <= k),
+                F.col("_cum") * wgt,
+            ).otherwise(F.lit(0))
+        ).alias("_num"),
+    )
+    denom = F.lit(lcm).cast("double") * F.least(
+        F.lit(k).cast("long"), F.col("n_rel")
+    )
+    return agg.select(
+        "query",
+        "n_cands",
+        "n_rel",
+        F.round(
+            F.col("_num").cast("double")
+            / F.when(F.col("n_rel") > 0, denom),
+            9,
+        ).alias("ap"),
+    )
+
+
+def brier_calibration(
+    df: DataFrame,
+    pred_permille,
+    label_bool,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + per-bin Brier score for a probabilistic
+    prediction: ``pred_permille`` is the prediction as an INTEGER in
+    [0, 1000] (the caller quantizes — keeping the contract integer
+    makes binning and the squared error exact), ``label_bool`` the
+    outcome. Rows bin by predicted probability into ``n_bins`` equal
+    ranges; each bin reports (bin, n, mean_pred, obs_rate, brier)
+    where brier = mean((p - y)^2) over the bin — the calibration
+    curve is mean_pred vs obs_rate, and sum(n*brier)/sum(n) is the
+    overall Brier score.
+
+    One map-side-combining aggregate: (p - 1000y)^2 is int64-exact
+    (max 1e6 per row), so every engine bins and accumulates
+    identically; the three final divides are the only floats.
+    """
+    p = (
+        pred_permille
+        if not isinstance(pred_permille, str)
+        else F.col(pred_permille)
+    ).cast("long")
+    y = F.when(label_bool, 1).otherwise(0).cast("long")
+    rows = df.select(
+        p.alias("_p"),
+        y.alias("_y"),
+        # p*n_bins <= 1e4ish: the double division is exact, floor
+        # makes the truncation explicit (Column has no // operator)
+        F.least(
+            F.floor(p * n_bins / F.lit(1000)),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin"),
+    )
+    agg = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_p").alias("_sp"),
+        F.sum("_y").alias("_sy"),
+        F.sum(
+            (F.col("_p") - 1000 * F.col("_y"))
+            * (F.col("_p") - 1000 * F.col("_y"))
+        ).alias("_se"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.round(F.col("_sp").cast("double") / (F.col("n") * 1000.0), 9)
+        .alias("mean_pred"),
+        F.round(F.col("_sy").cast("double") / F.col("n"), 9).alias(
+            "obs_rate"
+        ),
+        F.round(
+            F.col("_se").cast("double") / (F.col("n") * 1000000.0), 9
+        ).alias("brier"),
+    )

@@ -1,0 +1,170 @@
+"""Experimentation estimators: difference-in-differences and CUPED.
+
+The measurement layer a production events pipeline feeds: after
+sessionize / funnels / retention (plans/queries.py) tell you WHAT
+happened, these two tell you what an intervention CAUSED. Both are
+closed-form moment arithmetic, so they compile to one or two
+map-side-combining aggregates — no iteration, no UDF, no driver math
+beyond the final division.
+
+Determinism discipline (the repo-wide parity contract,
+plans/queries.py module docstring): metric values quantize to integer
+cents once at the scan, every accumulation is int64, floats appear
+only in each estimator's final expression. Int64 headroom: DiD sums
+cap at rows x max_cents (~1e15 at 1e12 rows of $10 values); CUPED's
+cross-moments cap at units x (per-unit cents)^2 — safe through ~1e9
+units of ~$10k pre-period volume, swap the moment sums to
+decimal(38,0) beyond that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def did_estimator(
+    df: DataFrame,
+    treat_expr,
+    post_expr,
+    value_col: str,
+    quantum: int = 100,
+) -> DataFrame:
+    """Difference-in-differences over event rows: the treatment
+    effect estimate ``(T_post - T_pre) - (C_post - C_pre)`` of cell
+    MEANS, where ``treat_expr`` / ``post_expr`` are boolean Columns
+    splitting rows into the four cells. Returns ONE row with the four
+    cell counts, four cell means, and ``did``.
+
+    One pass: eight conditional integer sums in a single aggregate
+    (partial aggregation does all the work map-side; the shuffle
+    carries exactly one 8-field row per partition). Any empty cell
+    makes its mean — and therefore ``did`` — NULL rather than a
+    division blow-up.
+    """
+    vq = F.round(F.col(value_col) * quantum).cast("long")
+    t = F.when(treat_expr, 1).otherwise(0)
+    p = F.when(post_expr, 1).otherwise(0)
+    cells = df.select(
+        vq.alias("vq"), t.alias("t"), p.alias("p")
+    )
+
+    def _cell(ti: int, pi: int, what):
+        cond = (F.col("t") == ti) & (F.col("p") == pi)
+        return F.sum(F.when(cond, what)).cast("long")
+
+    agg = cells.agg(
+        *[
+            _cell(ti, pi, F.lit(1)).alias(f"n_{ti}{pi}")
+            for ti in (0, 1)
+            for pi in (0, 1)
+        ],
+        *[
+            _cell(ti, pi, F.col("vq")).alias(f"s_{ti}{pi}")
+            for ti in (0, 1)
+            for pi in (0, 1)
+        ],
+    )
+    q = float(quantum)
+
+    def _mean(ti: int, pi: int):
+        return F.col(f"s_{ti}{pi}").cast("double") / (
+            F.col(f"n_{ti}{pi}") * q
+        )
+
+    did = (_mean(1, 1) - _mean(1, 0)) - (_mean(0, 1) - _mean(0, 0))
+    return agg.select(
+        F.coalesce("n_00", F.lit(0)).alias("n_ctrl_pre"),
+        F.coalesce("n_01", F.lit(0)).alias("n_ctrl_post"),
+        F.coalesce("n_10", F.lit(0)).alias("n_treat_pre"),
+        F.coalesce("n_11", F.lit(0)).alias("n_treat_post"),
+        F.round(_mean(0, 0), 9).alias("mean_ctrl_pre"),
+        F.round(_mean(0, 1), 9).alias("mean_ctrl_post"),
+        F.round(_mean(1, 0), 9).alias("mean_treat_pre"),
+        F.round(_mean(1, 1), 9).alias("mean_treat_post"),
+        F.round(did, 9).alias("did"),
+    )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    unit_col: str,
+    treat_expr,
+    post_expr,
+    value_col: str,
+    quantum: int = 100,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13, public): per
+    unit, X = pre-period metric total and Y = post-period total;
+    theta = cov(X,Y)/var(X) pooled over ALL units (the standard
+    assignment-independent covariate fit); each variant reports its
+    raw post mean and the adjusted mean
+    ``mean(Y) - theta * (mean(X) - mean_all(X))``. Returns one row
+    per variant: (variant, n_units, mean_x, mean_y, adj_mean_y,
+    theta, rho2) where rho2 = corr(X,Y)^2 is the variance-reduction
+    fraction CUPED buys.
+
+    Two aggregates, both partial-friendly: rows -> per-unit (X, Y)
+    integer cent pairs (a groupBy on the unit key — the only real
+    shuffle, O(units) output); then moment sums per variant plus a
+    pooled set via grouping-sets-free arithmetic (the pooled moments
+    are the sum of the two variant rows, assembled with a window-free
+    cross join of the 2-row frame onto its own 1-row total). Units
+    with no pre rows carry X = 0 — a real zero covariate, not a NULL
+    drop, matching the standard treatment.
+    """
+    vq = F.round(F.col(value_col) * quantum).cast("long")
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            F.when(treat_expr, 1).otherwise(0).alias("variant"),
+            F.when(post_expr, vq).otherwise(F.lit(0)).alias("yq"),
+            F.when(~post_expr, vq).otherwise(F.lit(0)).alias("xq"),
+        )
+        .groupBy("u", "variant")
+        .agg(F.sum("xq").alias("x"), F.sum("yq").alias("y"))
+    )
+    per_variant = per_unit.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = per_variant.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("syy").alias("psyy"),
+    )
+    j = per_variant.crossJoin(F.broadcast(pooled))
+    q = float(quantum)
+    cov = (
+        F.col("psxy") * F.col("pn") - F.col("psx") * F.col("psy")
+    ).cast("double")
+    varx = (
+        F.col("psxx") * F.col("pn") - F.col("psx") * F.col("psx")
+    ).cast("double")
+    vary = (
+        F.col("psyy") * F.col("pn") - F.col("psy") * F.col("psy")
+    ).cast("double")
+    theta = cov / F.when(varx > 0, varx)
+    mean_x = F.col("sx").cast("double") / (F.col("n") * q)
+    mean_y = F.col("sy").cast("double") / (F.col("n") * q)
+    mean_all_x = F.col("psx").cast("double") / (F.col("pn") * q)
+    return j.select(
+        "variant",
+        F.col("n").alias("n_units"),
+        F.round(mean_x, 9).alias("mean_x"),
+        F.round(mean_y, 9).alias("mean_y"),
+        F.round(mean_y - theta * (mean_x - mean_all_x), 9).alias(
+            "adj_mean_y"
+        ),
+        F.round(theta, 9).alias("theta"),
+        F.round(
+            (cov * cov) / F.when(varx * vary > 0, varx * vary), 9
+        ).alias("rho2"),
+    )

@@ -302,3 +302,207 @@ def risk_metrics_pandas_replica(
         )
 
     return gotk.groupBy("name").applyInPandas(per_strategy, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Downside-risk companions to risk_metrics: Sortino/Calmar, VaR/CVaR,
+# rolling beta. Same gotk substrate (date, name, end_day_investment,
+# percent_change), same determinism discipline: returns quantize to
+# nano-units (1e9) once, every accumulation is int64, and floats
+# appear only in each metric's final expression.
+# --------------------------------------------------------------------------
+
+RQ9 = 1_000_000_000
+RQ6 = 1_000_000
+
+
+def _rq9(col) -> "F.Column":
+    return F.round(col * RQ9).cast("long")
+
+
+def _rq6(col) -> "F.Column":
+    # micro-quantization for SQUARED accumulations: a 1000% day is
+    # rq9 = 1e10, whose square blows int64; at 1e6 the square is 1e14
+    # and a year of them still fits with 100x headroom.
+    return F.round(col * RQ6).cast("long")
+
+
+def sortino_calmar(gotk: DataFrame, day_period: int = 365) -> DataFrame:
+    """Sortino and Calmar ratios per name over the trailing
+    ``day_period`` days: the two "penalize only what hurts"
+    refinements of Sharpe (operators/risk.py::risk_metrics). Sortino
+    divides the annualized return by DOWNSIDE deviation
+    (sqrt(sum(min(r,0)^2)/(n-1)) * sqrt(365) — upside volatility is
+    not risk); Calmar divides it by the max peak-to-trough drawdown
+    of the investment curve. Returns (name, n_days, ann_return,
+    downside_dev, sortino, max_dd, calmar); ratios are NULL when
+    their denominator is exactly zero (no down days / monotone-up
+    curve) rather than inf.
+
+    Linear sums ride nano-quantized int64; SQUARED downside terms
+    use micro-quantization (a -90% day at nano scale squares to
+    8.1e17 — a year of those overflows int64; at 1e6 they are 1e12); the drawdown is
+    max over days of round9(1 - edi/cummax(edi)) — rounded BEFORE
+    the max so both engines compare identical integers.
+    """
+    gt = _tail(gotk, day_period).select(
+        "date",
+        "name",
+        "end_day_investment",
+        _rq9(F.col("percent_change")).alias("rq"),
+        _rq6(F.col("percent_change")).alias("rq6"),
+    )
+    wcum = (
+        Window.partitionBy("name")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = gt.withColumn(
+        "ddq",
+        F.round(
+            (
+                1
+                - F.col("end_day_investment")
+                / F.max("end_day_investment").over(wcum)
+            )
+            * RQ9
+        ).cast("long"),
+    )
+    agg = dd.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rq").alias("_sr"),
+        F.sum(
+            F.when(F.col("rq6") < 0, F.col("rq6") * F.col("rq6")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_ssqn"),
+        F.max("ddq").alias("_mddq"),
+    )
+    ann = (
+        F.pow(
+            F.col("_sr").cast("double") / RQ9 / F.col("n_days") + 1,
+            F.lit(float(day_period)),
+        )
+        - 1
+    )
+    ddev = F.sqrt(
+        F.col("_ssqn").cast("double")
+        / (RQ6 * float(RQ6))
+        / (F.col("n_days") - 1)
+    ) * F.sqrt(F.lit(365.0))
+    mdd = F.col("_mddq").cast("double") / RQ9
+    return agg.select(
+        "name",
+        "n_days",
+        F.round(ann, 9).alias("ann_return"),
+        F.round(ddev, 9).alias("downside_dev"),
+        F.round(
+            ann / F.when(F.col("_ssqn") > 0, ddev), 9
+        ).alias("sortino"),
+        F.round(mdd, 9).alias("max_dd"),
+        F.round(ann / F.when(F.col("_mddq") > 0, mdd), 9).alias("calmar"),
+    )
+
+
+def var_cvar(
+    gotk: DataFrame, day_period: int = 365, tail_pct: int = 5
+) -> DataFrame:
+    """Historical Value-at-Risk and Conditional VaR (expected
+    shortfall) per name: the loss at the tail_pct-percentile worst
+    day, and the mean loss over that whole tail. Returns (name,
+    n_days, k_tail, var_pct, cvar_pct) — positive numbers = losses,
+    the reporting convention.
+
+    Pure order statistics: rank days by nano-quantized return
+    ascending (date tie-break), take k = max(1, n*tail_pct div 100)
+    worst; VaR is -r_(k), CVaR is -mean(r_(1..k)). Every decision —
+    rank, k, membership — is integer, so the historical-simulation
+    replay is bit-identical in any engine; only the two final
+    de-scales are float.
+    """
+    gt = _tail(gotk, day_period).select(
+        "date", "name", _rq9(F.col("percent_change")).alias("rq")
+    )
+    w = Window.partitionBy("name").orderBy("rq", "date")
+    ranked = gt.select(
+        "name", "rq", F.row_number().over(w).alias("_rn")
+    )
+    # k depends on n, which is only known post-agg: join ranks back
+    # against the per-name count instead of a second window pass.
+    counts = gt.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    ).withColumn(
+        "k_tail",
+        F.greatest(F.lit(1).cast("long"), F.expr(f"(n_days * {tail_pct}) div 100")),
+    )
+    tailed = ranked.join(F.broadcast(counts), "name").filter(
+        F.col("_rn") <= F.col("k_tail")
+    )
+    out = tailed.groupBy("name", "n_days", "k_tail").agg(
+        F.sum(F.when(F.col("_rn") == F.col("k_tail"), F.col("rq"))).alias(
+            "_rk"
+        ),
+        F.sum("rq").alias("_stail"),
+    )
+    return out.select(
+        "name",
+        "n_days",
+        "k_tail",
+        F.round(-F.col("_rk").cast("double") / RQ9, 9).alias("var_pct"),
+        F.round(
+            -F.col("_stail").cast("double") / (F.col("k_tail") * RQ9), 9
+        ).alias("cvar_pct"),
+    )
+
+
+def rolling_beta(
+    gotk: DataFrame,
+    benchmark: DataFrame,
+    window_days: int = 30,
+) -> DataFrame:
+    """Rolling ``window_days``-day OLS beta of each name's daily
+    returns against the benchmark's, aligned by date: the
+    time-varying version of risk_metrics' single beta — how a
+    strategy's market sensitivity drifts. Returns (date, name,
+    beta) for days with a full window only.
+
+    cov/var from integer moment sums over the ROWS window (MICRO-
+    quantized returns — a 1000% day squared at nano scale overflows
+    int64; at 1e6 products are ~1e14, x30 ~ 3e15, safe); the one float
+    op per row is the final ratio, NULL on zero benchmark variance
+    (flat market) via a guarded denominator.
+    """
+    a = gotk.select(
+        "date", "name", _rq6(F.col("percent_change")).alias("yq")
+    )
+    b = benchmark.select(
+        "date", _rq6(F.col("percent_change")).alias("xq")
+    )
+    j = a.join(F.broadcast(b), "date")
+    w = (
+        Window.partitionBy("name")
+        .orderBy("date")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    wn = Window.partitionBy("name").orderBy("date")
+    m = j.select(
+        "date",
+        "name",
+        F.row_number().over(wn).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum("xq").over(w).alias("_sx"),
+        F.sum("yq").over(w).alias("_sy"),
+        F.sum(F.col("xq") * F.col("yq")).over(w).alias("_sxy"),
+        F.sum(F.col("xq") * F.col("xq")).over(w).alias("_sxx"),
+    ).filter(F.col("_rn") >= window_days)
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    return m.select(
+        "date",
+        "name",
+        F.round(num / F.when(den != 0, den), 9).alias("beta"),
+    )

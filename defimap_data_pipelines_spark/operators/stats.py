@@ -1007,3 +1007,58 @@ def best_split_ig(
         posl.alias("pos_left"),
         F.round(ig, 9).alias("ig"),
     )
+
+
+def leadlag_xcorr(
+    daily: DataFrame,
+    group_a: str,
+    group_b: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two groups' daily series
+    (the ``daily_series`` substrate): for each lag in
+    [-max_lag, +max_lag], Pearson corr(x_d, y_{d+lag}) where x is
+    ``group_a``'s series and y ``group_b``'s. Positive best lag means
+    a LEADS b by that many days — the "do clicks predict purchases"
+    question. Returns (lag, n_days, xcorr) ordered by lag; lags whose
+    day overlap has zero variance on either side report NULL.
+
+    Scale shape: the expensive part (rows -> per-day totals) already
+    happened in daily_series; here a calendar-sized x frame fans out
+    x(2·max_lag+1) against a broadcast lag list, joins y on the
+    shifted day (both sides O(days)), and one moment aggregate per
+    lag finishes it. Integer cents throughout; corr is the single
+    float expression at the end.
+    """
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    x = daily.filter(F.col("g") == group_a).select(
+        F.col("day").alias("dx"), F.col("yq").alias("x")
+    )
+    y = daily.filter(F.col("g") == group_b).select(
+        F.col("day").alias("dy"), F.col("yq").alias("y")
+    )
+    pairs = (
+        x.select("dx", "x", lags)
+        .join(y, F.col("dy") == F.col("dx") + F.col("lag"))
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "lag",
+        "n_days",
+        F.round(
+            cov / F.sqrt(F.when(vx * vy > 0, vx * vy)), 9
+        ).alias("xcorr"),
+    ).orderBy("lag")

@@ -12157,6 +12157,751 @@ def q_best_split_ig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 9: model evaluation, downside risk, and journeys
+# --------------------------------------------------------------------------
+
+_FIN_TAIL_PREFIX_SQL = f"""
+WITH raw_data AS ({RAW_SERIES_SQL}),
+g0 AS ({_gotk_core_sql(f"WHERE date BETWEEN DATE '{LAST_YEAR}' AND DATE '{DS}'")}),
+gt AS (
+    SELECT date, name, end_day_investment, percent_change
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY name ORDER BY date DESC) AS rn
+          FROM g0)
+    WHERE rn <= 365
+)
+"""
+
+SORTINO_CALMAR_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    q AS (
+        SELECT date, name, end_day_investment,
+               CAST(ROUND(percent_change * 1000000000.0) AS BIGINT) AS rq,
+               CAST(ROUND(percent_change * 1000000.0) AS BIGINT) AS rq6
+        FROM gt
+    ),
+    dd AS (
+        SELECT *,
+               CAST(ROUND((1 - end_day_investment /
+                    MAX(end_day_investment) OVER (PARTITION BY name
+                        ORDER BY date ASC ROWS UNBOUNDED PRECEDING))
+                    * 1000000000.0) AS BIGINT) AS ddq
+        FROM q
+    ),
+    agg AS (
+        SELECT name, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rq) AS BIGINT) AS sr,
+               CAST(SUM(CASE WHEN rq6 < 0 THEN rq6 * rq6 ELSE 0 END)
+                    AS BIGINT) AS ssqn,
+               CAST(MAX(ddq) AS BIGINT) AS mddq
+        FROM dd GROUP BY name
+    ),
+    m AS (
+        SELECT name, n_days, ssqn, mddq,
+               POWER(CAST(sr AS DOUBLE) / 1000000000.0 / n_days + 1,
+                     365.0) - 1 AS ann,
+               sqrt(CAST(ssqn AS DOUBLE)
+                    / (1000000.0 * 1000000.0)
+                    / (n_days - 1)) * sqrt(365.0) AS ddev,
+               CAST(mddq AS DOUBLE) / 1000000000.0 AS mdd
+        FROM agg
+    )
+    SELECT name, n_days,
+           ROUND(ann, 9) AS ann_return,
+           ROUND(ddev, 9) AS downside_dev,
+           ROUND(ann / (CASE WHEN ssqn > 0 THEN ddev END), 9) AS sortino,
+           ROUND(mdd, 9) AS max_dd,
+           ROUND(ann / (CASE WHEN mddq > 0 THEN mdd END), 9) AS calmar
+    FROM m ORDER BY name
+"""
+
+
+@register("sortino_calmar", SORTINO_CALMAR_SQL)
+def q_sortino_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino and Calmar ratios per strategy over the same trailing
+    365-day gotk series the risk query uses
+    (operators/risk.py::sortino_calmar): annualized return over
+    downside-only deviation, and over max drawdown of the investment
+    curve — the two "penalize only losses" refinements of Sharpe.
+    Ratios NULL (not inf) when a strategy had no down days / no
+    drawdown."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.operators.risk import sortino_calmar
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, LAST_YEAR, DS)
+    return sortino_calmar(g).orderBy("name")
+
+
+VAR_CVAR_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    q AS (
+        SELECT date, name,
+               CAST(ROUND(percent_change * 1000000000.0) AS BIGINT) AS rq
+        FROM gt
+    ),
+    r AS (
+        SELECT name, rq,
+               ROW_NUMBER() OVER (PARTITION BY name
+                                  ORDER BY rq ASC, date ASC) AS rn
+        FROM q
+    ),
+    c AS (
+        SELECT name, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(GREATEST(1, (COUNT(*) * 5) // 100) AS BIGINT) AS k_tail
+        FROM q GROUP BY name
+    )
+    SELECT name, n_days, k_tail,
+           ROUND(-(CAST(SUM(CASE WHEN rn = k_tail THEN rq END) AS DOUBLE))
+                 / 1000000000.0, 9) AS var_pct,
+           ROUND(-(CAST(SUM(rq) AS DOUBLE)) / (k_tail * 1000000000), 9)
+               AS cvar_pct
+    FROM r JOIN c USING (name)
+    WHERE rn <= k_tail
+    GROUP BY name, n_days, k_tail
+    ORDER BY name
+"""
+
+
+@register("var_cvar", VAR_CVAR_SQL)
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% VaR and CVaR (expected shortfall) per strategy
+    (operators/risk.py::var_cvar): the k-th worst daily return and
+    the mean of the whole k-day tail, k = max(1, n*5 div 100) — pure
+    integer order statistics on the nano-quantized return series, so
+    the historical simulation replays bit-identically."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.operators.risk import var_cvar
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, LAST_YEAR, DS)
+    return var_cvar(g).orderBy("name")
+
+
+ROLLING_BETA_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    b0 AS ({_CAPITAL_CORE_1Y_SQL}),
+    bt AS (
+        SELECT date, percent_change
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+                                           ORDER BY date DESC) AS rn
+              FROM b0)
+        WHERE rn <= 365
+    ),
+    j AS (
+        SELECT gt.date AS date, gt.name AS name,
+               CAST(ROUND(gt.percent_change * 1000000.0) AS BIGINT) AS yq,
+               CAST(ROUND(bt.percent_change * 1000000.0) AS BIGINT) AS xq
+        FROM gt JOIN bt ON gt.date = bt.date
+    ),
+    m AS (
+        SELECT date, name,
+               ROW_NUMBER() OVER wn AS rn,
+               CAST(COUNT(*) OVER w30 AS BIGINT) AS n,
+               CAST(SUM(xq) OVER w30 AS BIGINT) AS sx,
+               CAST(SUM(yq) OVER w30 AS BIGINT) AS sy,
+               CAST(SUM(xq * yq) OVER w30 AS BIGINT) AS sxy,
+               CAST(SUM(xq * xq) OVER w30 AS BIGINT) AS sxx
+        FROM j
+        WINDOW wn AS (PARTITION BY name ORDER BY date ASC),
+               w30 AS (PARTITION BY name ORDER BY date ASC
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT date, name,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CASE WHEN n * sxx - sx * sx <> 0
+                         THEN CAST(n * sxx - sx * sx AS DOUBLE) END), 9)
+               AS beta
+    FROM m WHERE rn >= 30 ORDER BY name, date
+"""
+
+
+@register("rolling_beta", ROLLING_BETA_SQL)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling OLS beta of each strategy vs the 1-URGENT
+    capital benchmark (operators/risk.py::rolling_beta) — the
+    time-varying companion to the risk query's single full-period
+    beta. Integer moment sums over a ROWS window; full windows
+    only."""
+    from defimap_data_pipelines_spark.operators.growth import (
+        capital_gotk,
+        growth_of_10k,
+    )
+    from defimap_data_pipelines_spark.operators.risk import (
+        _tail,
+        rolling_beta,
+    )
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = _tail(growth_of_10k(raw, LAST_YEAR, DS), 365)
+    bench = _tail(
+        capital_gotk(
+            raw.filter(
+                (F.col("name") == "1-URGENT")
+                & F.col("date").between(F.lit(LAST_YEAR), F.lit(DS))
+            )
+        ),
+        365,
+    ).select("date", "percent_change")
+    return rolling_beta(g, bench).orderBy("name", "date")
+
+
+ROC_AUC_SQL = """
+    WITH blocks AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM events GROUP BY 1
+    ),
+    rk AS (
+        SELECT cnt, pos,
+               SUM(cnt) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) - cnt
+                   AS cb
+        FROM blocks
+    ),
+    a AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+               CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n0,
+               CAST(SUM(pos * (2 * cb + cnt + 1)) AS BIGINT) AS r2
+        FROM rk
+    )
+    SELECT n_pos, n_neg, ROUND(auc, 9) AS auc,
+           ROUND(2 * auc - 1, 9) AS gini
+    FROM (
+        SELECT n1 AS n_pos, n0 AS n_neg,
+               CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                   / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+        FROM a
+    )
+"""
+
+
+@register("roc_auc", ROC_AUC_SQL)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ROC AUC + Gini of event value predicting "is it a
+    purchase" (operators/evalmetrics.py::roc_auc) — the
+    discrimination score every curation classifier (quality_score,
+    quality_classifier) should be judged by. Doubled Mann-Whitney
+    rank sums over score-DISTINCT blocks: int64 end to end, one
+    float divide."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import roc_auc
+
+    e = read_table(spark, sf_dir, "events")
+    return roc_auc(e, F.col("event_type") == "purchase", "value")
+
+
+LIFT_GAINS_SQL = """
+    WITH rows_ AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS vq, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    blocks AS (
+        SELECT vq, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY vq
+    ),
+    offs AS (
+        SELECT vq,
+               CAST(SUM(cnt) OVER (ORDER BY vq DESC
+                                   ROWS UNBOUNDED PRECEDING) - cnt
+                    AS BIGINT) AS off
+        FROM blocks
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn FROM blocks),
+    rk AS (
+        SELECT y,
+               off + ROW_NUMBER() OVER (PARTITION BY r.vq
+                                        ORDER BY event_id ASC) AS rk
+        FROM rows_ r JOIN offs USING (vq)
+    ),
+    binned AS (
+        SELECT CAST(((rk - 1) * 10) // nn AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM rk, tot GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, n, pos,
+               SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   AS cum_pos,
+               SUM(pos) OVER () AS tp, SUM(n) OVER () AS tn
+        FROM binned
+    )
+    SELECT bin, n, pos,
+           ROUND(CAST(pos AS DOUBLE) / n, 9) AS rate,
+           ROUND((CAST(pos AS DOUBLE) * tn) / (CAST(n AS DOUBLE) * tp), 9)
+               AS lift,
+           ROUND(CAST(cum_pos AS DOUBLE) / tp, 9) AS cum_gain
+    FROM cum ORDER BY bin
+"""
+
+
+@register("lift_gains", LIFT_GAINS_SQL)
+def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gains table for value-ranked
+    targeting of purchases (operators/evalmetrics.py::lift_gains).
+    Tie-exact global ranks assembled from block offsets + a
+    partitioned within-block row_number — never a global row-grained
+    window — then pure integer bin cuts."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import lift_gains
+
+    e = read_table(spark, sf_dir, "events")
+    return lift_gains(
+        e, F.col("event_type") == "purchase", "value", "event_id"
+    ).orderBy("bin")
+
+
+ATTRIBUTION_SQL = """
+    WITH conv AS (
+        SELECT user_id, event_id AS cid,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id AS tid,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type AS ch
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+        SELECT c.cid, t.tid, t.tus, t.ch
+        FROM conv c LEFT JOIN touch t
+          ON c.user_id = t.user_id AND t.tus < c.cus
+         AND t.tus >= c.cus - 604800000000
+    ),
+    cr AS (
+        SELECT COALESCE(ch, '(direct)') AS channel,
+               CAST(COUNT(tid) OVER (PARTITION BY cid) AS BIGINT) AS k,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY tus DESC, tid DESC) AS rn,
+               tid IS NOT NULL AS is_touch
+        FROM j
+    ),
+    cb AS (
+        SELECT channel, is_touch,
+               CASE WHEN k = 0 THEN 10000
+                    ELSE 10000 // k
+                         + CASE WHEN rn <= 10000 % k THEN 1 ELSE 0 END
+               END AS credit_bp
+        FROM cr
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN is_touch THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_touches,
+           CAST(SUM(credit_bp) AS BIGINT) AS credit_bp,
+           ROUND(CAST(SUM(credit_bp) AS DOUBLE) / 10000.0, 9)
+               AS conversions_credited
+    FROM cb GROUP BY channel ORDER BY channel
+"""
+
+
+@register("attribution_credit", ATTRIBUTION_SQL)
+def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution of purchases to the user's
+    preceding 7 days of touches
+    (operators/journeys.py::attribute_linear): 10000 basis points
+    per conversion split integer-exactly (largest remainder to the
+    most recent touches), no-touch conversions credited to
+    '(direct)'. sum(credit_bp) == 10000 x conversions by
+    construction."""
+    from defimap_data_pipelines_spark.operators.journeys import (
+        attribute_linear,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase")
+    touch = e.filter(F.col("event_type") != "purchase")
+    return attribute_linear(conv, touch).orderBy("channel")
+
+
+PEAK_CONCURRENCY_SQL = f"""
+    WITH sess AS ({SESSIONIZE_SQL}),
+    s AS (
+        SELECT session_start_us AS sb, session_end_us + 1 AS eb FROM sess
+    ),
+    d AS (
+        SELECT sb AS ts, CAST(1 AS BIGINT) AS delta FROM s
+        UNION ALL
+        SELECT eb AS ts, CAST(-1 AS BIGINT) AS delta FROM s
+    ),
+    runs AS (
+        SELECT day, CAST(MAX(run) AS BIGINT) AS peak_delta FROM (
+            SELECT ts // 86400000000 AS day,
+                   SUM(delta) OVER (PARTITION BY ts // 86400000000
+                                    ORDER BY ts ASC, delta ASC
+                                    ROWS UNBOUNDED PRECEDING) AS run
+            FROM d
+        ) GROUP BY day
+    ),
+    spans AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS carry_in FROM (
+            SELECT unnest(range(sb // 86400000000 + 1,
+                                (eb - 1) // 86400000000 + 1)) AS day
+            FROM s
+            WHERE (eb - 1) // 86400000000 > sb // 86400000000
+        ) GROUP BY day
+    )
+    SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS day,
+           CAST(COALESCE(carry_in, 0) AS BIGINT) AS carry_in,
+           CAST(GREATEST(COALESCE(carry_in, 0),
+                         COALESCE(carry_in, 0) + COALESCE(peak_delta, 0))
+                AS BIGINT) AS peak
+    FROM runs FULL JOIN spans USING (day)
+    ORDER BY day
+"""
+
+
+@register("peak_concurrency", PEAK_CONCURRENCY_SQL)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak simultaneous sessions from the sessionize
+    substrate (operators/journeys.py::peak_concurrency) — the
+    capacity number hourly rollups undercount. Two-level sweep line:
+    per-day +1/-1 prefix sums (day-partitioned window, never global)
+    plus an O(spanning-sessions) midnight carry-in."""
+    from defimap_data_pipelines_spark.operators.journeys import (
+        peak_concurrency,
+    )
+
+    sess = QUERIES["sessionize"](spark, sf_dir)
+    return peak_concurrency(sess).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Round 6 wave 10: experimentation (DiD, CUPED), retrieval eval
+# (NDCG@k, MAP@k), probability calibration, lead-lag correlation
+# --------------------------------------------------------------------------
+
+# deterministic synthetic experiment design over events: odd users
+# "treated", 2024-01-16 splits the 30-day span into pre/post halves
+_EXP_TREAT_SQL = "user_id % 2 = 1"
+_EXP_POST_SQL = "ts >= TIMESTAMP '2024-01-16'"
+
+DID_SQL = f"""
+    WITH c AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               CASE WHEN {_EXP_TREAT_SQL} THEN 1 ELSE 0 END AS t,
+               CASE WHEN {_EXP_POST_SQL} THEN 1 ELSE 0 END AS p
+        FROM events
+    ),
+    a AS (
+        SELECT
+          CAST(SUM(CASE WHEN t=0 AND p=0 THEN 1 END) AS BIGINT) AS n_00,
+          CAST(SUM(CASE WHEN t=0 AND p=1 THEN 1 END) AS BIGINT) AS n_01,
+          CAST(SUM(CASE WHEN t=1 AND p=0 THEN 1 END) AS BIGINT) AS n_10,
+          CAST(SUM(CASE WHEN t=1 AND p=1 THEN 1 END) AS BIGINT) AS n_11,
+          CAST(SUM(CASE WHEN t=0 AND p=0 THEN vq END) AS BIGINT) AS s_00,
+          CAST(SUM(CASE WHEN t=0 AND p=1 THEN vq END) AS BIGINT) AS s_01,
+          CAST(SUM(CASE WHEN t=1 AND p=0 THEN vq END) AS BIGINT) AS s_10,
+          CAST(SUM(CASE WHEN t=1 AND p=1 THEN vq END) AS BIGINT) AS s_11
+        FROM c
+    )
+    SELECT COALESCE(n_00, 0) AS n_ctrl_pre,
+           COALESCE(n_01, 0) AS n_ctrl_post,
+           COALESCE(n_10, 0) AS n_treat_pre,
+           COALESCE(n_11, 0) AS n_treat_post,
+           ROUND(s_00 / (n_00 * 100.0), 9) AS mean_ctrl_pre,
+           ROUND(s_01 / (n_01 * 100.0), 9) AS mean_ctrl_post,
+           ROUND(s_10 / (n_10 * 100.0), 9) AS mean_treat_pre,
+           ROUND(s_11 / (n_11 * 100.0), 9) AS mean_treat_post,
+           ROUND((s_11 / (n_11 * 100.0) - s_10 / (n_10 * 100.0))
+                 - (s_01 / (n_01 * 100.0) - s_00 / (n_00 * 100.0)), 9)
+               AS did
+    FROM a
+"""
+
+
+@register("did_estimator", DID_SQL)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on a deterministic synthetic
+    experiment over events (odd user_ids treated, 2024-01-16 the
+    intervention date): (treat_post - treat_pre) - (ctrl_post -
+    ctrl_pre) of cell mean values
+    (operators/experiments.py::did_estimator). One pass — eight
+    conditional integer cent sums in a single map-side-combining
+    aggregate; the shuffle carries one row per partition."""
+    from defimap_data_pipelines_spark.operators.experiments import (
+        did_estimator,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return did_estimator(
+        e,
+        F.col("user_id") % 2 == 1,
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        "value",
+    )
+
+
+CUPED_SQL = f"""
+    WITH r AS (
+        SELECT user_id,
+               CASE WHEN {_EXP_TREAT_SQL} THEN 1 ELSE 0 END AS variant,
+               CASE WHEN {_EXP_POST_SQL}
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0
+               END AS yq,
+               CASE WHEN NOT ({_EXP_POST_SQL})
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0
+               END AS xq
+        FROM events
+    ),
+    u AS (
+        SELECT user_id, variant,
+               CAST(SUM(xq) AS BIGINT) AS x,
+               CAST(SUM(yq) AS BIGINT) AS y
+        FROM r GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM u GROUP BY 1
+    ),
+    pool AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS pn,
+               CAST(SUM(sx) AS BIGINT) AS psx,
+               CAST(SUM(sy) AS BIGINT) AS psy,
+               CAST(SUM(sxy) AS BIGINT) AS psxy,
+               CAST(SUM(sxx) AS BIGINT) AS psxx,
+               CAST(SUM(syy) AS BIGINT) AS psyy
+        FROM v
+    ),
+    m AS (
+        SELECT variant, n, sx, sy,
+               CAST(psxy * pn - psx * psy AS DOUBLE) AS cov,
+               CAST(psxx * pn - psx * psx AS DOUBLE) AS varx,
+               CAST(psyy * pn - psy * psy AS DOUBLE) AS vary,
+               CAST(psx AS DOUBLE) / (pn * 100.0) AS mean_all_x
+        FROM v CROSS JOIN pool
+    )
+    SELECT variant, n AS n_units,
+           ROUND(sx / (n * 100.0), 9) AS mean_x,
+           ROUND(sy / (n * 100.0), 9) AS mean_y,
+           ROUND(sy / (n * 100.0)
+                 - (cov / (CASE WHEN varx > 0 THEN varx END))
+                   * (sx / (n * 100.0) - mean_all_x), 9) AS adj_mean_y,
+           ROUND(cov / (CASE WHEN varx > 0 THEN varx END), 9) AS theta,
+           ROUND((cov * cov)
+                 / (CASE WHEN varx * vary > 0 THEN varx * vary END), 9)
+               AS rho2
+    FROM m ORDER BY variant
+"""
+
+
+@register("cuped_adjustment", CUPED_SQL)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted variant means for the same synthetic experiment
+    (operators/experiments.py::cuped_adjustment): per-user pre-period
+    totals as the covariate, pooled theta = cov(X,Y)/var(X), adjusted
+    mean = mean(Y) - theta(mean(X) - mean_all(X)); rho2 is the
+    variance-reduction fraction. Two partial-friendly aggregates
+    (rows -> per-user pairs -> per-variant moments) and a broadcast
+    of the one-row pooled frame."""
+    from defimap_data_pipelines_spark.operators.experiments import (
+        cuped_adjustment,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return cuped_adjustment(
+        e,
+        "user_id",
+        F.col("user_id") % 2 == 1,
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        "value",
+    ).orderBy("variant")
+
+
+def _ndcg_w_case(col: str, k: int = 10) -> str:
+    """CASE mapping rank -> the SAME nano-quantized 1/log2(rank+1)
+    int literals the Spark side folds
+    (operators/evalmetrics.py::ndcg_weight_nano) — never trust two
+    engines' log2 to agree to the last ulp."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        ndcg_weight_nano,
+    )
+
+    whens = " ".join(
+        f"WHEN {i} THEN {ndcg_weight_nano(i)}" for i in range(1, k + 1)
+    )
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+NDCG_SQL = f"""
+    WITH r AS (
+        SELECT source AS query, doc_id % 4 AS rel,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY doc_id % 4 DESC, doc_id ASC)
+                   AS ik
+        FROM documents
+    ),
+    a AS (
+        SELECT query, CAST(COUNT(*) AS BIGINT) AS n_cands,
+               CAST(SUM(CASE WHEN rk <= 10
+                    THEN rel * ({_ndcg_w_case("rk")}) ELSE 0 END)
+                    AS BIGINT) AS dcgq,
+               CAST(SUM(CASE WHEN ik <= 10
+                    THEN rel * ({_ndcg_w_case("ik")}) ELSE 0 END)
+                    AS BIGINT) AS idcgq
+        FROM r GROUP BY query
+    )
+    SELECT query, n_cands,
+           ROUND(CAST(dcgq AS DOUBLE) / 1000000000.0, 9) AS dcg,
+           ROUND(CAST(idcgq AS DOUBLE) / 1000000000.0, 9) AS idcg,
+           ROUND(CAST(dcgq AS DOUBLE)
+                 / (CASE WHEN idcgq > 0 THEN idcgq END), 9) AS ndcg
+    FROM a ORDER BY query
+"""
+
+
+@register("ndcg_at_k", NDCG_SQL)
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per source of ranking documents by length against a
+    deterministic graded relevance (doc_id % 4)
+    (operators/evalmetrics.py::ndcg_at_k). Both rank windows
+    partition by the query key; DCG position weights are
+    nano-quantized int literals shared with the oracle, so the sums
+    are exact integers and each ratio divides once."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        ndcg_at_k,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return ndcg_at_k(
+        d, "source", F.col("n_chars"), "doc_id", F.col("doc_id") % 4
+    ).orderBy("query")
+
+
+MAP_SQL = """
+    WITH r AS (
+        SELECT source AS query,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS y,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk,
+               SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ),
+    a AS (
+        SELECT query, CAST(COUNT(*) AS BIGINT) AS n_cands,
+               CAST(SUM(y) AS BIGINT) AS n_rel,
+               CAST(SUM(CASE WHEN y = 1 AND rk <= 10
+                    THEN cum * (2520 // rk) ELSE 0 END) AS BIGINT) AS num
+        FROM r GROUP BY query
+    )
+    SELECT query, n_cands, n_rel,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CASE WHEN n_rel > 0
+                    THEN 2520.0 * LEAST(10, n_rel) END), 9) AS ap
+    FROM a ORDER BY query
+"""
+
+
+@register("map_at_k", MAP_SQL)
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision@10 per source, binary relevance
+    (doc_id % 4 == 0), same length ranking
+    (operators/evalmetrics.py::avg_precision_at_k). AP terms ride as
+    cum_rel * (lcm(1..10)/rank) int64 — a float SUM's addition order
+    is partition-dependent, an integer sum is not — and divide once
+    by lcm * min(k, n_rel)."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        avg_precision_at_k,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return avg_precision_at_k(
+        d, "source", F.col("n_chars"), "doc_id", F.col("doc_id") % 4 == 0
+    ).orderBy("query")
+
+
+BRIER_SQL = """
+    WITH r AS (
+        SELECT LEAST(n_chars * 2, 1000) AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    a AS (
+        SELECT LEAST((p * 10) // 1000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(p) AS BIGINT) AS sp,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM((p - 1000 * y) * (p - 1000 * y)) AS BIGINT) AS se
+        FROM r GROUP BY 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n,
+           ROUND(sp / (n * 1000.0), 9) AS mean_pred,
+           ROUND(CAST(sy AS DOUBLE) / n, 9) AS obs_rate,
+           ROUND(se / (n * 1000000.0), 9) AS brier
+    FROM a ORDER BY bin
+"""
+
+
+@register("brier_calibration", BRIER_SQL)
+def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + per-bin Brier score for "document length
+    predicts English" — pred permille = min(2*n_chars, 1000), binned
+    by decile (operators/evalmetrics.py::brier_calibration). One
+    map-side-combining aggregate; (p - 1000y)^2 is int64-exact so
+    both engines bin and accumulate identically."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        brier_calibration,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return brier_calibration(
+        d,
+        F.least(F.col("n_chars") * 2, F.lit(1000)),
+        F.col("lang") == "en",
+    ).orderBy("bin")
+
+
+LEADLAG_SQL = f"""
+    WITH d AS ({_DAILY_EVENTS_SQL}),
+    x AS (SELECT day AS dx, yq AS x FROM d WHERE g = 'click'),
+    y AS (SELECT day AS dy, yq AS y FROM d WHERE g = 'purchase'),
+    l AS (SELECT unnest(range(-5, 6)) AS lag),
+    p AS (
+        SELECT lag, x, y
+        FROM x CROSS JOIN l JOIN y ON dy = dx + lag
+    ),
+    a AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p GROUP BY lag
+    )
+    SELECT lag, n_days,
+           ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CASE WHEN CAST(n_days * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n_days * syy - sy * sy AS DOUBLE)
+                                  > 0
+                        THEN CAST(n_days * sxx - sx * sx AS DOUBLE)
+                             * CAST(n_days * syy - sy * sy AS DOUBLE)
+                        END), 9) AS xcorr
+    FROM a ORDER BY lag
+"""
+
+
+@register("leadlag_xcorr", LEADLAG_SQL)
+def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation of daily click vs purchase revenue
+    at lags -5..+5 (operators/stats.py::leadlag_xcorr): Pearson corr
+    of x_d against y_(d+lag) from integer cent moments — "do clicks
+    lead purchases". The O(days) series fans out against a broadcast
+    11-row lag list; one moment aggregate per lag."""
+    from defimap_data_pipelines_spark.operators.stats import leadlag_xcorr
+
+    daily = _events_daily(spark, sf_dir)
+    return leadlag_xcorr(daily, "click", "purchase", max_lag=5)
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -12189,7 +12934,12 @@ def q_best_split_ig(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mannwhitney_u, kaplan_meier, holt_forecast, seasonal_anomalies,
 # rrf_fusion, itemcf_topk, community_modularity, js_divergence,
 # ams_f2_moment, markov_stationary, bootstrap_ci, top_event_paths,
-# mutual_best_pairs, isotonic_calibration, trailing_distinct_kmv —
+# mutual_best_pairs, isotonic_calibration, trailing_distinct_kmv,
+# theilsen_slope, mann_kendall, weighted_median, burstiness,
+# mutual_information, psi_drift, best_split_ig, sortino_calmar,
+# var_cvar, rolling_beta, roc_auc, lift_gains, attribution_credit,
+# peak_concurrency, did_estimator, cuped_adjustment, ndcg_at_k,
+# map_at_k, brier_calibration, leadlag_xcorr —
 # swap these in for prior greens next round.
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
