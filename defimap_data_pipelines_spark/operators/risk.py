@@ -506,3 +506,106 @@ def rolling_beta(
         "name",
         F.round(num / F.when(den != 0, den), 9).alias("beta"),
     )
+
+
+def information_ratio(
+    gotk: DataFrame, benchmark: DataFrame, day_period: int = 365
+) -> DataFrame:
+    """Information ratio of each name vs the benchmark over the
+    trailing ``day_period`` days: annualized mean active return
+    (r_name - r_bench, date-aligned) over annualized tracking error
+    (sample stdev of the active return x sqrt(365)). Returns (name,
+    n_days, active_return_ann, tracking_error, info_ratio); IR is
+    NULL when the tracking error is exactly zero (a perfect clone).
+
+    The benchmark side is a calendar-sized frame -> broadcast; active
+    returns ride nano-quantized int64 and the variance comes from the
+    (sum, sum-of-squares) moment pair — micro-quantized like
+    sortino_calmar's downside term so squares can't overflow.
+    """
+    a = _tail(gotk, day_period).select(
+        "date",
+        "name",
+        _rq9(F.col("percent_change")).alias("aq9"),
+        _rq6(F.col("percent_change")).alias("aq6"),
+    )
+    b = benchmark.select(
+        "date",
+        _rq9(F.col("percent_change")).alias("bq9"),
+        _rq6(F.col("percent_change")).alias("bq6"),
+    )
+    j = a.join(F.broadcast(b), "date").select(
+        "name",
+        (F.col("aq9") - F.col("bq9")).alias("d9"),
+        (F.col("aq6") - F.col("bq6")).alias("d6"),
+    )
+    agg = j.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("d9").alias("_s9"),
+        F.sum("d6").alias("_s6"),
+        F.sum(F.col("d6") * F.col("d6")).alias("_ss6"),
+    )
+    n = F.col("n_days")
+    mean_ann = F.col("_s9").cast("double") / RQ9 / n * 365.0
+    # sample variance from integer moments: (n*ss - s^2) / (n*(n-1))
+    var6 = (n * F.col("_ss6") - F.col("_s6") * F.col("_s6")).cast(
+        "double"
+    ) / (n * (n - 1))
+    te = F.sqrt(var6) / RQ6 * F.sqrt(F.lit(365.0))
+    return agg.select(
+        "name",
+        "n_days",
+        F.round(mean_ann, 9).alias("active_return_ann"),
+        F.round(te, 9).alias("tracking_error"),
+        F.round(
+            mean_ann
+            / F.when(n * F.col("_ss6") - F.col("_s6") * F.col("_s6") > 0, te),
+            9,
+        ).alias("info_ratio"),
+    )
+
+
+def underwater_spells(gotk: DataFrame) -> DataFrame:
+    """Drawdown DURATIONS per name: a day is "underwater" when the
+    investment curve sits strictly below its running peak; a spell is
+    a maximal run of consecutive underwater days. Returns (name,
+    n_spells, max_spell_days, total_underwater_days) — max drawdown
+    (risk_metrics) says how DEEP, this says how LONG, and the two
+    disagree about which strategy is worse often enough to report
+    both.
+
+    Gaps-and-islands entirely inside per-name windows: island id =
+    row_number over all days minus row_number over underwater days —
+    constant within a run, never a global window. "Strictly below
+    the peak" compares the raw doubles both engines loaded from the
+    same parquet, an exact predicate (no epsilon, no quantization
+    needed).
+    """
+    wcum = (
+        Window.partitionBy("name")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("name").orderBy("date")
+    flagged = gotk.select(
+        "name",
+        "date",
+        (
+            F.col("end_day_investment")
+            < F.max("end_day_investment").over(wcum)
+        ).alias("under"),
+        F.row_number().over(wall).alias("_rn"),
+    ).filter(F.col("under"))
+    wunder = Window.partitionBy("name").orderBy("date")
+    islands = flagged.select(
+        "name",
+        (F.col("_rn") - F.row_number().over(wunder)).alias("_isl"),
+    )
+    per_spell = islands.groupBy("name", "_isl").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    return per_spell.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spells"),
+        F.max("_len").alias("max_spell_days"),
+        F.sum("_len").alias("total_underwater_days"),
+    )

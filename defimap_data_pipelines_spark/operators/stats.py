@@ -1062,3 +1062,88 @@ def leadlag_xcorr(
             cov / F.sqrt(F.when(vx * vy > 0, vx * vy)), 9
         ).alias("xcorr"),
     ).orderBy("lag")
+
+
+def kendall_tau(
+    daily: DataFrame,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Kendall tau-b rank correlation between two groups' daily
+    series (the ``daily_series`` substrate, joined on day): the
+    concordant-minus-discordant pair statistic with the standard
+    tie correction, tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)).
+    Returns one row (n_days, concordant, discordant, tau_b); NULL
+    tau when either side is entirely tied. Complements spearman
+    (operators/stats.py::spearman_by_group) — tau's O(n^2) pair
+    basis is robust to a different class of outliers.
+
+    Like theilsen_by_group, the quadratic pair join happens on the
+    O(days) POST-aggregation frame — 435 pairs for a month — so it
+    never sees row-grained data; every count is an exact int64 and
+    tau divides once. Tie terms n1/n2 come from per-value groupBys of
+    the same aligned frame, not a second scan of the raw rows.
+    """
+    x = daily.filter(F.col("g") == group_a).select(
+        F.col("day").alias("d"), F.col("yq").alias("x")
+    )
+    y = daily.filter(F.col("g") == group_b).select(
+        F.col("day").alias("d"), F.col("yq").alias("y")
+    )
+    xy = x.join(y, "d").select("d", "x", "y")
+    xy = xy.cache()  # three consumers: pair join sides + tie groups
+    pairs = (
+        xy.alias("a")
+        .join(xy.alias("b"), F.col("a.d") < F.col("b.d"))
+        .select(
+            (
+                (F.col("a.x") - F.col("b.x"))
+                * (F.col("a.y") - F.col("b.y"))
+            ).alias("prod")
+        )
+    )
+    cd = pairs.agg(
+        F.sum(F.when(F.col("prod") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("prod") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+    )
+    n = xy.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    tx = (
+        xy.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).alias("_n1x2")
+        )
+    )
+    ty = (
+        xy.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).alias("_n2x2")
+        )
+    )
+    j = (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0x2 = (F.col("n_days") * (F.col("n_days") - 1)).cast("double")
+    den = F.sqrt(
+        (n0x2 - F.col("_n1x2")) * (n0x2 - F.col("_n2x2"))
+    )
+    return j.select(
+        "n_days",
+        "concordant",
+        "discordant",
+        F.round(
+            2.0
+            * (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.when(
+                (n0x2 - F.col("_n1x2")) * (n0x2 - F.col("_n2x2")) > 0, den
+            ),
+            9,
+        ).alias("tau_b"),
+    )

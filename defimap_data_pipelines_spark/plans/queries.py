@@ -12902,6 +12902,278 @@ def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 11: portfolio accounting (FIFO lots, IR, underwater
+# spells) and Kendall tau
+# --------------------------------------------------------------------------
+
+_BENCH_TAIL_SQL = f"""
+    b0 AS ({_CAPITAL_CORE_1Y_SQL}),
+    bt AS (
+        SELECT date, percent_change
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+                                           ORDER BY date DESC) AS rn
+              FROM b0)
+        WHERE rn <= 365
+    )
+"""
+
+INFO_RATIO_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    {_BENCH_TAIL_SQL},
+    j AS (
+        SELECT gt.name AS name,
+               CAST(ROUND(gt.percent_change * 1000000000.0) AS BIGINT)
+               - CAST(ROUND(bt.percent_change * 1000000000.0) AS BIGINT)
+                   AS d9,
+               CAST(ROUND(gt.percent_change * 1000000.0) AS BIGINT)
+               - CAST(ROUND(bt.percent_change * 1000000.0) AS BIGINT)
+                   AS d6
+        FROM gt JOIN bt ON gt.date = bt.date
+    ),
+    a AS (
+        SELECT name, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(d9) AS BIGINT) AS s9,
+               CAST(SUM(d6) AS BIGINT) AS s6,
+               CAST(SUM(d6 * d6) AS BIGINT) AS ss6
+        FROM j GROUP BY name
+    )
+    SELECT name, n_days,
+           ROUND(CAST(s9 AS DOUBLE) / 1000000000.0 / n_days * 365.0, 9)
+               AS active_return_ann,
+           ROUND(SQRT(CAST(n_days * ss6 - s6 * s6 AS DOUBLE)
+                      / (n_days * (n_days - 1)))
+                 / 1000000.0 * SQRT(365.0), 9) AS tracking_error,
+           ROUND((CAST(s9 AS DOUBLE) / 1000000000.0 / n_days * 365.0)
+                 / (CASE WHEN n_days * ss6 - s6 * s6 > 0
+                    THEN SQRT(CAST(n_days * ss6 - s6 * s6 AS DOUBLE)
+                              / (n_days * (n_days - 1)))
+                         / 1000000.0 * SQRT(365.0) END), 9)
+               AS info_ratio
+    FROM a ORDER BY name
+"""
+
+
+@register("information_ratio", INFO_RATIO_SQL)
+def q_information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information ratio of each strategy vs the 1-URGENT capital
+    benchmark over the trailing year
+    (operators/risk.py::information_ratio): annualized mean active
+    return over annualized tracking error — "is the outperformance
+    worth the deviation". Broadcast calendar-sized benchmark; nano/
+    micro-quantized integer moments like the sortino family."""
+    from defimap_data_pipelines_spark.operators.growth import (
+        capital_gotk,
+        growth_of_10k,
+    )
+    from defimap_data_pipelines_spark.operators.risk import (
+        _tail,
+        information_ratio,
+    )
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, LAST_YEAR, DS)
+    bench = _tail(
+        capital_gotk(
+            raw.filter(
+                (F.col("name") == "1-URGENT")
+                & F.col("date").between(F.lit(LAST_YEAR), F.lit(DS))
+            )
+        ),
+        365,
+    ).select("date", "percent_change")
+    return information_ratio(g, bench).orderBy("name")
+
+
+UNDERWATER_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    f AS (
+        SELECT name, date,
+               end_day_investment
+               < MAX(end_day_investment)
+                 OVER (PARTITION BY name ORDER BY date ASC
+                       ROWS UNBOUNDED PRECEDING) AS under,
+               ROW_NUMBER() OVER (PARTITION BY name ORDER BY date ASC)
+                   AS rn
+        FROM gt
+    ),
+    i AS (
+        SELECT name,
+               rn - ROW_NUMBER() OVER (PARTITION BY name
+                                       ORDER BY date ASC) AS isl
+        FROM f WHERE under
+    ),
+    s AS (
+        SELECT name, isl, CAST(COUNT(*) AS BIGINT) AS len
+        FROM i GROUP BY 1, 2
+    )
+    SELECT name, CAST(COUNT(*) AS BIGINT) AS n_spells,
+           CAST(MAX(len) AS BIGINT) AS max_spell_days,
+           CAST(SUM(len) AS BIGINT) AS total_underwater_days
+    FROM s GROUP BY name ORDER BY name
+"""
+
+
+@register("underwater_spells", UNDERWATER_SQL)
+def q_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown durations per strategy over the trailing year
+    (operators/risk.py::underwater_spells): gaps-and-islands on
+    "strictly below the running peak" days — max drawdown says how
+    deep, this says how long. All windows per-name; the island id is
+    the row_number difference, never a global window."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.operators.risk import (
+        _tail,
+        underwater_spells,
+    )
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = _tail(growth_of_10k(raw, LAST_YEAR, DS), 365)
+    return underwater_spells(g).orderBy("name")
+
+
+KENDALL_SQL = f"""
+    WITH d AS ({_DAILY_EVENTS_SQL}),
+    x AS (SELECT day AS dxd, yq AS x FROM d WHERE g = 'click'),
+    y AS (SELECT day AS dyd, yq AS y FROM d WHERE g = 'purchase'),
+    xy AS (SELECT dxd AS dd, x, y FROM x JOIN y ON dxd = dyd),
+    p AS (
+        SELECT (a.x - b.x) * (a.y - b.y) AS prod
+        FROM xy a JOIN xy b ON a.dd < b.dd
+    ),
+    cd AS (
+        SELECT CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS concordant,
+               CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS discordant
+        FROM p
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM xy),
+    tx AS (
+        SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS n1x2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM xy GROUP BY x)
+    ),
+    ty AS (
+        SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS n2x2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM xy GROUP BY y)
+    )
+    SELECT n_days, concordant, discordant,
+           ROUND(2.0 * CAST(concordant - discordant AS DOUBLE)
+                 / (CASE WHEN (CAST(n_days * (n_days - 1) AS DOUBLE)
+                               - n1x2)
+                              * (CAST(n_days * (n_days - 1) AS DOUBLE)
+                                 - n2x2) > 0
+                    THEN SQRT((CAST(n_days * (n_days - 1) AS DOUBLE)
+                               - n1x2)
+                              * (CAST(n_days * (n_days - 1) AS DOUBLE)
+                                 - n2x2)) END), 9) AS tau_b
+    FROM cd CROSS JOIN n CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+@register("kendall_tau", KENDALL_SQL)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily click and purchase revenue
+    (operators/stats.py::kendall_tau): concordant/discordant pairs
+    with tie correction over the O(days) aligned frame — the pair
+    join is calendar-sized like theilsen's, never row-grained."""
+    from defimap_data_pipelines_spark.operators.stats import kendall_tau
+
+    daily = _events_daily(spark, sf_dir)
+    return kendall_tau(daily, "click", "purchase")
+
+
+FIFO_SQL = """
+    WITH b AS (
+        SELECT l_partkey AS k, CAST(l_quantity AS BIGINT) AS q,
+               CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)
+                   AS pc,
+               SUM(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS hi
+        FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    s AS (
+        SELECT l_partkey AS k, CAST(l_quantity AS BIGINT) AS q,
+               SUM(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS hi
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    m AS (
+        SELECT b.k AS k,
+               LEAST(b.hi, s.hi) - GREATEST(b.hi - b.q, s.hi - s.q) AS mq,
+               (LEAST(b.hi, s.hi) - GREATEST(b.hi - b.q, s.hi - s.q))
+                   * b.pc AS cc
+        FROM b JOIN s ON b.k = s.k
+           AND b.hi > s.hi - s.q AND b.hi - b.q < s.hi
+    ),
+    pk AS (
+        SELECT k, CAST(SUM(mq) AS BIGINT) AS matched_qty,
+               CAST(SUM(cc) AS BIGINT) AS cc
+        FROM m GROUP BY k
+    ),
+    bq AS (
+        SELECT l_partkey AS k,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS bought_qty
+        FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1
+    ),
+    sq AS (
+        SELECT l_partkey AS k,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS sold_qty
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    )
+    SELECT k AS l_partkey, bought_qty, sold_qty,
+           COALESCE(matched_qty, 0) AS matched_qty,
+           ROUND(COALESCE(cc, 0) / 100.0, 9) AS realized_cost,
+           ROUND(CAST(cc AS DOUBLE)
+                 / (CASE WHEN matched_qty > 0 THEN matched_qty END)
+                 / 100.0, 9) AS avg_cost
+    FROM bq JOIN sq USING (k) LEFT JOIN pk USING (k)
+    ORDER BY l_partkey
+"""
+
+
+@register("fifo_matching", FIFO_SQL)
+def q_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO cost-basis matching of returns ('R' lineitems, the
+    "sells") against shipments (the "buy lots") per part
+    (operators/lots.py::fifo_realized_summary): the sequential
+    oldest-lot queue re-expressed as per-key cumulative-quantity
+    interval overlap — two windowed prefix sums + one interval join,
+    no iteration. Realized cost rides integer cents; per-part
+    parallelism throughout."""
+    from defimap_data_pipelines_spark.operators.lots import (
+        fifo_realized_summary,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+        .cast("long")
+        .alias("pc"),
+    )
+    buys = li.filter(F.col("l_returnflag") != "R")
+    sells = li.filter(F.col("l_returnflag") == "R")
+    return fifo_realized_summary(
+        buys,
+        sells,
+        "l_partkey",
+        "l_quantity",
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "pc",
+    ).orderBy("l_partkey")
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
