@@ -174,6 +174,10 @@ BENCH_QUERIES = [
     "map_at_k",
     "brier_calibration",
     "leadlag_xcorr",
+    "information_ratio",
+    "underwater_spells",
+    "kendall_tau",
+    "fifo_matching",
 ]
 
 
