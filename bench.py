@@ -178,6 +178,11 @@ BENCH_QUERIES = [
     "underwater_spells",
     "kendall_tau",
     "fifo_matching",
+    "kruskal_wallis",
+    "ulcer_martin",
+    "variance_ratio",
+    "pr_auc",
+    "cohens_kappa",
 ]
 
 

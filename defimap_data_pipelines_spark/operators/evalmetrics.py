@@ -387,3 +387,113 @@ def brier_calibration(
             F.col("_se").cast("double") / (F.col("n") * 1000000.0), 9
         ).alias("brier"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    label_col,
+    score_col: str,
+    quantum: int = 100,
+) -> DataFrame:
+    """Area under the precision-recall curve (average precision),
+    tie-aware at the score-block level: walking score-DISTINCT
+    blocks from best to worst, AP = sum_b (pos_b / n_pos) *
+    precision_at_block_end — the step-integral sklearn convention
+    with tied scores collapsed to one threshold. Returns one row
+    (n_pos, n_neg, baseline, avg_precision); baseline = prevalence
+    (the AP of a random scorer), the number AP must beat.
+
+    The PR companion of roc_auc for imbalanced labels (AUC saturates
+    when negatives dominate; AP doesn't). Same O(distinct scores)
+    block substrate; each block's precision term is nano-quantized
+    BEFORE the cross-block sum so the double reduction order can't
+    leak, then one divide by n_pos at the end.
+    """
+    blocks = _score_blocks(df, label_col, score_col, quantum)
+    w = Window.orderBy(F.col("vq").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = blocks.select(
+        "pos",
+        F.sum("cnt").over(w).alias("_ccnt"),
+        F.sum("pos").over(w).alias("_cpos"),
+    )
+    termq = F.round(
+        F.col("_cpos").cast("double") / F.col("_ccnt") * 1000000000.0
+    ).cast("long")
+    agg = stepped.select(
+        "pos",
+        "_ccnt",
+        "_cpos",
+        (F.col("pos") * termq).alias("_tq"),
+    ).agg(
+        F.max("_cpos").alias("n1"),
+        (F.max("_ccnt") - F.max("_cpos")).alias("n0"),
+        F.sum("_tq").alias("_stq"),
+    )
+    n1 = F.col("n1")
+    return agg.select(
+        n1.alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            n1.cast("double") / (n1 + F.col("n0")).cast("double"), 9
+        ).alias("baseline"),
+        F.round(
+            F.col("_stq").cast("double") / n1 / 1000000000.0, 9
+        ).alias("avg_precision"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a, rater_b
+) -> DataFrame:
+    """Cohen's kappa between two categorical rating columns on the
+    same rows — chance-corrected agreement ((p_o - p_e) / (1 - p_e)).
+    The standard check that two labeling passes (two quality
+    classifiers, a model vs a heuristic, two annotator cohorts)
+    agree beyond what their marginal label rates force. Returns one
+    row (n, observed_agreement, expected_agreement, kappa); kappa is
+    NULL when p_e is exactly 1 (both raters constant — agreement is
+    unfalsifiable).
+
+    One groupBy to the O(categories^2) confusion frame; p_o and p_e
+    are exact-int64 ratios (agree*N and sum of marginal products
+    over N^2), so kappa = (agree*N - sum_rc) / (N^2 - sum_rc)
+    divides exact integers once. Marginals come from the confusion
+    frame, never a second scan.
+    """
+    conf = (
+        df.select(rater_a.alias("ra"), rater_b.alias("rb"))
+        .groupBy("ra", "rb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()  # feeds both marginals and the diagonal
+    )
+    ma = conf.groupBy("ra").agg(F.sum("c").alias("na"))
+    mb = conf.groupBy("rb").agg(F.sum("c").alias("nb"))
+    cross = (
+        ma.join(
+            F.broadcast(mb), F.col("ra") == F.col("rb"), "inner"
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_rc"))
+    )
+    base = conf.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(F.lit(0))).alias(
+            "agree"
+        ),
+    )
+    j = base.crossJoin(F.broadcast(cross))
+    n = F.col("n")
+    po = F.col("agree").cast("double") / n
+    pe = F.col("sum_rc").cast("double") / (n * n).cast("double")
+    kappa = (F.col("agree") * n - F.col("sum_rc")).cast("double") / (
+        n * n - F.col("sum_rc")
+    ).cast("double")
+    return j.select(
+        n.alias("n"),
+        F.round(po, 9).alias("observed_agreement"),
+        F.round(pe, 9).alias("expected_agreement"),
+        F.round(
+            F.when(n * n - F.col("sum_rc") > 0, kappa), 9
+        ).alias("kappa"),
+    )

@@ -609,3 +609,144 @@ def underwater_spells(gotk: DataFrame) -> DataFrame:
         F.max("_len").alias("max_spell_days"),
         F.sum("_len").alias("total_underwater_days"),
     )
+
+
+def ulcer_martin(gotk: DataFrame, day_period: int = 365) -> DataFrame:
+    """Ulcer index and Martin ratio per name over the trailing
+    ``day_period`` days: UI = sqrt(mean(drawdown_pct^2)) — the RMS of
+    the percent drawdown curve, so it penalizes drawdowns by BOTH
+    depth and duration (max_dd sees only the deepest point,
+    underwater_spells only the longest run; UI integrates the whole
+    underwater area). Martin ratio (a.k.a. ulcer performance index)
+    = annualized return (percent) / UI. Returns (name, n_days,
+    ulcer_index, ann_return, martin); martin is NULL for a
+    monotone-up curve (UI exactly 0).
+
+    The per-day drawdown fraction is rounded to MICRO units before
+    squaring (a 100% drawdown is 1e6; its square 1e12; a year of
+    those is 4e14 — int64-safe where nano units would overflow, the
+    sortino_calmar discipline), so the mean-of-squares accumulates
+    order-independently and both engines sqrt the same integer
+    ratio. Annualization matches sortino_calmar's compounding
+    convention.
+    """
+    wcum = (
+        Window.partitionBy("name")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gt = _tail(gotk, day_period).select(
+        "date",
+        "name",
+        "end_day_investment",
+        _rq9(F.col("percent_change")).alias("rq"),
+    )
+    dd = gt.withColumn(
+        "dd6",
+        F.round(
+            (
+                1
+                - F.col("end_day_investment")
+                / F.max("end_day_investment").over(wcum)
+            )
+            * RQ6
+        ).cast("long"),
+    )
+    agg = dd.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rq").alias("_sr"),
+        F.sum(F.col("dd6") * F.col("dd6")).alias("_sdd2"),
+    )
+    ann = (
+        F.pow(
+            F.col("_sr").cast("double") / RQ9 / F.col("n_days") + 1,
+            F.lit(float(day_period)),
+        )
+        - 1
+    )
+    ui = (
+        F.sqrt(F.col("_sdd2").cast("double") / F.col("n_days"))
+        / RQ6
+        * 100.0
+    )
+    return agg.select(
+        "name",
+        "n_days",
+        F.round(ui, 9).alias("ulcer_index"),
+        F.round(ann, 9).alias("ann_return"),
+        F.round(
+            ann * 100.0 / F.when(F.col("_sdd2") > 0, ui), 9
+        ).alias("martin"),
+    )
+
+
+def variance_ratio(
+    gotk: DataFrame, q: int = 5, day_period: int = 365
+) -> DataFrame:
+    """Lo-MacKinlay-style variance ratio per name: the sample
+    variance of overlapping ``q``-day returns over q times the
+    1-day variance. A random walk gives VR ~= 1; VR < 1 flags mean
+    reversion, VR > 1 momentum. Returns (name, n_days, q, var_1,
+    var_q, vr); NULL vr when the 1-day variance is exactly zero.
+
+    Uses simple (not log) returns so the q-day aggregate is a plain
+    window SUM of micro-quantized int64 — every accumulation is
+    exact integer arithmetic and the replay is engine-independent
+    (ln() would drag both engines' libm into the oracle contract).
+    Both variances come from integer (sum, sum-of-squares) moment
+    pairs; squares of q-day sums cap at ~(q * 1e5)^2 ~= 2.5e11 per
+    day — four orders of headroom under int64 for a year.
+    """
+    gt = _tail(gotk, day_period).select(
+        "date", "name", _rq6(F.col("percent_change")).alias("r6")
+    )
+    wq = (
+        Window.partitionBy("name")
+        .orderBy("date")
+        .rowsBetween(-(q - 1), Window.currentRow)
+    )
+    wall = Window.partitionBy("name").orderBy("date")
+    stepped = gt.select(
+        "name",
+        "r6",
+        F.sum("r6").over(wq).alias("s6"),
+        F.row_number().over(wall).alias("_rn"),
+    )
+    one = stepped.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r6").alias("_s1"),
+        F.sum(F.col("r6") * F.col("r6")).alias("_ss1"),
+    )
+    qd = (
+        stepped.filter(F.col("_rn") >= q)
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nq"),
+            F.sum("s6").alias("_sq"),
+            F.sum(F.col("s6") * F.col("s6")).alias("_ssq"),
+        )
+    )
+    j = one.join(qd, "name")
+    n1 = F.col("n_days")
+    nq = F.col("_nq")
+    var1 = (n1 * F.col("_ss1") - F.col("_s1") * F.col("_s1")).cast(
+        "double"
+    ) / (n1 * (n1 - 1)) / (RQ6 * float(RQ6))
+    varq = (nq * F.col("_ssq") - F.col("_sq") * F.col("_sq")).cast(
+        "double"
+    ) / (nq * (nq - 1)) / (RQ6 * float(RQ6))
+    return j.select(
+        "name",
+        "n_days",
+        F.lit(q).cast("long").alias("q"),
+        F.round(var1, 12).alias("var_1"),
+        F.round(varq, 12).alias("var_q"),
+        F.round(
+            varq
+            / F.when(
+                n1 * F.col("_ss1") - F.col("_s1") * F.col("_s1") > 0,
+                float(q) * var1,
+            ),
+            9,
+        ).alias("vr"),
+    )

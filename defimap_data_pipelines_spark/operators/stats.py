@@ -1147,3 +1147,99 @@ def kendall_tau(
             9,
         ).alias("tau_b"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantum: int = 100,
+) -> DataFrame:
+    """Kruskal-Wallis H test across ALL groups at once — the k-group
+    generalization of mannwhitney_pairs ("do any of these
+    distributions differ in location?"). Returns one row (n_total,
+    n_groups, t_ties, h_stat, h_corrected) where h_corrected applies
+    the standard tie correction H / (1 - T/(N^3 - N)); NULL when
+    every value is tied (the correction denominator is 0).
+
+    Same value-block rank arithmetic as mannwhitney_pairs, but ONE
+    global ranking instead of per-pair: groupBy to (g, vq, cnt)
+    blocks, a cumulative window over the O(distinct values) block
+    frame for doubled average ranks, then per-group doubled rank
+    sums R2_g — all exact int64. H = sum_g 3*R2_g^2/(n_g*N*(N+1))
+    - 3(N+1); the per-group term is computed in double (R2^2
+    overflows int64 by design at scale) and micro-quantized BEFORE
+    the cross-group sum so the reduction order can't leak into the
+    result. T = sum(blk^3 - blk) stays int64 (safe while no single
+    tie block exceeds ~2e6 rows; beyond that lift T to double).
+
+    Scale shape: raw rows are scanned once into the groupBy; every
+    window runs over value blocks (V rows). The global cumulative
+    window is single-partition over V — fine while V is
+    range-bounded (quantized scores), the same posture as roc_auc.
+    """
+    from pyspark.sql.window import Window
+
+    vq = F.round(F.col(value_col) * quantum).cast("long")
+    counts = (
+        df.groupBy(F.col(group_col).alias("g"), vq.alias("vq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()  # feeds block totals AND the per-group join
+    )
+    blocks = counts.groupBy("vq").agg(F.sum("cnt").alias("blk"))
+    wcum = Window.orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    stepped = blocks.select(
+        "vq",
+        "blk",
+        F.coalesce(F.sum("blk").over(wcum), F.lit(0)).alias("_cumbef"),
+    )
+    perg = (
+        counts.join(stepped, "vq")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").alias("n_g"),
+            F.sum(
+                F.col("cnt") * (2 * F.col("_cumbef") + F.col("blk") + 1)
+            ).alias("r2"),
+        )
+    )
+    totals = blocks.agg(
+        F.sum("blk").alias("n_total"),
+        F.sum(
+            F.col("blk") * F.col("blk") * F.col("blk") - F.col("blk")
+        ).alias("t_ties"),
+    )
+    n = F.col("n_total")
+    termq = F.round(
+        3.0
+        * (F.col("r2").cast("double") * F.col("r2").cast("double"))
+        / F.col("n_g")
+        / n
+        / (n + 1)
+        * 1000000.0
+    ).cast("long")
+    agg = (
+        perg.crossJoin(F.broadcast(totals))
+        .select("n_g", "n_total", "t_ties", termq.alias("_tq"))
+        .groupBy("n_total", "t_ties")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("_tq").alias("_stq"),
+        )
+    )
+    h = F.col("_stq").cast("double") / 1000000.0 - 3.0 * (n + 1)
+    denom = (
+        F.lit(1.0)
+        - F.col("t_ties").cast("double") / (n * n * n - n).cast("double")
+    )
+    return agg.select(
+        "n_total",
+        "n_groups",
+        "t_ties",
+        F.round(h, 9).alias("h_stat"),
+        F.round(
+            h / F.when(n * n * n - n - F.col("t_ties") > 0, denom), 9
+        ).alias("h_corrected"),
+    )

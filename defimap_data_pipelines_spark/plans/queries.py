@@ -13174,6 +13174,289 @@ def q_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 12: k-group rank test, drawdown-RMS risk, variance
+# ratio, PR-AUC, inter-rater agreement
+# --------------------------------------------------------------------------
+
+KRUSKAL_SQL = """
+    WITH counts AS (
+        SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    blocks AS (
+        SELECT vq, CAST(SUM(cnt) AS BIGINT) AS blk FROM counts GROUP BY 1
+    ),
+    stepped AS (
+        SELECT vq, blk,
+               COALESCE(CAST(SUM(blk) OVER (ORDER BY vq ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS cumbef
+        FROM blocks
+    ),
+    perg AS (
+        SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g,
+               CAST(SUM(cnt * (2 * cumbef + blk + 1)) AS BIGINT) AS r2
+        FROM counts JOIN stepped USING (vq) GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(SUM(blk) AS BIGINT) AS n_total,
+               CAST(SUM(blk * blk * blk - blk) AS BIGINT) AS t_ties
+        FROM blocks
+    ),
+    terms AS (
+        SELECT n_total, t_ties,
+               CAST(ROUND(3.0 * (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE))
+                          / n_g / n_total / (n_total + 1)
+                          * 1000000.0) AS BIGINT) AS tq
+        FROM perg CROSS JOIN totals
+    ),
+    agg AS (
+        SELECT n_total, t_ties, CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(tq) AS BIGINT) AS stq
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT n_total, n_groups, t_ties,
+           ROUND(CAST(stq AS DOUBLE) / 1000000.0 - 3.0 * (n_total + 1), 9)
+               AS h_stat,
+           ROUND((CAST(stq AS DOUBLE) / 1000000.0 - 3.0 * (n_total + 1))
+                 / (CASE WHEN n_total * n_total * n_total - n_total
+                              - t_ties > 0
+                    THEN 1.0 - CAST(t_ties AS DOUBLE)
+                         / CAST(n_total * n_total * n_total - n_total
+                                AS DOUBLE) END), 9) AS h_corrected
+    FROM agg
+"""
+
+
+@register("kruskal_wallis", KRUSKAL_SQL)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all event types at once
+    (operators/stats.py::kruskal_wallis) — "does ANY event type's
+    value distribution differ?", the k-group gate one runs before
+    drilling into mannwhitney_u pairs. One global value-block
+    ranking; per-group doubled rank sums; tie-corrected H."""
+    from defimap_data_pipelines_spark.operators.stats import kruskal_wallis
+
+    e = read_table(spark, sf_dir, "events")
+    return kruskal_wallis(e, "event_type", "value", quantum=100)
+
+
+ULCER_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    q AS (
+        SELECT date, name, end_day_investment,
+               CAST(ROUND(percent_change * 1000000000.0) AS BIGINT) AS rq
+        FROM gt
+    ),
+    dd AS (
+        SELECT name, rq,
+               CAST(ROUND((1 - end_day_investment /
+                    MAX(end_day_investment) OVER (PARTITION BY name
+                        ORDER BY date ASC ROWS UNBOUNDED PRECEDING))
+                    * 1000000.0) AS BIGINT) AS dd6
+        FROM q
+    ),
+    agg AS (
+        SELECT name, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rq) AS BIGINT) AS sr,
+               CAST(SUM(dd6 * dd6) AS BIGINT) AS sdd2
+        FROM dd GROUP BY 1
+    )
+    SELECT name, n_days,
+           ROUND(SQRT(CAST(sdd2 AS DOUBLE) / n_days) / 1000000.0 * 100.0,
+                 9) AS ulcer_index,
+           ROUND(POWER(CAST(sr AS DOUBLE) / 1000000000.0 / n_days + 1,
+                       365.0) - 1, 9) AS ann_return,
+           ROUND((POWER(CAST(sr AS DOUBLE) / 1000000000.0 / n_days + 1,
+                        365.0) - 1) * 100.0
+                 / (CASE WHEN sdd2 > 0
+                    THEN SQRT(CAST(sdd2 AS DOUBLE) / n_days)
+                         / 1000000.0 * 100.0 END), 9) AS martin
+    FROM agg ORDER BY name
+"""
+
+
+@register("ulcer_martin", ULCER_SQL)
+def q_ulcer_martin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index + Martin ratio per strategy over the trailing year
+    (operators/risk.py::ulcer_martin): RMS of the whole drawdown
+    curve — penalizes depth AND duration where max_dd sees only the
+    trough and underwater_spells only the clock. Micro-quantized
+    squared drawdowns; sortino's compounding annualization."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.operators.risk import ulcer_martin
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, LAST_YEAR, DS)
+    return ulcer_martin(g).orderBy("name")
+
+
+VARIANCE_RATIO_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    q AS (
+        SELECT date, name,
+               CAST(ROUND(percent_change * 1000000.0) AS BIGINT) AS r6
+        FROM gt
+    ),
+    st AS (
+        SELECT name, r6,
+               CAST(SUM(r6) OVER (PARTITION BY name ORDER BY date ASC
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s6,
+               ROW_NUMBER() OVER (PARTITION BY name ORDER BY date ASC)
+                   AS rn
+        FROM q
+    ),
+    one AS (
+        SELECT name, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(r6) AS BIGINT) AS s1,
+               CAST(SUM(r6 * r6) AS BIGINT) AS ss1
+        FROM st GROUP BY 1
+    ),
+    qd AS (
+        SELECT name, CAST(COUNT(*) AS BIGINT) AS nq,
+               CAST(SUM(s6) AS BIGINT) AS sq,
+               CAST(SUM(s6 * s6) AS BIGINT) AS ssq
+        FROM st WHERE rn >= 5 GROUP BY 1
+    )
+    SELECT name, n_days, CAST(5 AS BIGINT) AS q,
+           ROUND(CAST(n_days * ss1 - s1 * s1 AS DOUBLE)
+                 / (n_days * (n_days - 1)) / 1000000000000.0, 12)
+               AS var_1,
+           ROUND(CAST(nq * ssq - sq * sq AS DOUBLE)
+                 / (nq * (nq - 1)) / 1000000000000.0, 12) AS var_q,
+           ROUND((CAST(nq * ssq - sq * sq AS DOUBLE)
+                  / (nq * (nq - 1)) / 1000000000000.0)
+                 / (CASE WHEN n_days * ss1 - s1 * s1 > 0
+                    THEN 5.0 * (CAST(n_days * ss1 - s1 * s1 AS DOUBLE)
+                         / (n_days * (n_days - 1)) / 1000000000000.0)
+                    END), 9) AS vr
+    FROM one JOIN qd USING (name) ORDER BY name
+"""
+
+
+@register("variance_ratio", VARIANCE_RATIO_SQL)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay-style 5-day variance ratio per strategy
+    (operators/risk.py::variance_ratio): mean reversion vs momentum
+    diagnostic. Simple returns so the q-day window aggregate is an
+    exact integer SUM; both variances from int64 moment pairs."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.operators.risk import variance_ratio
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, LAST_YEAR, DS)
+    return variance_ratio(g, q=5).orderBy("name")
+
+
+PR_AUC_SQL = """
+    WITH blocks AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT pos,
+               CAST(SUM(cnt) OVER (ORDER BY vq DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccnt,
+               CAST(SUM(pos) OVER (ORDER BY vq DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+        FROM blocks
+    ),
+    agg AS (
+        SELECT CAST(MAX(cpos) AS BIGINT) AS n1,
+               CAST(MAX(ccnt) - MAX(cpos) AS BIGINT) AS n0,
+               CAST(SUM(pos * CAST(ROUND(CAST(cpos AS DOUBLE) / ccnt
+                        * 1000000000.0) AS BIGINT)) AS BIGINT) AS stq
+        FROM st
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           ROUND(CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE), 9)
+               AS baseline,
+           ROUND(CAST(stq AS DOUBLE) / n1 / 1000000000.0, 9)
+               AS avg_precision
+    FROM agg
+"""
+
+
+@register("pr_auc", PR_AUC_SQL)
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the PR curve) of event value
+    predicting "is it a purchase"
+    (operators/evalmetrics.py::average_precision) — roc_auc's
+    imbalance-robust companion; reported against the prevalence
+    baseline a random scorer would get. Score-block substrate;
+    per-block precision terms nano-quantized before the sum."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        average_precision,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return average_precision(e, F.col("event_type") == "purchase", "value")
+
+
+KAPPA_SQL = """
+    WITH rated AS (
+        SELECT (n_chars >= 300) AS ra,
+               (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) >= 55)
+                   AS rb
+        FROM documents
+    ),
+    conf AS (
+        SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rated GROUP BY 1, 2
+    ),
+    ma AS (SELECT ra, CAST(SUM(c) AS BIGINT) AS na FROM conf GROUP BY 1),
+    mb AS (SELECT rb, CAST(SUM(c) AS BIGINT) AS nb FROM conf GROUP BY 1),
+    cr AS (
+        SELECT CAST(SUM(na * nb) AS BIGINT) AS sum_rc
+        FROM ma JOIN mb ON ma.ra = mb.rb
+    ),
+    base AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM conf
+    )
+    SELECT n,
+           ROUND(CAST(agree AS DOUBLE) / n, 9) AS observed_agreement,
+           ROUND(CAST(sum_rc AS DOUBLE) / CAST(n * n AS DOUBLE), 9)
+               AS expected_agreement,
+           ROUND(CASE WHEN n * n - sum_rc > 0
+                 THEN CAST(agree * n - sum_rc AS DOUBLE)
+                      / CAST(n * n - sum_rc AS DOUBLE) END, 9) AS kappa
+    FROM base CROSS JOIN cr
+"""
+
+
+@register("cohens_kappa", KAPPA_SQL)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document-keep rules — a char-count
+    rater vs a word-count rater
+    (operators/evalmetrics.py::cohens_kappa): chance-corrected
+    agreement between two labeling passes, the standard sanity check
+    before trusting two curation classifiers as interchangeable.
+    Exact-integer confusion-frame arithmetic; one divide."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        cohens_kappa,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return cohens_kappa(
+        d,
+        F.col("n_chars") >= 300,
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        )
+        >= 55,
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
