@@ -183,6 +183,10 @@ BENCH_QUERIES = [
     "variance_ratio",
     "pr_auc",
     "cohens_kappa",
+    "local_clustering",
+    "page_hinkley",
+    "permutation_test",
+    "rs_hurst",
 ]
 
 

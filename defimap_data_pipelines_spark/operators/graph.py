@@ -965,3 +965,74 @@ def markov_stationary(
             .agg(F.sum("_m").cast("long").alias("v"))
         )
     return v.select(F.col("t"), F.col("v").alias("v_micro"))
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-node local clustering coefficient on an undirected simple
+    graph given as canonical edges (src < dst): lcc(w) = 2*tri(w) /
+    (deg(w)*(deg(w)-1)) — what fraction of a node's neighbor pairs
+    are themselves connected. triangle_count answers "how clustered
+    is the graph"; this says WHERE — the hub whose neighbors never
+    co-occur (lcc ~ 0) vs the clique member (lcc = 1). Returns
+    (node, degree, triangles, lcc) for every node with degree >= 2
+    (degree-1 nodes have no neighbor pair to close).
+
+    Same ordered three-way self-join as triangle_count — each
+    triangle (a < b < c) materializes exactly once — then one
+    explode of its three corners into per-node counts. Degrees come
+    from the symmetrized edge list. All joins are equi-joins on node
+    ids; the heavy side is the wedge join, O(sum deg^2), which is
+    why callers feed the support-thresholded graph (the ra_linkpred
+    density lesson).
+    """
+    ed = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).cache()  # wedge join uses it three times + degrees
+    tri = (
+        ed.alias("ab")
+        .join(ed.alias("bc"), F.col("ab.v") == F.col("bc.u"))
+        .join(
+            ed.alias("ac"),
+            (F.col("ac.u") == F.col("ab.u"))
+            & (F.col("ac.v") == F.col("bc.v")),
+        )
+        .select(
+            F.col("ab.u").alias("a"),
+            F.col("ab.v").alias("b"),
+            F.col("bc.v").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    deg = (
+        ed.select(F.col("u").alias("node"))
+        .unionAll(ed.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0)).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast(
+                    "double"
+                ),
+                9,
+            ).alias("lcc"),
+        )
+    )

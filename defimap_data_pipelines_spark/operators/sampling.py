@@ -544,3 +544,110 @@ def poisson_bootstrap_mean(
         ).alias("ci_hi"),
         F.lit(resamples).cast("int").alias("resamples"),
     )
+
+
+def permutation_mean_test(
+    df: DataFrame,
+    key_col: str,
+    label_col,
+    value_col: str,
+    resamples: int = 32,
+    quantum: int = 100,
+) -> DataFrame:
+    """Deterministic permutation test for a two-group difference in
+    means (the Fisher-Pitman idea): re-label every row B times with
+    md5-derived coin flips and ask how often the |mean_A - mean_B|
+    of a random split reaches the observed one. Returns one row
+    (n_a, n_b, t_obs, n_valid, n_extreme, p_value) with p = (1 +
+    #extreme) / (n_valid + 1), the add-one convention that keeps a
+    Monte-Carlo p strictly positive.
+
+    This is the UNCONDITIONAL variant — each permutation draws
+    Bernoulli(1/2) labels rather than preserving exact group sizes
+    (exact-size permutation needs a per-resample global sort;
+    binomial relabeling is one scan and converges to the same test
+    for n >> 1, documented). Degenerate resamples (a side empty) are
+    dropped from both counts.
+
+    Same replayable-randomness scheme as poisson_bootstrap_mean: one
+    md5 per row, B sign bits sliced from the 60-bit word, observed
+    labels ride as resample 0 of the same posexplode (expression
+    size constant in B — the Janino lesson), so all B+1 splits cost
+    ONE scan and 4 integer sums per split. |T| values are rounded to
+    9 places before the >= comparison, the cross-engine threshold
+    discipline.
+    """
+    if not 1 <= resamples <= 59:
+        raise ValueError("resamples must be in [1, 59]")
+    key = F.col(key_col)
+    xq = F.round(F.col(value_col) * quantum).cast("long")
+    y = F.when(label_col, 1).otherwise(0).cast("long")
+    rows = df.select(
+        xq.alias("_xq"),
+        y.alias("_y"),
+        _boot_word(key, 0, True).alias("_w"),
+    )
+    wexpr = (
+        f"concat(array(_y), transform(sequence(0, {resamples - 1}),"
+        " b -> shiftright(_w, b) & 1))"
+    )
+    per = (
+        rows.select("_xq", F.posexplode(F.expr(wexpr)).alias("b", "bit"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("bit") * F.col("_xq")).alias("_s1"),
+            F.sum("bit").alias("_n1"),
+            F.sum("_xq").alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+    )
+    t = (
+        F.col("_s1").cast("double") / F.col("_n1") / quantum
+        - (F.col("_s") - F.col("_s1")).cast("double")
+        / (F.col("_n") - F.col("_n1"))
+        / quantum
+    )
+    valid = (
+        per.filter(
+            (F.col("_n1") > 0) & (F.col("_n") - F.col("_n1") > 0)
+        )
+        .select(
+            "b",
+            F.col("_n1").alias("_na"),
+            (F.col("_n") - F.col("_n1")).alias("_nb"),
+            F.round(t, 9).alias("_t"),
+            F.round(F.abs(t), 9).alias("_tabs"),
+        )
+        .cache()  # observed row + resample rows
+    )
+    obs = valid.filter(F.col("b") == 0).select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_t").alias("t_obs"),
+        F.col("_tabs").alias("_tabs_obs"),
+    )
+    perm = (
+        valid.filter(F.col("b") > 0)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max("t_obs").alias("t_obs"),
+            F.count(F.lit(1)).cast("long").alias("n_valid"),
+            F.sum(
+                (F.col("_tabs") >= F.col("_tabs_obs")).cast("long")
+            ).alias("n_extreme"),
+        )
+    )
+    return perm.select(
+        "n_a",
+        "n_b",
+        "t_obs",
+        "n_valid",
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("n_valid") + 1).cast("double"),
+            9,
+        ).alias("p_value"),
+    )

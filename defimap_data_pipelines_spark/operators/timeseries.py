@@ -287,3 +287,183 @@ def cusum_scores(
             ),
         )
     )
+
+
+def page_hinkley(
+    series: DataFrame,
+    order_col: str,
+    value_q_col: str,
+    delta_q: int = 0,
+) -> DataFrame:
+    """Page-Hinkley upward-drift score per period: PH_t = m_t -
+    min_{s<=t} m_s with m_t = sum_{i<=t} (x_i - xbar_i - delta),
+    xbar_i the RUNNING mean. Where cusum_scores centers on the
+    full-series mean (an offline changepoint view), PH is the online
+    monitor — each term compares against only what was known at time
+    i, so a late drift can't contaminate the early baseline. Returns
+    (order, ph_q) in the same quantum as ``value_q_col``; the caller
+    alarms on ph_q > lambda.
+
+    The running mean makes the textbook form look sequential; it is
+    three window passes — running SUM for xbar, running SUM of the
+    centered terms for m, running MIN for the envelope. xbar_i rides
+    as an integer truncated division (cs_i div i, identical
+    truncation semantics both engines; bias <= 1 quantum unit per
+    term, documented), so every accumulated value stays exact int64
+    and the replay is engine-independent.
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = (
+        series.select(order_col, value_q_col)
+        .withColumn("_cs", F.sum(value_q_col).over(w))
+        .withColumn("_rn", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_term",
+            F.col(value_q_col)
+            - F.expr("_cs div _rn")
+            - F.lit(delta_q),
+        )
+        .withColumn("_m", F.sum("_term").over(w))
+        .withColumn("_mmin", F.min("_m").over(w))
+    )
+    return stepped.select(
+        order_col, (F.col("_m") - F.col("_mmin")).alias("ph_q")
+    )
+
+
+def rs_hurst(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_q_col: str,
+    sizes: tuple = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent per key via rescaled-range (R/S) analysis:
+    chop the ordered series into complete blocks of each dyadic size,
+    compute each block's range-of-cumulative-deviations over its
+    standard deviation, average per size, and fit log(R/S) ~
+    H*log(size) — H ~= 0.5 is a random walk, > 0.5 trending
+    (persistent), < 0.5 mean-reverting. Returns (key, n_periods,
+    rs_<size>... , hurst); hurst is NULL when any size has no
+    complete non-constant block.
+
+    Exactness discipline: within a block of size n, deviations are
+    scaled by n (D_i = n*x_i - sum) so cumulative deviations, their
+    range, and sum-of-squares are all int64; R/S = range /
+    sqrt(sd2/n) is one double expression per block, micro-quantized
+    before the per-size average. The four sizes are log2-equally
+    spaced, so the regression slope collapses to the closed form
+    (3*(y_8k - y_k) + (y_4k - y_2k)) / (10*ln2) over nano-quantized
+    log R/S values — an integer numerator, no cross-row double sum
+    anywhere. Requires ln(2^k) spacing: ``sizes`` must be four
+    consecutive powers of two.
+
+    Scale: everything partitions by (key, size, block); the widest
+    frame is len(sizes) copies of the period-grain series.
+    """
+    if len(sizes) != 4 or any(
+        sizes[i + 1] != 2 * sizes[i] for i in range(3)
+    ):
+        raise ValueError("sizes must be 4 consecutive powers of two")
+    wkey = Window.partitionBy("_k").orderBy(order_col)
+    base = series.select(
+        F.col(key_col).alias("_k"),
+        order_col,
+        F.col(value_q_col).alias("_x"),
+    ).withColumn("_rn", F.row_number().over(wkey))
+    sized = base.crossJoin(
+        F.broadcast(
+            base.sparkSession.createDataFrame(
+                [(s,) for s in sizes], "size long"
+            )
+        )
+    ).select(
+        "_k",
+        "size",
+        order_col,
+        "_x",
+        "_rn",
+        # integer div, NOT double-divide + cast: Spark's double->long
+        # cast truncates while DuckDB's rounds — div sidesteps both
+        F.expr("(_rn - 1) div size").alias("_blk"),
+    )
+    wblk = Window.partitionBy("_k", "size", "_blk")
+    wcum = wblk.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = (
+        sized.withColumn("_bs", F.sum("_x").over(wblk))
+        .withColumn("_bn", F.count(F.lit(1)).over(wblk))
+        .filter(F.col("_bn") == F.col("size"))
+        .withColumn(
+            "_d", F.col("size") * F.col("_x") - F.col("_bs")
+        )
+        .withColumn("_cd", F.sum("_d").over(wcum))
+    )
+    blocks = dev.groupBy("_k", "size", "_blk").agg(
+        (F.max("_cd") - F.min("_cd")).alias("_rng"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sd2"),
+    )
+    rs = blocks.select(
+        "_k",
+        "size",
+        F.round(
+            F.col("_rng").cast("double")
+            / F.sqrt(
+                F.when(F.col("_sd2") > 0, F.col("_sd2"))
+                .cast("double")
+                / F.col("size")
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("_rsq"),
+    ).filter(F.col("_rsq").isNotNull())
+    per_size = rs.groupBy("_k", "size").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum("_rsq").alias("_srs"),
+    )
+    avg_rs = F.col("_srs").cast("double") / F.col("_cnt") / 1000000.0
+    pivoted = per_size.select(
+        "_k",
+        "size",
+        F.round(avg_rs, 6).alias("_rs"),
+        F.round(F.log(avg_rs) * 1000000000.0).cast("long").alias("_yq"),
+    )
+    aggs = []
+    for s in sizes:
+        aggs.append(
+            F.max(F.when(F.col("size") == s, F.col("_rs"))).alias(
+                f"rs_{s}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("size") == s, F.col("_yq"))).alias(
+                f"_y{s}"
+            )
+        )
+    n_per = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods")
+    )
+    wide = pivoted.groupBy("_k").agg(*aggs)
+    s1, s2, s3, s4 = sizes
+    num = (
+        3 * (F.col(f"_y{s4}") - F.col(f"_y{s1}"))
+        + (F.col(f"_y{s3}") - F.col(f"_y{s2}"))
+    )
+    return (
+        n_per.join(wide, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_periods",
+            *[F.col(f"rs_{s}") for s in sizes],
+            F.round(
+                num.cast("double")
+                / 10000000000.0
+                / 0.6931471805599453,
+                9,
+            ).alias("hurst"),
+        )
+    )

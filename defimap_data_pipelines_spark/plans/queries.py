@@ -13457,6 +13457,273 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 13: per-node clustering, online drift, permutation
+# inference, long-memory estimation
+# --------------------------------------------------------------------------
+
+LOCAL_CLUSTERING_SQL = f"""
+    WITH {_REPEAT_COPURCHASE_ED_SQL.strip()},
+    tri AS (
+        SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        FROM ed ab
+        JOIN ed bc ON ab.v = bc.u
+        JOIN ed ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    pn AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY 1
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM ed
+              UNION ALL SELECT v AS node FROM ed)
+        GROUP BY 1
+    )
+    SELECT node, degree,
+           CAST(COALESCE(triangles, 0) AS BIGINT) AS triangles,
+           ROUND(2.0 * CAST(COALESCE(triangles, 0) AS DOUBLE)
+                 / CAST(degree * (degree - 1) AS DOUBLE), 9) AS lcc
+    FROM deg LEFT JOIN pn USING (node)
+    WHERE degree >= 2
+    ORDER BY node
+"""
+
+
+@register("local_clustering", LOCAL_CLUSTERING_SQL)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient on the repeat
+    co-purchase graph (operators/graph.py::local_clustering):
+    triangle_count says how clustered the catalog is, this says
+    WHERE — parts whose co-purchase neighbors also co-purchase.
+    Ordered triangle join + one corner explode; support-thresholded
+    substrate (the ra_linkpred density lesson)."""
+    from defimap_data_pipelines_spark.operators.graph import (
+        local_clustering,
+    )
+
+    ed = _repeat_copurchase_edges(spark, sf_dir)
+    return local_clustering(ed).orderBy("node")
+
+
+PAGE_HINKLEY_SQL = f"""
+    WITH daily AS ({_DAILY_EVENTS_SQL}),
+    d AS (SELECT day, yq FROM daily WHERE g = 'purchase'),
+    st AS (
+        SELECT day, yq,
+               CAST(SUM(yq) OVER (ORDER BY day ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+               ROW_NUMBER() OVER (ORDER BY day ASC) AS rn
+        FROM d
+    ),
+    t AS (SELECT day, yq - cs // rn AS term FROM st),
+    m AS (
+        SELECT day,
+               CAST(SUM(term) OVER (ORDER BY day ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m
+        FROM t
+    )
+    SELECT day,
+           CAST(m - MIN(m) OVER (ORDER BY day ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ph_q
+    FROM m ORDER BY day
+"""
+
+
+@register("page_hinkley", PAGE_HINKLEY_SQL)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley online upward-drift score over daily purchase
+    revenue (operators/timeseries.py::page_hinkley) — cusum's online
+    sibling: each term centers on the RUNNING mean, so only
+    information available at time t feeds the score. Three window
+    passes over the calendar-grain frame; integer truncated-division
+    running mean keeps the replay exact."""
+    from defimap_data_pipelines_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    daily = _events_daily(spark, sf_dir)
+    d = daily.filter(F.col("g") == "purchase").select("day", "yq")
+    return page_hinkley(d, "day", "yq").orderBy("day")
+
+
+PERMUTATION_TEST_SQL = """
+    WITH rows_ AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS xq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               (('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|0'),
+                 1, 15))::BIGINT) AS w
+        FROM events
+    ),
+    ex AS (
+        SELECT b,
+               CASE WHEN b = 0 THEN y
+                    ELSE ((w >> CAST(b - 1 AS INT)) & 1) END AS bit,
+               xq
+        FROM rows_ CROSS JOIN (SELECT UNNEST(range(0, 33)) AS b)
+    ),
+    per AS (
+        SELECT b, CAST(SUM(bit * xq) AS BIGINT) AS s1,
+               CAST(SUM(bit) AS BIGINT) AS n1,
+               CAST(SUM(xq) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY b
+    ),
+    valid AS (
+        SELECT b, n1 AS na, n - n1 AS nb,
+               ROUND(CAST(s1 AS DOUBLE) / n1 / 100
+                     - CAST(s - s1 AS DOUBLE) / (n - n1) / 100, 9) AS t,
+               ROUND(ABS(CAST(s1 AS DOUBLE) / n1 / 100
+                     - CAST(s - s1 AS DOUBLE) / (n - n1) / 100), 9)
+                   AS tabs
+        FROM per WHERE n1 > 0 AND n - n1 > 0
+    ),
+    obs AS (
+        SELECT na AS n_a, nb AS n_b, t AS t_obs, tabs AS tabs_obs
+        FROM valid WHERE b = 0
+    ),
+    agg AS (
+        SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               MAX(t_obs) AS t_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_valid,
+               CAST(SUM(CAST(tabs >= tabs_obs AS BIGINT)) AS BIGINT)
+                   AS n_extreme
+        FROM valid CROSS JOIN obs WHERE b > 0
+    )
+    SELECT n_a, n_b, t_obs, n_valid, n_extreme,
+           ROUND(CAST(n_extreme + 1 AS DOUBLE)
+                 / CAST(n_valid + 1 AS DOUBLE), 9) AS p_value
+    FROM agg
+"""
+
+
+@register("permutation_test", PERMUTATION_TEST_SQL)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test: is the purchase-vs-other mean value gap
+    bigger than chance relabelings produce
+    (operators/sampling.py::permutation_mean_test)? 32 md5-replayable
+    Bernoulli relabelings ride one posexplode — the bootstrap_ci
+    machinery turned into an inference procedure; p-value with the
+    add-one convention."""
+    from defimap_data_pipelines_spark.operators.sampling import (
+        permutation_mean_test,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return permutation_mean_test(
+        e,
+        "event_id",
+        F.col("event_type") == "purchase",
+        "value",
+        resamples=32,
+        quantum=100,
+    )
+
+
+def _hurst_piv_sql() -> str:
+    cols = []
+    for s in (8, 16, 32, 64):
+        avg = f"CAST(srs AS DOUBLE) / cnt / 1000000.0"
+        cols.append(
+            f"MAX(CASE WHEN size = {s} THEN ROUND({avg}, 6) END)"
+            f" AS rs_{s}"
+        )
+        cols.append(
+            f"MAX(CASE WHEN size = {s} THEN CAST(ROUND(LN({avg})"
+            f" * 1000000000.0) AS BIGINT) END) AS y{s}"
+        )
+    return ",\n               ".join(cols)
+
+
+RS_HURST_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    base AS (
+        SELECT name AS k, date,
+               CAST(ROUND(percent_change * 1000000.0) AS BIGINT) AS x,
+               ROW_NUMBER() OVER (PARTITION BY name ORDER BY date ASC)
+                   AS rn
+        FROM gt
+    ),
+    sized AS (
+        SELECT k, size, date, x, (rn - 1) // size AS blk
+        FROM base CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS size)
+    ),
+    dev AS (
+        SELECT k, size, blk, date,
+               size * x - SUM(x) OVER (PARTITION BY k, size, blk) AS d,
+               COUNT(*) OVER (PARTITION BY k, size, blk) AS bn
+        FROM sized
+    ),
+    cum AS (
+        SELECT k, size, blk, d,
+               CAST(SUM(d) OVER (PARTITION BY k, size, blk
+                    ORDER BY date ASC ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cd
+        FROM dev WHERE bn = size
+    ),
+    blocks AS (
+        SELECT k, size, blk,
+               CAST(MAX(cd) - MIN(cd) AS BIGINT) AS rng,
+               CAST(SUM(d * d) AS BIGINT) AS sd2
+        FROM cum GROUP BY 1, 2, 3
+    ),
+    rs AS (
+        SELECT k, size,
+               CAST(ROUND(CAST(rng AS DOUBLE)
+                    / SQRT(CAST(CASE WHEN sd2 > 0 THEN sd2 END
+                           AS DOUBLE) / size)
+                    * 1000000.0) AS BIGINT) AS rsq
+        FROM blocks
+    ),
+    per_size AS (
+        SELECT k, size, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(rsq) AS BIGINT) AS srs
+        FROM rs WHERE rsq IS NOT NULL GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT k,
+               {{PIV}}
+        FROM per_size GROUP BY 1
+    ),
+    n_per AS (
+        SELECT name AS k, CAST(COUNT(*) AS BIGINT) AS n_periods
+        FROM gt GROUP BY 1
+    )
+    SELECT k AS name, n_periods, rs_8, rs_16, rs_32, rs_64,
+           ROUND(CAST(3 * (y64 - y8) + (y32 - y16) AS DOUBLE)
+                 / 10000000000.0 / 0.6931471805599453, 9) AS hurst
+    FROM n_per JOIN piv USING (k) ORDER BY name
+""".replace("{PIV}", _hurst_piv_sql())
+
+
+@register("rs_hurst", RS_HURST_SQL)
+def q_rs_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of each strategy's daily returns via R/S
+    analysis over dyadic block sizes 8..64
+    (operators/timeseries.py::rs_hurst): H > 0.5 trending, < 0.5
+    mean-reverting. Block deviations scaled to exact int64; per-size
+    R/S averages micro-quantized; the log-log slope collapses to a
+    closed form with an integer numerator (no cross-row double
+    sums)."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.operators.risk import _tail
+    from defimap_data_pipelines_spark.operators.timeseries import rs_hurst
+
+    raw = orders_raw_series(spark, sf_dir)
+    gt = _tail(growth_of_10k(raw, LAST_YEAR, DS), 365).select(
+        "name",
+        "date",
+        F.round(F.col("percent_change") * 1000000.0)
+        .cast("long")
+        .alias("x"),
+    )
+    return rs_hurst(gt, "name", "date", "x").orderBy("name")
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
