@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "page_hinkley",
     "permutation_test",
     "rs_hurst",
+    "updown_capture",
+    "zipf_fit",
+    "target_encoding",
+    "feature_hashing",
 ]
 
 

@@ -750,3 +750,60 @@ def variance_ratio(
             9,
         ).alias("vr"),
     )
+
+
+def updown_capture(
+    gotk: DataFrame, benchmark: DataFrame, day_period: int = 365
+) -> DataFrame:
+    """Up-capture and down-capture ratios of each name vs the
+    benchmark over the trailing ``day_period`` days: on days the
+    benchmark rose, what fraction of its mean gain did the strategy
+    take (up_capture); on days it fell, what fraction of its mean
+    loss (down_capture). The pair answers what a single beta can't —
+    an asymmetric strategy shows up_capture > down_capture. Returns
+    (name, n_up, n_down, up_capture, down_capture, capture_ratio =
+    up/down); each ratio NULL when its benchmark-side sum is exactly
+    zero.
+
+    The conditioning day-count cancels — mean_s/mean_b over the same
+    days is just sum_s/sum_b — so each capture is ONE divide of two
+    exact nano-quantized int64 sums; no per-day float ever
+    accumulates. Benchmark frame is calendar-sized -> broadcast.
+    """
+    a = _tail(gotk, day_period).select(
+        "date", "name", _rq9(F.col("percent_change")).alias("aq")
+    )
+    b = benchmark.select(
+        "date", _rq9(F.col("percent_change")).alias("bq")
+    )
+    j = a.join(F.broadcast(b), "date")
+    agg = j.groupBy("name").agg(
+        F.sum(F.when(F.col("bq") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("bq") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum(F.when(F.col("bq") > 0, F.col("aq")).otherwise(F.lit(0)))
+        .alias("_sa_up"),
+        F.sum(F.when(F.col("bq") > 0, F.col("bq")).otherwise(F.lit(0)))
+        .alias("_sb_up"),
+        F.sum(F.when(F.col("bq") < 0, F.col("aq")).otherwise(F.lit(0)))
+        .alias("_sa_dn"),
+        F.sum(F.when(F.col("bq") < 0, F.col("bq")).otherwise(F.lit(0)))
+        .alias("_sb_dn"),
+    )
+    uc = F.col("_sa_up").cast("double") / F.when(
+        F.col("_sb_up") != 0, F.col("_sb_up")
+    ).cast("double")
+    dc = F.col("_sa_dn").cast("double") / F.when(
+        F.col("_sb_dn") != 0, F.col("_sb_dn")
+    ).cast("double")
+    return agg.select(
+        "name",
+        "n_up",
+        "n_down",
+        F.round(uc, 9).alias("up_capture"),
+        F.round(dc, 9).alias("down_capture"),
+        F.round(uc / F.when(dc != 0, dc), 9).alias("capture_ratio"),
+    )

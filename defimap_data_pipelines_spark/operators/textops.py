@@ -752,3 +752,113 @@ def winnowing_fingerprints(
             ).alias("fp_sum"),
         )
     )
+
+
+def zipf_fit(
+    tokens: DataFrame, token_col: str = "token", top_k: int = 100
+) -> DataFrame:
+    """Fit a Zipf law to the corpus token-frequency distribution:
+    OLS of ln(count) on ln(rank) over the ``top_k`` most frequent
+    tokens (rank 1 = most frequent, ties broken by token text so the
+    rank is engine-independent). Returns one row (k, slope,
+    intercept, r2); natural text lands slope ~= -1 — a corpus whose
+    exponent drifts far off is boilerplate-heavy or deduplication-
+    damaged, which makes this a one-number corpus-health probe.
+
+    Both regression coordinates are micro-quantized integers
+    (ln(rank), ln(cnt) ~= 4.6e6 / 1.2e7 at 1e6 — their cross-products
+    stay under ~1e16 for k <= 1000), so every OLS sum is exact int64
+    and the slope/intercept/r2 are single double expressions at the
+    end; no cross-row double accumulation. The top-k cut is a count
+    (desc), token (asc) sort — fully ordered, no hash ties.
+    """
+    ranked = (
+        tokens.groupBy(F.col(token_col).alias("_t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_t"))
+        .limit(top_k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("_c").desc(), F.col("_t"))
+    xy = ranked.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("_c").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    k = F.col("k")
+    num = k * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = k * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = num.cast("double") / F.when(denx != 0, denx).cast("double")
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / k / 1000000.0
+    # guard each factor separately: denx * deny as int64 would
+    # overflow (both ~1e17 at k = 100, micro-quantized)
+    r2 = (num.cast("double") * num.cast("double")) / (
+        F.when((denx != 0) & (deny != 0), denx).cast("double")
+        * deny.cast("double")
+    )
+    return agg.select(
+        "k",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )
+
+
+def feature_hashing(
+    docs: DataFrame,
+    id_col: str,
+    token_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The hashing trick as an EXPLODED sparse matrix: each token is
+    md5-hashed to a bucket in [0, n_buckets) plus a +-1 sign (the
+    signed construction of Weinberger et al., which keeps collision
+    noise zero-mean), and per (doc, bucket) the signed counts sum.
+    Returns (id, bucket, weight) rows with weight != 0 — the COO form
+    every downstream trainer can pivot, and the form a SQL oracle
+    can value-check (a vector column couldn't be hash-compared
+    across engines).
+
+    Bucket = low 60 md5 bits mod n_buckets, sign = bit 60 of the
+    same parse — ONE md5 per token occurrence (the ams_f2 slicing
+    lesson). Everything else is an exploded groupBy; the shuffle key
+    (id, bucket) is as fine-grained as the data allows.
+    """
+    word = F.conv(
+        F.substring(F.md5(F.col(token_col)), 1, 15), 16, 10
+    ).cast("long")
+    sign = (
+        F.shiftright(
+            F.conv(
+                F.substring(F.md5(F.col(token_col)), 16, 1), 16, 10
+            ).cast("long"),
+            3,
+        )
+        * 2
+        - 1
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            (word % n_buckets).cast("long").alias("bucket"),
+            sign.cast("long").alias("_s"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("_s").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -13724,6 +13724,243 @@ def q_rs_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 14: capture ratios, Zipf corpus health, target
+# encoding, the hashing trick
+# --------------------------------------------------------------------------
+
+UPDOWN_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    {_BENCH_TAIL_SQL},
+    j AS (
+        SELECT gt.name AS name,
+               CAST(ROUND(gt.percent_change * 1000000000.0) AS BIGINT)
+                   AS aq,
+               CAST(ROUND(bt.percent_change * 1000000000.0) AS BIGINT)
+                   AS bq
+        FROM gt JOIN bt ON gt.date = bt.date
+    ),
+    a AS (
+        SELECT name,
+               CAST(SUM(CASE WHEN bq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+               CAST(SUM(CASE WHEN bq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down,
+               CAST(SUM(CASE WHEN bq > 0 THEN aq ELSE 0 END) AS BIGINT)
+                   AS sa_up,
+               CAST(SUM(CASE WHEN bq > 0 THEN bq ELSE 0 END) AS BIGINT)
+                   AS sb_up,
+               CAST(SUM(CASE WHEN bq < 0 THEN aq ELSE 0 END) AS BIGINT)
+                   AS sa_dn,
+               CAST(SUM(CASE WHEN bq < 0 THEN bq ELSE 0 END) AS BIGINT)
+                   AS sb_dn
+        FROM j GROUP BY 1
+    )
+    SELECT name, n_up, n_down,
+           ROUND(CAST(sa_up AS DOUBLE)
+                 / CAST(CASE WHEN sb_up <> 0 THEN sb_up END AS DOUBLE),
+                 9) AS up_capture,
+           ROUND(CAST(sa_dn AS DOUBLE)
+                 / CAST(CASE WHEN sb_dn <> 0 THEN sb_dn END AS DOUBLE),
+                 9) AS down_capture,
+           ROUND((CAST(sa_up AS DOUBLE)
+                  / CAST(CASE WHEN sb_up <> 0 THEN sb_up END AS DOUBLE))
+                 / (CASE WHEN CAST(sa_dn AS DOUBLE)
+                         / CAST(CASE WHEN sb_dn <> 0 THEN sb_dn END
+                                AS DOUBLE) <> 0
+                    THEN CAST(sa_dn AS DOUBLE)
+                         / CAST(CASE WHEN sb_dn <> 0 THEN sb_dn END
+                                AS DOUBLE) END), 9) AS capture_ratio
+    FROM a ORDER BY name
+"""
+
+
+@register("updown_capture", UPDOWN_SQL)
+def q_updown_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up/down capture ratios of each strategy vs the 1-URGENT
+    capital benchmark (operators/risk.py::updown_capture): the
+    asymmetry check a single beta hides. The day-count cancels, so
+    each capture is one divide of two exact nano-quantized sums;
+    broadcast calendar-sized benchmark."""
+    from defimap_data_pipelines_spark.operators.growth import (
+        capital_gotk,
+        growth_of_10k,
+    )
+    from defimap_data_pipelines_spark.operators.risk import (
+        _tail,
+        updown_capture,
+    )
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, LAST_YEAR, DS)
+    bench = _tail(
+        capital_gotk(
+            raw.filter(
+                (F.col("name") == "1-URGENT")
+                & F.col("date").between(F.lit(LAST_YEAR), F.lit(DS))
+            )
+        ),
+        365,
+    ).select("date", "percent_change")
+    return updown_capture(g, bench).orderBy("name")
+
+
+ZIPF_SQL = f"""
+    WITH ranked AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY c DESC, token ASC LIMIT 100
+    ),
+    xy AS (
+        SELECT CAST(ROUND(LN(CAST(ROW_NUMBER() OVER
+                   (ORDER BY c DESC, token ASC) AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS x,
+               CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS y
+        FROM ranked
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT k,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(CASE WHEN k * sxx - sx * sx <> 0
+                        THEN k * sxx - sx * sx END AS DOUBLE), 9)
+               AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(k * sxy - sx * sy AS DOUBLE)
+                     / CAST(CASE WHEN k * sxx - sx * sx <> 0
+                            THEN k * sxx - sx * sx END AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / k / 1000000.0, 9)
+               AS intercept,
+           ROUND((CAST(k * sxy - sx * sy AS DOUBLE)
+                  * CAST(k * sxy - sx * sy AS DOUBLE))
+                 / (CAST(CASE WHEN k * sxx - sx * sx <> 0
+                              AND k * syy - sy * sy <> 0
+                         THEN k * sxx - sx * sx END AS DOUBLE)
+                    * CAST(k * syy - sy * sy AS DOUBLE)), 9) AS r2
+    FROM agg
+"""
+
+
+@register("zipf_fit", ZIPF_SQL)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-100 corpus tokens
+    (operators/textops.py::zipf_fit): the log-log OLS slope as a
+    one-number corpus-health probe (natural text ~ -1). Micro-
+    quantized regression coordinates make every OLS sum exact
+    int64; deterministic (count desc, token) rank."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+    from defimap_data_pipelines_spark.operators.textops import zipf_fit
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+    return zipf_fit(toks, "token", top_k=100)
+
+
+TARGET_ENCODING_SQL = """
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS category,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS tq
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per AS (
+        SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(tq) AS BIGINT) AS sc
+        FROM rows_ GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(tq) AS BIGINT) AS ss
+        FROM rows_
+    )
+    SELECT category, n,
+           ROUND(CAST(sc AS DOUBLE) / n / 100, 9) AS raw_mean,
+           ROUND(CAST(sc * nn + 100 * ss AS DOUBLE)
+                 / CAST((n + 100) * nn AS DOUBLE) / 100, 9) AS encoded
+    FROM per CROSS JOIN tot
+    ORDER BY category
+"""
+
+
+@register("target_encoding", TARGET_ENCODING_SQL)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of customer nation by order
+    total (operators/cleaning.py::target_encoding, m = 100): the
+    high-cardinality feature-engineering standard, fit as a
+    per-category table so callers can fold-split it honestly. One
+    divide of exact int64 products per category."""
+    from defimap_data_pipelines_spark.operators.cleaning import (
+        target_encoding,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tq"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rows = o.join(
+        F.broadcast(c).withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+    )
+    return target_encoding(
+        rows, "c_nationkey", "tq", smoothing=100, quantum=100
+    ).orderBy("category")
+
+
+FEATURE_HASHING_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(string_split({_NORM}, ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT id,
+               (('0x' || substr(md5(token), 1, 15))::BIGINT) % 1024
+                   AS bucket,
+               ((('0x' || substr(md5(token), 16, 1))::BIGINT >> 3)
+                * 2 - 1) AS s
+        FROM toks
+    )
+    SELECT id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(s) AS BIGINT) AS weight
+    FROM hashed GROUP BY 1, 2
+    HAVING SUM(s) <> 0
+    ORDER BY id, bucket
+"""
+
+
+@register("feature_hashing", FEATURE_HASHING_SQL)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing of document tokens into 1024 buckets
+    (operators/textops.py::feature_hashing): the Weinberger hashing
+    trick in COO form — (doc, bucket, weight) rows a trainer can
+    pivot and a SQL oracle can value-check. One md5 per token; sign
+    from bit 60 of the same parse."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+    from defimap_data_pipelines_spark.operators.textops import (
+        feature_hashing,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id"),
+        F.explode(ws_tokens(F.col("text"))).alias("token"),
+    )
+    return feature_hashing(toks, "doc_id", "token", n_buckets=1024).orderBy(
+        "id", "bucket"
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
