@@ -191,6 +191,10 @@ BENCH_QUERIES = [
     "zipf_fit",
     "target_encoding",
     "feature_hashing",
+    "cramers_v",
+    "friedman_test",
+    "anova_oneway",
+    "heaps_fit",
 ]
 
 

@@ -1243,3 +1243,244 @@ def kruskal_wallis(
             h / F.when(n * n * n - n - F.col("t_ties") > 0, denom), 9
         ).alias("h_corrected"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Cramer's V effect size for the association between two
+    categorical columns: V = sqrt(chi2 / (n * min(r-1, c-1))), the
+    0..1 normalization that makes chi-square statistics comparable
+    across tables of different shape and size (chi2_independence
+    answers "is there dependence?"; V answers "how much?"). Returns
+    one row (chi2, dof, n, v).
+
+    Same exact-arithmetic pipeline as chi2_independence — O(cells)
+    contingency frame, micro-quantized cell contributions summed as
+    int64 — plus the two marginal cardinalities the normalization
+    needs. V is NULL for a degenerate 1xC or Rx1 table (min(r-1,
+    c-1) = 0).
+    """
+    cells = (
+        df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .cache()  # contrib + both marginals + total
+    )
+    rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(rows), "r")
+        .join(F.broadcast(cols), "c")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_e", F.col("rt").cast("double") * F.col("ct") / F.col("n")
+        )
+        .withColumn(
+            "_chi_u",
+            F.round(
+                (F.col("o") - F.col("_e"))
+                * (F.col("o") - F.col("_e"))
+                / F.col("_e")
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    nr = rows.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    nc = cols.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    agg = (
+        contrib.agg(F.sum("_chi_u").alias("_cu"), F.max("n").alias("n"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+    )
+    chi2 = F.col("_cu").cast("double") / 1_000_000
+    mindim = F.least(F.col("nr") - 1, F.col("nc") - 1)
+    return agg.select(
+        F.round(chi2, 9).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        "n",
+        F.round(
+            F.sqrt(
+                chi2 / (F.col("n") * F.when(mindim > 0, mindim)).cast(
+                    "double"
+                )
+            ),
+            9,
+        ).alias("v"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_q_col: str,
+) -> DataFrame:
+    """Friedman rank test for k treatments over n matched blocks —
+    the repeated-measures cousin of kruskal_wallis ("does any
+    treatment consistently rank higher WITHIN blocks?"), immune to
+    between-block level shifts that would drown a pooled rank test.
+    Returns one row (n_blocks, k, q_stat, q_corrected) with the
+    standard tie correction Q / (1 - sum_T / (n*k*(k^2-1)));
+    q_corrected is NULL when every block is fully tied.
+
+    Only COMPLETE blocks participate (count == k over the block —
+    the textbook requirement); incomplete ones are dropped, visible
+    via n_blocks. Within-block average ranks use the same doubled
+    value-block arithmetic as mannwhitney_pairs, partitioned by
+    block (never a global sort); per-treatment doubled rank sums R2
+    stay int64, and the per-treatment Q term is micro-quantized
+    before the cross-treatment sum (the kruskal_wallis discipline).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(block_col).alias("b"),
+        F.col(treatment_col).alias("t"),
+        F.col(value_q_col).alias("v"),
+    )
+    k_df = base.agg(F.count_distinct("t").cast("long").alias("k"))
+    sized = base.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("b"))
+    )
+    complete = (
+        sized.crossJoin(F.broadcast(k_df))
+        .filter(F.col("_bn") == F.col("k"))
+        .drop("_bn")
+    )
+    grp = complete.groupBy("b", "v", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.collect_list("t").alias("_ts"),
+    )
+    wblk = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # window FIRST, explode in a separate select: a generator in the
+    # same projection makes Spark place Generate before Window, so
+    # the cumulative count would run over the exploded rows and
+    # inflate every rank (caught by the brute-force twin test)
+    stepped = grp.select(
+        "b",
+        "k",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wblk), F.lit(0)).alias("_cb"),
+        "_ts",
+    ).select("b", "k", "cnt", "_cb", F.explode("_ts").alias("t"))
+    perj = stepped.groupBy("t", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sum(2 * F.col("_cb") + F.col("cnt") + 1).alias("r2"),
+    )
+    ties = (
+        grp.groupBy("b")
+        .agg(
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ).alias("_tb")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("_tb").alias("t_ties"),
+        )
+    )
+    j = perj.crossJoin(F.broadcast(ties))
+    n = F.col("n_blocks")
+    k = F.col("k")
+    termq = F.round(
+        3.0
+        * (F.col("r2").cast("double") * F.col("r2").cast("double"))
+        / n
+        / k
+        / (k + 1)
+        * 1000000.0
+    ).cast("long")
+    agg = j.select("n_blocks", "k", "t_ties", termq.alias("_tq")).groupBy(
+        "n_blocks", "k", "t_ties"
+    ).agg(F.sum("_tq").alias("_stq"))
+    q = (
+        F.col("_stq").cast("double") / 1000000.0
+        - 3.0 * n * (k + 1)
+    )
+    corr_den = n * k * (k * k - 1) - F.col("t_ties")
+    corr = (
+        F.lit(1.0)
+        - F.col("t_ties").cast("double")
+        / (n * k * (k * k - 1)).cast("double")
+    )
+    return agg.select(
+        "n_blocks",
+        "k",
+        F.round(q, 9).alias("q_stat"),
+        F.round(q / F.when(corr_den > 0, corr), 9).alias("q_corrected"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantum: int = 100,
+) -> DataFrame:
+    """Classic one-way ANOVA F across all groups: between-group over
+    within-group mean squares — the parametric counterpart of
+    kruskal_wallis, and the k-group generalization of welch_t_pairs'
+    pooled-variance ancestor. Returns one row (n, k, ss_between,
+    ss_within, eta_sq, f_stat); F is NULL when SSW is exactly zero
+    (every group constant), eta_sq = SSB/(SSB+SSW) is the variance-
+    explained effect size.
+
+    One scan to per-group integer moments (n_g, sum, sum-of-squares
+    of the quantized values). Each group's fractional term s_g^2/n_g
+    is micro-quantized before the cross-group sum; the grand term
+    S^2/N is a single double expression over broadcast totals —
+    nothing order-dependent ever accumulates. SS columns are
+    de-scaled back to value^2 units.
+    """
+    xq = F.round(F.col(value_col) * quantum).cast("long")
+    per = df.select(
+        F.col(group_col).alias("g"), xq.alias("_x")
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("_x").alias("s_g"),
+        F.sum(F.col("_x") * F.col("_x")).alias("ss_g"),
+    )
+    termq = F.round(
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g")
+        * 1000000.0
+    ).cast("long")
+    agg = per.select(
+        "n_g", "s_g", "ss_g", termq.alias("_tq")
+    ).agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").alias("_s"),
+        F.sum("ss_g").alias("_ss"),
+        F.sum("_tq").alias("_stq"),
+    )
+    n = F.col("n")
+    k = F.col("k")
+    grand = (
+        F.col("_s").cast("double") * F.col("_s").cast("double") / n
+    )
+    sum_term = F.col("_stq").cast("double") / 1000000.0
+    ssb = sum_term - grand
+    ssw = F.col("_ss").cast("double") - sum_term
+    q2 = float(quantum) * quantum
+    fstat = (ssb / (k - 1)) / (
+        F.when(F.round(ssw, 6) > 0, ssw) / (n - k)
+    )
+    return agg.select(
+        "n",
+        "k",
+        F.round(ssb / q2, 6).alias("ss_between"),
+        F.round(ssw / q2, 6).alias("ss_within"),
+        F.round(ssb / (ssb + F.when(F.round(ssw, 6) > 0, ssw)), 9).alias(
+            "eta_sq"
+        ),
+        F.round(fstat, 9).alias("f_stat"),
+    )

@@ -862,3 +862,107 @@ def feature_hashing(
         .agg(F.sum("_s").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str,
+    token_col: str,
+    n_points: int = 8,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(T) ~ K * T^beta, with
+    V = distinct tokens and T = total token occurrences, measured at
+    ``n_points`` evenly spaced document checkpoints and fit by
+    log-log OLS (zipf_fit's twin — Zipf is the frequency snapshot,
+    Heaps the accretion curve; for natural text beta ~ 0.4-0.6 and
+    the two exponents are theoretically linked). Returns one row
+    (points, beta, intercept, r2): a corpus whose beta collapses
+    toward 0 has stopped contributing new vocabulary — the
+    diminishing-returns signal a data-acquisition loop watches.
+
+    Distributed shape: token first-occurrences and per-doc counts
+    are two aggregates over one tokenized scan; each checkpoint's
+    (T, V) is a conditional count over the VOCAB-sized frame (never
+    re-scanning raw text per point). Same micro-quantized exact-OLS
+    discipline as zipf_fit.
+    """
+    from pyspark.sql.window import Window
+
+    # doc index from the DOC-grain distinct frame, broadcast back —
+    # a dense_rank directly over the token rows would be a global
+    # single-partition window over the row grain
+    ids = docs.select(F.col(id_col).alias("_id")).distinct().select(
+        "_id",
+        F.row_number()
+        .over(Window.orderBy("_id"))
+        .cast("long")
+        .alias("_idx"),
+    )
+    toks = (
+        docs.select(
+            F.col(id_col).alias("_id"), F.col(token_col).alias("_t")
+        )
+        .join(F.broadcast(ids), "_id")
+        .select("_idx", "_t")
+        .cache()  # first-occurrence agg + per-doc counts
+    )
+    n_docs = toks.agg(F.max("_idx").alias("_nd"))
+    firsts = toks.groupBy("_t").agg(F.min("_idx").alias("_first"))
+    per_doc = toks.groupBy("_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("_tc")
+    )
+    cps = (
+        n_docs.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_points))
+            ).alias("_i"),
+            "_nd",
+        )
+        .select("_i", F.expr("_i * _nd div " + str(n_points)).alias("_c"))
+    )
+    v = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("_first") <= F.col("_c"))
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    )
+    t = (
+        per_doc.crossJoin(F.broadcast(cps))
+        .filter(F.col("_idx") <= F.col("_c"))
+        .groupBy("_i")
+        .agg(F.sum("_tc").alias("_T"))
+    )
+    xy = v.join(t, "_i").select(
+        F.round(F.log(F.col("_T").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("_v").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("points"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    k = F.col("points")
+    num = k * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = k * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = num.cast("double") / F.when(denx != 0, denx).cast("double")
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / k / 1000000.0
+    r2 = (num.cast("double") * num.cast("double")) / (
+        F.when((denx != 0) & (deny != 0), denx).cast("double")
+        * deny.cast("double")
+    )
+    return agg.select(
+        "points",
+        F.round(slope, 9).alias("beta"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )

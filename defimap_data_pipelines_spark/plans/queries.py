@@ -13961,6 +13961,283 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 wave 15: effect sizes, blocked ranks, classic ANOVA, and
+# vocabulary-growth law
+# --------------------------------------------------------------------------
+
+CRAMERS_V_SQL = """
+    WITH cells AS (
+        SELECT c_mktsegment AS r, c_nationkey AS c,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM customer GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    cm AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    contrib AS (
+        SELECT CAST(ROUND((o - CAST(rt AS DOUBLE) * ct / n)
+                    * (o - CAST(rt AS DOUBLE) * ct / n)
+                    / (CAST(rt AS DOUBLE) * ct / n)
+                    * 1000000) AS BIGINT) AS chi_u, n
+        FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot
+    ),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM rm),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cm),
+    agg AS (
+        SELECT CAST(SUM(chi_u) AS BIGINT) AS cu,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM contrib
+    )
+    SELECT ROUND(CAST(cu AS DOUBLE) / 1000000, 9) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           n,
+           ROUND(SQRT((CAST(cu AS DOUBLE) / 1000000)
+                 / CAST(n * (CASE WHEN LEAST(nr - 1, nc - 1) > 0
+                        THEN LEAST(nr - 1, nc - 1) END) AS DOUBLE)), 9)
+               AS v
+    FROM agg CROSS JOIN nr CROSS JOIN nc
+"""
+
+
+@register("cramers_v", CRAMERS_V_SQL)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V between customer market segment and nation
+    (operators/stats.py::cramers_v): the 0..1 effect size that makes
+    chi-square comparable across table shapes — TPC-H's segments are
+    assigned independently of geography, so V ~ 0 is the expected
+    reading. Same micro-quantized contingency arithmetic as
+    chi2_independence."""
+    from defimap_data_pipelines_spark.operators.stats import cramers_v
+
+    c = read_table(spark, sf_dir, "customer")
+    return cramers_v(c, "c_mktsegment", "c_nationkey")
+
+
+FRIEDMAN_SQL = f"""
+    WITH daily AS ({_DAILY_EVENTS_SQL}),
+    kd AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM daily),
+    sized AS (
+        SELECT day AS b, g AS t, yq AS v,
+               COUNT(*) OVER (PARTITION BY day) AS bn
+        FROM daily
+    ),
+    complete AS (
+        SELECT b, t, v, k FROM sized CROSS JOIN kd WHERE bn = k
+    ),
+    grp AS (
+        SELECT b, v, k, CAST(COUNT(*) AS BIGINT) AS cnt,
+               list(t) AS ts
+        FROM complete GROUP BY 1, 2, 3
+    ),
+    stepped0 AS (
+        SELECT b, k, cnt,
+               COALESCE(CAST(SUM(cnt) OVER (PARTITION BY b ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS cb,
+               ts
+        FROM grp
+    ),
+    stepped AS (
+        SELECT b, k, cnt, cb, unnest(ts) AS t FROM stepped0
+    ),
+    perj AS (
+        SELECT t, k, CAST(SUM(2 * cb + cnt + 1) AS BIGINT) AS r2
+        FROM stepped GROUP BY 1, 2
+    ),
+    ties AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(tb) AS BIGINT) AS t_ties
+        FROM (SELECT b, CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tb
+              FROM grp GROUP BY 1)
+    ),
+    terms AS (
+        SELECT n_blocks, k, t_ties,
+               CAST(ROUND(3.0 * (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE))
+                          / n_blocks / k / (k + 1) * 1000000.0)
+                    AS BIGINT) AS tq
+        FROM perj CROSS JOIN ties
+    ),
+    agg AS (
+        SELECT n_blocks, k, t_ties, CAST(SUM(tq) AS BIGINT) AS stq
+        FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT n_blocks, k,
+           ROUND(CAST(stq AS DOUBLE) / 1000000.0
+                 - 3.0 * n_blocks * (k + 1), 9) AS q_stat,
+           ROUND((CAST(stq AS DOUBLE) / 1000000.0
+                  - 3.0 * n_blocks * (k + 1))
+                 / (CASE WHEN n_blocks * k * (k * k - 1) - t_ties > 0
+                    THEN 1.0 - CAST(t_ties AS DOUBLE)
+                         / CAST(n_blocks * k * (k * k - 1) AS DOUBLE)
+                    END), 9) AS q_corrected
+    FROM agg
+"""
+
+
+@register("friedman_test", FRIEDMAN_SQL)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked-rank test: does any event type consistently
+    out-earn the others WITHIN days
+    (operators/stats.py::friedman_test)? Ranks are per-day (blocks),
+    so day-level demand swings can't drown the treatment signal the
+    way they would in the pooled kruskal_wallis. Complete blocks
+    only; doubled within-block rank arithmetic, int64 end to end."""
+    from defimap_data_pipelines_spark.operators.stats import friedman_test
+
+    daily = _events_daily(spark, sf_dir)
+    return friedman_test(daily, "day", "g", "yq")
+
+
+ANOVA_SQL = """
+    WITH per AS (
+        SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s_g,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS ss_g
+        FROM events GROUP BY 1
+    ),
+    terms AS (
+        SELECT n_g, s_g, ss_g,
+               CAST(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                          / n_g * 1000000.0) AS BIGINT) AS tq
+        FROM per
+    ),
+    agg AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s_g) AS BIGINT) AS s,
+               CAST(SUM(ss_g) AS BIGINT) AS ss,
+               CAST(SUM(tq) AS BIGINT) AS stq
+        FROM terms
+    )
+    SELECT n, k,
+           ROUND((CAST(stq AS DOUBLE) / 1000000.0
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / 10000.0, 6) AS ss_between,
+           ROUND((CAST(ss AS DOUBLE) - CAST(stq AS DOUBLE) / 1000000.0)
+                 / 10000.0, 6) AS ss_within,
+           ROUND((CAST(stq AS DOUBLE) / 1000000.0
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / ((CAST(stq AS DOUBLE) / 1000000.0
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    + (CASE WHEN ROUND(CAST(ss AS DOUBLE)
+                            - CAST(stq AS DOUBLE) / 1000000.0, 6) > 0
+                       THEN CAST(ss AS DOUBLE)
+                            - CAST(stq AS DOUBLE) / 1000000.0 END)), 9)
+               AS eta_sq,
+           ROUND(((CAST(stq AS DOUBLE) / 1000000.0
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+                 / ((CASE WHEN ROUND(CAST(ss AS DOUBLE)
+                          - CAST(stq AS DOUBLE) / 1000000.0, 6) > 0
+                     THEN CAST(ss AS DOUBLE)
+                          - CAST(stq AS DOUBLE) / 1000000.0 END)
+                    / (n - k)), 9) AS f_stat
+    FROM agg
+"""
+
+
+@register("anova_oneway", ANOVA_SQL)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic one-way ANOVA of event value across event types
+    (operators/stats.py::anova_oneway) — the parametric triplet-
+    closer next to kruskal_wallis (ranks) and welch_ttest (pairs),
+    with eta^2 effect size. Per-group integer moments; fractional
+    terms micro-quantized before the cross-group sum."""
+    from defimap_data_pipelines_spark.operators.stats import anova_oneway
+
+    e = read_table(spark, sf_dir, "events")
+    return anova_oneway(e, "event_type", "value", quantum=100)
+
+
+HEAPS_SQL = f"""
+    WITH toks0 AS (
+        SELECT doc_id AS id,
+               unnest(string_split({_NORM}, ' ')) AS token
+        FROM documents
+    ),
+    ids AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY id ASC) AS idx
+        FROM (SELECT DISTINCT id FROM toks0)
+    ),
+    toks AS (
+        SELECT idx, token AS t FROM toks0 JOIN ids USING (id)
+    ),
+    nd AS (SELECT CAST(MAX(idx) AS BIGINT) AS n FROM toks),
+    firsts AS (SELECT t, MIN(idx) AS first FROM toks GROUP BY 1),
+    per_doc AS (
+        SELECT idx, CAST(COUNT(*) AS BIGINT) AS tc FROM toks GROUP BY 1
+    ),
+    cps AS (
+        SELECT i, (i * n) // 8 AS c
+        FROM (SELECT UNNEST(range(1, 9)) AS i) CROSS JOIN nd
+    ),
+    v AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS v
+        FROM firsts CROSS JOIN cps WHERE first <= c GROUP BY 1
+    ),
+    t AS (
+        SELECT i, CAST(SUM(tc) AS BIGINT) AS tt
+        FROM per_doc CROSS JOIN cps WHERE idx <= c GROUP BY 1
+    ),
+    xy AS (
+        SELECT CAST(ROUND(LN(CAST(tt AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS x,
+               CAST(ROUND(LN(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS y
+        FROM v JOIN t USING (i)
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS points,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT points,
+           ROUND(CAST(points * sxy - sx * sy AS DOUBLE)
+                 / CAST(CASE WHEN points * sxx - sx * sx <> 0
+                        THEN points * sxx - sx * sx END AS DOUBLE), 9)
+               AS beta,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(points * sxy - sx * sy AS DOUBLE)
+                     / CAST(CASE WHEN points * sxx - sx * sx <> 0
+                            THEN points * sxx - sx * sx END AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / points / 1000000.0, 9)
+               AS intercept,
+           ROUND((CAST(points * sxy - sx * sy AS DOUBLE)
+                  * CAST(points * sxy - sx * sy AS DOUBLE))
+                 / (CAST(CASE WHEN points * sxx - sx * sx <> 0
+                              AND points * syy - sy * sy <> 0
+                         THEN points * sxx - sx * sx END AS DOUBLE)
+                    * CAST(points * syy - sy * sy AS DOUBLE)), 9) AS r2
+    FROM agg
+"""
+
+
+@register("heaps_fit", HEAPS_SQL)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the corpus in doc_id
+    order (operators/textops.py::heaps_fit): V(T) ~ K*T^beta at 8
+    document checkpoints — zipf_fit's accretion-curve twin, the
+    diminishing-returns dial a data-acquisition loop watches. Doc
+    index from the doc-grain frame (no row-grain global window);
+    micro-quantized exact OLS."""
+    from defimap_data_pipelines_spark.functions.text import ws_tokens
+    from defimap_data_pipelines_spark.operators.textops import heaps_fit
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id"),
+        F.explode(ws_tokens(F.col("text"))).alias("token"),
+    )
+    return heaps_fit(toks, "doc_id", "token", n_points=8)
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
