@@ -221,13 +221,17 @@ def target_encoding(
     memorize its targets. Returns (category, n, raw_mean, encoded)
     with m = ``smoothing`` (in rows).
 
-    The target must arrive integer-quantized (``target_q_col``);
-    then enc(c) = (sum_c * N + m * S) / ((n_c + m) * N) is ONE
-    divide of exact int64 products (S, N the global sum/count,
-    broadcast as a 1-row frame). Int64 headroom: sum_c * N caps at
-    ~(q * total_target) * rows — at 1e9 rows of 1e4-cent targets
-    switch the two products to decimal, documented here rather than
-    silently wrong.
+    The target must arrive integer-quantized (``target_q_col``).
+    Both outputs are TRUNCATED integer divisions scaled by 1e4 (so
+    the reported values carry 4 + log10(quantum) exact decimal
+    places): a ROUND() over the raw rational s/n can land exactly on
+    a decimal-tie of its double representation, where Spark's
+    HALF_UP BigDecimal and DuckDB's float rounding disagree by 1 ulp
+    (seen live at sf0.001, category 8: ...780.5 rounded both ways).
+    Truncated div has no tie to disagree on. The global mean rides
+    as gm4 = S * 1e4 div N (a deterministic <=1e-4-quantum-unit
+    bias, identical both engines). Int64 headroom: sum_c * 1e4 <
+    9.2e18 — ~$9e12 of cents per category; lift to decimal beyond.
 
     Leakage note: this is the FIT step (per-category table). For
     honest training features, fit on one fold and join onto another
@@ -242,17 +246,17 @@ def target_encoding(
         F.count(F.lit(1)).cast("long").alias("_nn"),
         F.sum(F.col(target_q_col)).cast("long").alias("_ss"),
     )
-    j = per.crossJoin(F.broadcast(tot))
-    enc = (
-        F.col("_sc") * F.col("_nn") + smoothing * F.col("_ss")
-    ).cast("double") / (
-        (F.col("n") + smoothing) * F.col("_nn")
-    ).cast("double")
+    j = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_gm4", F.expr("_ss * 10000 div _nn")
+    )
+    raw4 = F.expr("_sc * 10000 div n")
+    enc4 = F.expr(
+        f"(_sc * 10000 + {smoothing} * _gm4) div (n + {smoothing})"
+    )
+    scale = 10000.0 * quantum
     return j.select(
         "category",
         "n",
-        F.round(
-            F.col("_sc").cast("double") / F.col("n") / quantum, 9
-        ).alias("raw_mean"),
-        F.round(enc / quantum, 9).alias("encoded"),
+        (raw4.cast("double") / scale).alias("raw_mean"),
+        (enc4.cast("double") / scale).alias("encoded"),
     )

@@ -13881,9 +13881,9 @@ TARGET_ENCODING_SQL = """
         FROM rows_
     )
     SELECT category, n,
-           ROUND(CAST(sc AS DOUBLE) / n / 100, 9) AS raw_mean,
-           ROUND(CAST(sc * nn + 100 * ss AS DOUBLE)
-                 / CAST((n + 100) * nn AS DOUBLE) / 100, 9) AS encoded
+           CAST(sc * 10000 // n AS DOUBLE) / 1000000.0 AS raw_mean,
+           CAST((sc * 10000 + 100 * (ss * 10000 // nn))
+                // (n + 100) AS DOUBLE) / 1000000.0 AS encoded
     FROM per CROSS JOIN tot
     ORDER BY category
 """
