@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "friedman_test",
     "anova_oneway",
     "heaps_fit",
+    "shapley_attribution",
+    "markov_attribution",
+    "ratio_metric_delta",
 ]
 
 

@@ -168,3 +168,71 @@ def cuped_adjustment(
             (cov * cov) / F.when(varx * vary > 0, varx * vary), 9
         ).alias("rho2"),
     )
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    num_q_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Per-variant ratio metric with a delta-method standard error —
+    THE correct analysis for per-user ratio metrics (revenue per
+    session, CTR): the naive row-level SE ignores that the
+    randomization unit is the user, not the row. R = sum(x)/sum(y)
+    over user-level aggregates; Var(R) ~= (s_x^2 - 2R*s_xy +
+    R^2*s_y^2) / (n * ybar^2) with user-level (co)variances (the
+    Deng et al. delta method). Returns (variant, n_units, ratio,
+    se); se is NULL for n < 2 or a zero denominator.
+
+    Two aggregations: rows -> per-unit integer sums (the one heavy
+    shuffle, keyed by the randomization unit), units -> per-variant
+    exact moments (sums, squares, cross-product — all int64; the
+    only floats are the final R/SE expressions). Int64 headroom:
+    sum(xq^2) per variant caps ~n * (per-unit cents)^2 — at 1e8
+    users of 1e6-cent sums switch to decimal, documented.
+    """
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            F.col(variant_col).alias("variant"),
+            F.col(num_q_col).cast("long").alias("_x"),
+            F.col(den_col).cast("long").alias("_y"),
+        )
+        .groupBy("u", "variant")
+        .agg(F.sum("_x").alias("x"), F.sum("_y").alias("y"))
+    )
+    m = per_unit.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    n = F.col("n_units")
+    ratio = F.col("_sx").cast("double") / F.when(
+        F.col("_sy") != 0, F.col("_sy")
+    ).cast("double")
+    vx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    ) / (n * (n - 1))
+    vy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    ) / (n * (n - 1))
+    vxy = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    ) / (n * (n - 1))
+    ybar = F.col("_sy").cast("double") / n
+    var_r = (
+        (vx - 2.0 * ratio * vxy + ratio * ratio * vy)
+        / F.when(n > 1, n)
+        / (ybar * ybar)
+    )
+    return m.select(
+        "variant",
+        "n_units",
+        F.round(ratio, 9).alias("ratio"),
+        F.round(F.sqrt(F.when(var_r >= 0, var_r)), 9).alias("se"),
+    )

@@ -169,3 +169,292 @@ def peak_concurrency(
         "carry_in",
         "peak",
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str,
+    channel_col: str,
+    conv_col,
+    channels: list[str],
+) -> DataFrame:
+    """Exact Shapley-value channel attribution over exposure SETS:
+    each user contributes their set of touched channels and a
+    converted flag; coalition value v(S) = conversion rate of users
+    whose exposure set is exactly S (0 for unobserved sets); the
+    Shapley value of channel c averages its marginal contribution
+    v(S+c) - v(S) over all orderings — the game-theoretic
+    attribution that last-touch and linear (attribute_linear) only
+    approximate. Returns (channel, shapley, share): shapley in
+    conversion-probability units (their sum telescopes to
+    v(all) - v(empty), the efficiency axiom the test pins), share
+    the positive-part normalization marketers report.
+
+    ``channels`` must be the sorted full channel list (max 16 — the
+    2^k coalition frame is built with a literal range and k*2^(k-1)
+    marginal pairs; at k = 16 that is 0.5M tiny rows, still nothing).
+    The heavy part — per-user exposure masks — is one bit_or groupBy
+    over raw events. Coalition rates ride as TRUNCATED nano-unit
+    divisions (vq = conv*1e9 div users, engine-exact); factorial
+    weights stay integer by deferring the /k! to the very end.
+    """
+    k = len(channels)
+    if not 1 <= k <= 16:
+        raise ValueError("channels must have 1..16 entries")
+    bit = None
+    for i, ch in enumerate(channels):
+        term = F.when(F.col(channel_col) == ch, F.lit(1 << i))
+        bit = term if bit is None else bit.when(
+            F.col(channel_col) == ch, F.lit(1 << i)
+        )
+    bit = bit.otherwise(F.lit(0)).cast("long")
+    users = (
+        df.select(
+            F.col(user_col).alias("u"),
+            bit.alias("_b"),
+            F.when(conv_col, 1).otherwise(0).cast("long").alias("_c"),
+        )
+        .groupBy("u")
+        .agg(
+            F.expr("bit_or(_b)").alias("mask"),
+            F.max("_c").alias("conv"),
+        )
+        # units with NO touches are unattributable; keeping them
+        # hands the empty coalition their (often perfect) conversion
+        # rate and drags every marginal negative (measured at sf0.1:
+        # purchase-only days made all four Shapley values < 0)
+        .filter(F.col("mask") != 0)
+    )
+    vmask = users.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    spark = df.sparkSession
+    coal = spark.range(1 << k).select(F.col("id").alias("s"))
+    v = coal.join(
+        vmask, coal["s"] == vmask["mask"], "left"
+    ).select(
+        "s",
+        F.coalesce(
+            F.expr("n_conv * 1000000000 div n_users"), F.lit(0)
+        ).alias("vq"),
+    )
+    # factorial weights w(s) = |s|! * (k-1-|s|)!  (defer /k!)
+    fact = [1] * (k + 1)
+    for i in range(1, k + 1):
+        fact[i] = fact[i - 1] * i
+    warr = ", ".join(
+        str(fact[s] * fact[k - 1 - s]) for s in range(k)
+    )
+    chan = spark.createDataFrame(
+        [(i, ch) for i, ch in enumerate(channels)], "ci long, channel string"
+    )
+    pairs = (
+        v.alias("lo")
+        .crossJoin(F.broadcast(chan))
+        .filter(F.expr("(lo.s & shiftleft(1, ci)) = 0"))
+        .join(
+            v.alias("hi"),
+            F.expr("hi.s = lo.s + shiftleft(1, ci)"),
+        )
+        .select(
+            "channel",
+            (
+                F.expr(f"element_at(array({warr}), "
+                       "cast(bit_count(lo.s) + 1 as int))")
+                * (F.col("hi.vq") - F.col("lo.vq"))
+            ).alias("_w"),
+        )
+    )
+    phi = pairs.groupBy("channel").agg(F.sum("_w").alias("_phi"))
+    scale = float(fact[k]) * 1e9
+    tot = phi.agg(
+        F.sum(F.when(F.col("_phi") > 0, F.col("_phi")).otherwise(F.lit(0))).alias("_pos")
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("_phi").cast("double") / scale, 9).alias(
+                "shapley"
+            ),
+            F.round(
+                F.when(F.col("_phi") > 0, F.col("_phi"))
+                .otherwise(F.lit(0))
+                .cast("double")
+                / F.when(F.col("_pos") > 0, F.col("_pos")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("share"),
+        )
+    )
+
+
+def _journey_transitions(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_cols: list[str],
+    conv_type: str,
+) -> DataFrame:
+    """(a, b, c): integer transition counts of the journey chain —
+    start -> first touch, touch -> touch, touch -> conv at the FIRST
+    ``conv_type`` event (the journey ends there), last touch -> null
+    for never-converting users. One window pass per user."""
+    w = Window.partitionBy("_u").orderBy(*[F.col(c) for c in ts_cols])
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        *[F.col(c) for c in ts_cols],
+    ).withColumn(
+        "_nconv",
+        F.sum(F.when(F.col("_t") == conv_type, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # keep events up to and including the first conversion
+    pre = base.filter(
+        (F.col("_nconv") == 0)
+        | ((F.col("_nconv") == 1) & (F.col("_t") == conv_type))
+    )
+    stepped = pre.withColumn("_prev", F.lag("_t").over(w)).withColumn(
+        "_next", F.lead("_t").over(w)
+    )
+    steps = stepped.select(
+        F.coalesce(F.col("_prev"), F.lit("start")).alias("a"),
+        F.when(F.col("_t") == conv_type, F.lit("conv"))
+        .otherwise(F.col("_t"))
+        .alias("b"),
+    )
+    tails = stepped.filter(
+        F.col("_next").isNull() & (F.col("_t") != conv_type)
+    ).select(F.col("_t").alias("a"), F.lit("null").alias("b"))
+    return (
+        steps.unionAll(tails)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_cols: list[str],
+    conv_type: str,
+    channels: list[str],
+    rounds: int = 12,
+    nano: int = 1_000_000_000,
+) -> DataFrame:
+    """Markov removal-effect attribution (the Anderl/Becker "Markov
+    chain attribution" standard): model journeys as a first-order
+    chain with absorbing states conv/null, compute the start->conv
+    absorption probability by value iteration, then for each channel
+    recompute it with that channel REMOVED (every hop into it
+    redirected to null); the channel's credit is how much conversion
+    collapses without it. Returns (channel, p_full, p_removed,
+    removal_effect = 1 - p_removed/p_full, share) — share normalizes
+    removal effects to 1 like the Shapley variant's.
+
+    Removal = forcing V(channel) = 0 in the iteration (a redirected
+    hop contributes the null state's zero value and row totals keep
+    the mass) — so ALL k+1 chains run as ONE tagged frame: the
+    O(states^2) transition table crossed with a (k+1)-row chain
+    list, 12 unrolled value-iteration joins over <= (k+1)*states^2
+    rows total. Everything integer: V rides nano units with
+    truncated division per hop (engine-exact; leak <= states
+    nano-units/round, documented). The raw event table is touched
+    once, to build the counts.
+    """
+    cnt = _journey_transitions(
+        events, user_col, type_col, ts_cols, conv_type
+    )
+    r = cnt.groupBy("a").agg(F.sum("c").alias("r"))
+    spark = events.sparkSession
+    chains = spark.createDataFrame(
+        [("full", None)] + [(ch, ch) for ch in channels],
+        "chain string, removed string",
+    )
+    ct = (
+        cnt.join(r, "a")
+        .crossJoin(F.broadcast(chains))
+        .cache()  # one consumer per unrolled round
+    )
+    v = chains.select(
+        "chain", F.lit("conv").alias("t"), F.lit(nano).cast("long").alias("v")
+    )
+    for _ in range(rounds):
+        step = (
+            ct.join(
+                v,
+                (ct["chain"] == v["chain"]) & (ct["b"] == v["t"]),
+            )
+            .filter(ct["removed"].isNull() | (v["t"] != ct["removed"]))
+            .select(
+                ct["chain"].alias("chain"),
+                ct["a"].alias("t"),
+                F.expr("(v * c) div r").alias("_m"),
+            )
+            .groupBy("chain", "t")
+            .agg(F.sum("_m").cast("long").alias("v"))
+            .filter(F.col("t") != F.lit("conv"))
+        )
+        v = step.unionAll(
+            chains.select(
+                "chain",
+                F.lit("conv").alias("t"),
+                F.lit(nano).cast("long").alias("v"),
+            )
+        )
+    p = v.filter(F.col("t") == "start").select(
+        F.col("chain"), F.col("v").alias("_p")
+    )
+    full = p.filter(F.col("chain") == "full").select(
+        F.col("_p").alias("_pf")
+    )
+    re = (
+        p.filter(F.col("chain") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("chain").alias("channel"),
+            "_p",
+            "_pf",
+            (
+                F.lit(1.0)
+                - F.col("_p").cast("double")
+                / F.when(F.col("_pf") > 0, F.col("_pf")).cast("double")
+            ).alias("_re"),
+        )
+    )
+    tot = re.agg(
+        F.sum(
+            F.when(F.col("_re") > 0, F.round(F.col("_re") * 1e9))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("_tre")
+    )
+    return (
+        re.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("_pf").cast("double") / nano, 9).alias(
+                "p_full"
+            ),
+            F.round(F.col("_p").cast("double") / nano, 9).alias(
+                "p_removed"
+            ),
+            F.round(F.col("_re"), 9).alias("removal_effect"),
+            F.round(
+                F.when(
+                    F.col("_re") > 0, F.round(F.col("_re") * 1e9)
+                )
+                .otherwise(F.lit(0))
+                .cast("double")
+                / F.when(F.col("_tre") > 0, F.col("_tre")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("share"),
+        )
+    )
