@@ -191,7 +191,12 @@ def ratio_metric_delta(
     exact moments (sums, squares, cross-product — all int64; the
     only floats are the final R/SE expressions). Int64 headroom:
     sum(xq^2) per variant caps ~n * (per-unit cents)^2 — at 1e8
-    users of 1e6-cent sums switch to decimal, documented.
+    users of 1e6-cent sums switch to decimal, documented. The
+    n*sxx - sx*sx style products are computed in DOUBLE (cast each
+    factor first): at scale n*sxx exceeds int64, where DuckDB
+    silently promotes to HUGEINT while Spark wraps — casting before
+    the product keeps both engines on the identical IEEE754 path
+    (r6 ADVICE finding).
     """
     per_unit = (
         df.select(
@@ -215,15 +220,18 @@ def ratio_metric_delta(
     ratio = F.col("_sx").cast("double") / F.when(
         F.col("_sy") != 0, F.col("_sy")
     ).cast("double")
-    vx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
-        "double"
-    ) / (n * (n - 1))
-    vy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
-        "double"
-    ) / (n * (n - 1))
-    vxy = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
-        "double"
-    ) / (n * (n - 1))
+    nd = n.cast("double")
+    sxd = F.col("_sx").cast("double")
+    syd = F.col("_sy").cast("double")
+    vx = (nd * F.col("_sxx").cast("double") - sxd * sxd) / (
+        n * (n - 1)
+    )
+    vy = (nd * F.col("_syy").cast("double") - syd * syd) / (
+        n * (n - 1)
+    )
+    vxy = (nd * F.col("_sxy").cast("double") - sxd * syd) / (
+        n * (n - 1)
+    )
     ybar = F.col("_sy").cast("double") / n
     var_r = (
         (vx - 2.0 * ratio * vxy + ratio * ratio * vy)

@@ -359,102 +359,105 @@ def markov_removal_attribution(
 
     Removal = forcing V(channel) = 0 in the iteration (a redirected
     hop contributes the null state's zero value and row totals keep
-    the mass) — so ALL k+1 chains run as ONE tagged frame: the
-    O(states^2) transition table crossed with a (k+1)-row chain
-    list, 12 unrolled value-iteration joins over <= (k+1)*states^2
-    rows total. Everything integer: V rides nano units with
-    truncated division per hop (engine-exact; leak <= states
-    nano-units/round, documented). The raw event table is touched
-    once, to build the counts.
+    the mass). Everything integer: V rides nano units with truncated
+    division per hop (engine-exact; leak <= states nano-units/round,
+    documented). The raw event table is touched once, to build the
+    counts.
+
+    Scale posture (the collect-tiny-codebooks discipline,
+    docs/SCALE_NOTES.md): the transition table is O(states^2) where
+    states = |event-type vocab| + 3 sentinels — a few dozen rows at
+    ANY corpus size, because its cardinality is the type vocabulary,
+    not the event volume. Only the count aggregation is distributed;
+    the (k+1)-chain x ``rounds`` value iteration runs driver-side on
+    the collected counts (pure non-negative int arithmetic, so
+    Python ``//`` == the engines' truncating ``div`` bit-for-bit)
+    and the k+1-row result re-enters Spark via createDataFrame. The
+    r6-judged alternative — 12 unrolled DataFrame join rounds — cost
+    39.8 s at sf0.1 purely in Catalyst plan analysis (each round
+    nests all predecessors); this form costs ~1 s and its Spark-side
+    final expressions are unchanged, so the DuckDB oracle
+    (MARKOV_REMOVAL_SQL) needs no edit.
     """
     cnt = _journey_transitions(
         events, user_col, type_col, ts_cols, conv_type
     )
-    r = cnt.groupBy("a").agg(F.sum("c").alias("r"))
+    trows = cnt.collect()
+    if len(trows) > 100_000:
+        raise ValueError(
+            "transition table exceeds the driver-side gate "
+            f"({len(trows)} rows): state vocabulary is not tiny; "
+            "this operator assumes |event types| is bounded"
+        )
+    trans = [(row["a"], row["b"], int(row["c"])) for row in trows]
+    rtot: dict[str, int] = {}
+    for a, _b, c in trans:
+        rtot[a] = rtot.get(a, 0) + c
     spark = events.sparkSession
-    chains = spark.createDataFrame(
-        [("full", None)] + [(ch, ch) for ch in channels],
-        "chain string, removed string",
+    p_rows = []
+    for chain, removed in [("full", None)] + [(ch, ch) for ch in channels]:
+        v = {"conv": nano}
+        for _ in range(rounds):
+            nv: dict[str, int] = {}
+            for a, b, c in trans:
+                if removed is not None and b == removed:
+                    continue
+                vb = v.get(b)
+                if vb is None:
+                    continue
+                # all operands non-negative -> floor == trunc == div
+                nv[a] = nv.get(a, 0) + (vb * c) // rtot[a]
+            nv.pop("conv", None)
+            nv["conv"] = nano
+            v = nv
+        if "start" in v:
+            p_rows.append((chain, int(v["start"])))
+    pmap = dict(p_rows)
+    schema = (
+        "channel string, p_full double, p_removed double, "
+        "removal_effect double, share double"
     )
-    ct = (
-        cnt.join(r, "a")
-        .crossJoin(F.broadcast(chains))
-        .cache()  # one consumer per unrolled round
+    if "full" not in pmap:
+        # degenerate corpus with no journeys at all: the joined form
+        # produced an empty frame here; preserve that contract
+        return spark.createDataFrame([], schema)
+    # _pf is an exact integer — inline it as a literal instead of a
+    # broadcast crossJoin; the normalizing total rides a whole-frame
+    # window sum instead of a second crossJoin. All double math and
+    # every ROUND stay Spark expressions, identical to the oracle's.
+    pf = F.lit(pmap["full"]).cast("long")
+    p = spark.createDataFrame(
+        [r for r in p_rows if r[0] != "full"], "channel string, _p long"
     )
-    v = chains.select(
-        "chain", F.lit("conv").alias("t"), F.lit(nano).cast("long").alias("v")
+    re = p.select(
+        "channel",
+        "_p",
+        (
+            F.lit(1.0)
+            - F.col("_p").cast("double")
+            / F.when(pf > 0, pf).cast("double")
+        ).alias("_re"),
     )
-    for _ in range(rounds):
-        step = (
-            ct.join(
-                v,
-                (ct["chain"] == v["chain"]) & (ct["b"] == v["t"]),
-            )
-            .filter(ct["removed"].isNull() | (v["t"] != ct["removed"]))
-            .select(
-                ct["chain"].alias("chain"),
-                ct["a"].alias("t"),
-                F.expr("(v * c) div r").alias("_m"),
-            )
-            .groupBy("chain", "t")
-            .agg(F.sum("_m").cast("long").alias("v"))
-            .filter(F.col("t") != F.lit("conv"))
+    req = (
+        F.when(F.col("_re") > 0, F.round(F.col("_re") * 1e9))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    tre = F.sum(req).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        v = step.unionAll(
-            chains.select(
-                "chain",
-                F.lit("conv").alias("t"),
-                F.lit(nano).cast("long").alias("v"),
-            )
-        )
-    p = v.filter(F.col("t") == "start").select(
-        F.col("chain"), F.col("v").alias("_p")
     )
-    full = p.filter(F.col("chain") == "full").select(
-        F.col("_p").alias("_pf")
-    )
-    re = (
-        p.filter(F.col("chain") != "full")
-        .crossJoin(F.broadcast(full))
-        .select(
-            F.col("chain").alias("channel"),
-            "_p",
-            "_pf",
-            (
-                F.lit(1.0)
-                - F.col("_p").cast("double")
-                / F.when(F.col("_pf") > 0, F.col("_pf")).cast("double")
-            ).alias("_re"),
-        )
-    )
-    tot = re.agg(
-        F.sum(
-            F.when(F.col("_re") > 0, F.round(F.col("_re") * 1e9))
-            .otherwise(F.lit(0))
-            .cast("long")
-        ).alias("_tre")
-    )
-    return (
-        re.crossJoin(F.broadcast(tot))
-        .select(
-            "channel",
-            F.round(F.col("_pf").cast("double") / nano, 9).alias(
-                "p_full"
-            ),
-            F.round(F.col("_p").cast("double") / nano, 9).alias(
-                "p_removed"
-            ),
-            F.round(F.col("_re"), 9).alias("removal_effect"),
-            F.round(
-                F.when(
-                    F.col("_re") > 0, F.round(F.col("_re") * 1e9)
-                )
-                .otherwise(F.lit(0))
-                .cast("double")
-                / F.when(F.col("_tre") > 0, F.col("_tre")).cast(
-                    "double"
-                ),
-                9,
-            ).alias("share"),
-        )
+    return re.select(
+        "channel",
+        F.round(pf.cast("double") / nano, 9).alias("p_full"),
+        F.round(F.col("_p").cast("double") / nano, 9).alias(
+            "p_removed"
+        ),
+        F.round(F.col("_re"), 9).alias("removal_effect"),
+        F.round(
+            req.cast("double")
+            / F.when(tre > 0, tre).cast("double"),
+            9,
+        ).alias("share"),
     )

@@ -14430,11 +14430,13 @@ MARKOV_REMOVAL_SQL = f"""
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution over user journeys
     (operators/journeys.py::markov_removal_attribution): absorbing-
-    chain conversion probability by 12 unrolled integer value-
-    iteration rounds, re-run with each channel's hops redirected to
-    null — "how much conversion collapses without this channel".
-    All k+1 chains ride one tagged O(states^2) frame; the event
-    table is scanned once for transitions."""
+    chain conversion probability by 12 integer value-iteration
+    rounds, re-run with each channel's hops redirected to null —
+    "how much conversion collapses without this channel". The event
+    table is scanned once for the O(states^2) transition counts;
+    the (k+1)-chain iteration runs driver-side on the collected
+    counts (collect-tiny-codebooks: state vocab is bounded by the
+    event-type vocabulary, not data volume)."""
     from defimap_data_pipelines_spark.operators.journeys import (
         markov_removal_attribution,
     )
@@ -14476,33 +14478,39 @@ RATIO_DELTA_SQL = """
                  / CAST(CASE WHEN sy <> 0 THEN sy END AS DOUBLE), 9)
                AS ratio,
            ROUND(SQRT(CASE WHEN
-                 ((CAST(n_units * sxx - sx * sx AS DOUBLE)
+                 (((CAST(n_units AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    / (n_units * (n_units - 1)))
                   - 2.0 * (CAST(sx AS DOUBLE)
                      / CAST(CASE WHEN sy <> 0 THEN sy END AS DOUBLE))
-                    * (CAST(n_units * sxy - sx * sy AS DOUBLE)
+                    * ((CAST(n_units AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                        / (n_units * (n_units - 1)))
                   + (CAST(sx AS DOUBLE)
                      / CAST(CASE WHEN sy <> 0 THEN sy END AS DOUBLE))
                     * (CAST(sx AS DOUBLE)
                        / CAST(CASE WHEN sy <> 0 THEN sy END AS DOUBLE))
-                    * (CAST(n_units * syy - sy * sy AS DOUBLE)
+                    * ((CAST(n_units AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
                        / (n_units * (n_units - 1))))
                  / (CASE WHEN n_units > 1 THEN n_units END)
                  / ((CAST(sy AS DOUBLE) / n_units)
                     * (CAST(sy AS DOUBLE) / n_units)) >= 0
                  THEN
-                 ((CAST(n_units * sxx - sx * sx AS DOUBLE)
+                 (((CAST(n_units AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    / (n_units * (n_units - 1)))
                   - 2.0 * (CAST(sx AS DOUBLE)
                      / CAST(CASE WHEN sy <> 0 THEN sy END AS DOUBLE))
-                    * (CAST(n_units * sxy - sx * sy AS DOUBLE)
+                    * ((CAST(n_units AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                        / (n_units * (n_units - 1)))
                   + (CAST(sx AS DOUBLE)
                      / CAST(CASE WHEN sy <> 0 THEN sy END AS DOUBLE))
                     * (CAST(sx AS DOUBLE)
                        / CAST(CASE WHEN sy <> 0 THEN sy END AS DOUBLE))
-                    * (CAST(n_units * syy - sy * sy AS DOUBLE)
+                    * ((CAST(n_units AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
                        / (n_units * (n_units - 1))))
                  / (CASE WHEN n_units > 1 THEN n_units END)
                  / ((CAST(sy AS DOUBLE) / n_units)
