@@ -198,6 +198,102 @@ BENCH_QUERIES = [
     "shapley_attribution",
     "markov_attribution",
     "ratio_metric_delta",
+    # r7: complete coverage — every registered query is benched (the
+    # r6 verdict's markov_attribution lesson: a registry entry
+    # without a bench entry is a liability). Order = registration
+    # order of the previously-unbenched set.
+    "benchmark_capital_gotk",
+    "benchmark_price_gotk",
+    "semi_join",
+    "anti_join",
+    "set_ops",
+    "cube_agg",
+    "pivot_linestatus",
+    "min_max_scalar",
+    "latest_event_per_user",
+    "lang_id",
+    "quality_score",
+    "embedding_neardup_pairs",
+    "embedding_allpairs_exact",
+    "simhash_xxhash_pairs",
+    "multimodal_digest_features",
+    "window_rank_suite",
+    "json_extract",
+    "date_parts",
+    "string_funcs",
+    "rollup_agg",
+    "hll_distinct_users",
+    "ivf_topk",
+    "rolling_xxhash_fingerprint",
+    "apy_conversion",
+    "array_agg_sorted",
+    "char_jaccard_pairs",
+    "above_nation_avg",
+    "unpivot_metrics",
+    "clean_corpus",
+    "bool_aggs",
+    "stats_moments",
+    "date_arith",
+    "minmax_by",
+    "q12_priority_split",
+    "q14_promo_revenue",
+    "nulls_ordering",
+    "limit_offset",
+    "q8_market_share",
+    "q17_small_quantity",
+    "q19_disjunctive_join",
+    "q22_inactive_customers",
+    "stratified_sample",
+    "pii_redaction",
+    "resample_weekly_ohlc",
+    "date_spine_ffill",
+    "event_funnel",
+    "price_histogram",
+    "ivf_topk_persisted",
+    "dq_checks",
+    "salted_join_agg",
+    "embedding_quantize_int8",
+    "scd2_intervals",
+    "revenue_share",
+    "gotk_sql",
+    "q9_product_profit",
+    "simhash_pairs",
+    "rolling_hash_fingerprint",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q16_supplier_cnt",
+    "q20_dominant_supplier",
+    "stream_tumbling_exec",
+    "stream_sessions_exec",
+    "bucketed_join_agg",
+    "asof_next_purchase",
+    "stream_sliding_exec",
+    "multimodal_framesample",
+    "lsh_topk",
+    "stream_join_exec",
+    "winsorized_stats",
+    "stream_dedup_exec",
+    "curation_report",
+    "cohort_retention",
+    "rolling_active_users",
+    "event_transitions",
+    "drawdown_series",
+    "rolling_volatility",
+    "return_correlation_matrix",
+    "benford_digit_check",
+    "decontamination_overlap",
+    "multimodal_resize",
+    "token_chunks",
+    "source_mixture_plan",
+    "vector_stats",
+    "corpus_quality_by_source",
+    "bpe_encode",
+    "gaps_islands",
+    "bloom_persisted_probe",
+    "unpivot_long",
+    "stream_rollup_exec",
 ]
 
 

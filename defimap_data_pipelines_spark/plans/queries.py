@@ -14605,52 +14605,55 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # the complete r5-registration backlog (18 queries, verdict #1) —
-    # after this round every oracle-backed query has a driver row
-    "triangle_count",
-    "kcore_rounds",
-    "khop_reach",
-    "label_propagation",
-    "rendezvous_sharding",
-    "apportion_budget",
-    "bigram_lift",
-    "gopher_repetition",
-    "kmv_source_overlap",
-    "weighted_sample",
-    "adaptive_skew_join",
-    "doc_chunking",
-    "snapshot_diff",
-    "mad_outliers",
-    "sampled_quantiles",
-    "embedding_standardize",
-    "grouped_kmeans",
-    "ewma_quantized",
-    # changed this round (models.py load-path narrowing touches both)
-    "ivf_topk_persisted",
-    "bloom_persisted_probe",
-    # round-6 registrations (swapped in as they land; placeholders are
-    # prior greens re-verified)
-    "hypertable_rollup",
-    "acf_lags",
-    "cusum_changepoints",
-    "welch_ttest",
-    "chi2_independence",
-    "sssp_hops",
-    "ra_linkpred",
-    "degree_assortativity",
-    "winnowing_fingerprint",
-    "containment_dups",
-    "gini_concentration",
-    "scd2_pit_join",
-    "rfm_segments",
-    "bigram_lm_score",
-    "quantile_normalize",
-    "stream_rollup_exec",
-    "lsh_dedup_recall",
-    "pq_encode",
-    "neardup_components",
-    "twap_per_user",
-    "pagerank_top20",
+    # r7 rotation, part 1: the 19 candidates announced at the end of
+    # r6 (waves 5-7) — none has a driver row yet
+    "incremental_cc",
+    "skew_report",
+    "graph_walks",
+    "spearman_corr",
+    "mannwhitney_u",
+    "kaplan_meier",
+    "holt_forecast",
+    "seasonal_anomalies",
+    "rrf_fusion",
+    "itemcf_topk",
+    "community_modularity",
+    "js_divergence",
+    "ams_f2_moment",
+    "markov_stationary",
+    "bootstrap_ci",
+    "top_event_paths",
+    "mutual_best_pairs",
+    "isotonic_calibration",
+    "trailing_distinct_kmv",
+    # r7 rotation, part 2: changed this round (journeys driver-side
+    # value iteration; experiments double-cast moments) — must be
+    # driver-revalidated
+    "markov_attribution",
+    "ratio_metric_delta",
+    "shapley_attribution",
+    # r7 rotation, part 3: waves 8-16 in registration order (19 of
+    # 41; the remaining 22 — leadlag_xcorr .. heaps_fit — are the
+    # complete r8 backlog and fit its window with 19 slots to spare)
+    "theilsen_slope",
+    "mann_kendall",
+    "weighted_median",
+    "burstiness",
+    "mutual_information",
+    "psi_drift",
+    "best_split_ig",
+    "sortino_calmar",
+    "var_cvar",
+    "rolling_beta",
+    "roc_auc",
+    "lift_gains",
+    "attribution_credit",
+    "peak_concurrency",
+    "did_estimator",
+    "cuped_adjustment",
+    "ndcg_at_k",
+    "map_at_k",
+    "brier_calibration",
 ]
 
 

@@ -235,3 +235,24 @@ def test_grouped_kmeans_no_window_on_fanned_frame(spark, sf_dir):
         "Window"
     ) <= 2, plan.count("Window")
     assert "CartesianProduct" not in plan
+
+
+def test_markov_attribution_plan_is_flat(spark, sf_dir):
+    """The r6 formulation unrolled 12 value-iteration rounds as
+    nested DataFrame joins — 39.8 s of pure Catalyst analysis at
+    sf0.1. The iteration now runs driver-side on the collected
+    O(states^2) counts, so the FINAL plan must contain no joins at
+    all (one createDataFrame scan + window + project) — this test
+    fails on the r6 formulation by construction."""
+    plan = _final_plan("markov_attribution", spark, sf_dir)
+    for marker in ("Join", "CartesianProduct"):
+        assert marker not in plan, f"markov_attribution plan has {marker}"
+
+
+def test_shapley_attribution_coalition_frame_bounded(spark, sf_dir):
+    """The coalition lattice must stay the literal 2^k range frame
+    (k <= 16) joined once per channel — no sort-merge join and no
+    cartesian over data-sized frames."""
+    plan = _final_plan("shapley_attribution", spark, sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
