@@ -294,6 +294,11 @@ BENCH_QUERIES = [
     "bloom_persisted_probe",
     "unpivot_long",
     "stream_rollup_exec",
+    # r7 wave 17
+    "bh_fdr",
+    "mcnemar_test",
+    "runs_test",
+    "ar1_halflife",
 ]
 
 

@@ -90,11 +90,26 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
-    """Distinct character n-grams of normalized text."""
+    """Distinct character n-grams of normalized text.
+
+    Built from the split char array with the shifted-slice zip (the
+    word-n-gram trick): one linear split, then n O(1)-indexed array
+    views per gram. The substring-per-index transform this replaces
+    is O(len^2) — UTF8String substring re-scans from byte 0 (see
+    char_array) — and with array_distinct on top measured ~25 s per
+    sf0.1 scan vs ~1 s for this form.
+    """
     s = normalize_text(col)
+    chars = F.slice(F.split(s, ""), 1, F.greatest(F.length(s), F.lit(1)))
+    shifted = [chars] + [
+        F.slice(chars, i + 1, 1_000_000) for i in range(1, n)
+    ]
+    zipped = F.arrays_zip(*shifted)
+    grams = F.transform(
+        zipped, lambda t: F.concat(*[t[str(i)] for i in range(n)])
+    )
     k = F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), k)
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+    return F.array_distinct(F.slice(grams, 1, k))
 
 
 def char_array(col: Column) -> Column:

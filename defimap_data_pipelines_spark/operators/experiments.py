@@ -19,7 +19,7 @@ decimal(38,0) beyond that.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -316,3 +316,197 @@ def quantile_treatment_effect(
             (F.col("_qt") - F.col("_qc")).cast("double") / quantum, 9
         ).alias("qte"),
     ).orderBy("p")
+
+
+def norm_sf2_expr(az: str) -> str:
+    """Two-sided normal p-value 2*(1 - Phi(|z|)) as a SQL expression
+    string over an already-absolute z expression ``az`` — Abramowitz
+    & Stegun 26.2.17 (|err| < 7.5e-8). Neither Spark SQL nor DuckDB
+    ships erf, so the polynomial is written ONCE as text and parsed
+    by both engines: identical IEEE tree, engine-exact parity. The
+    0.3989... literal is 1/sqrt(2*pi) spelled inline so no engine
+    constant-folds a different pi."""
+    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return (
+        f"(2.0 * exp(-({az}) * ({az}) / 2.0) * 0.3989422804014327 "
+        f"* {poly})"
+    )
+
+
+# Shared engine/oracle expression text (parity rule): aliases
+# (n_c, s_c, ssq_c, n_t, s_t, ssq_t) are fixed by bh_fdr's moments.
+_BH_SE2 = (
+    "((CAST(ssq_{0} AS DOUBLE) - CAST(s_{0} AS DOUBLE) * s_{0} / n_{0})"
+    " / (n_{0} - 1) / n_{0})"
+)
+BH_VAR_GUARD_EXPR = f"({_BH_SE2.format('c')} + {_BH_SE2.format('t')} > 0)"
+BH_Z_EXPR = (
+    f"((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)"
+    f" / sqrt({_BH_SE2.format('c')} + {_BH_SE2.format('t')}))"
+)
+
+
+def bh_fdr(
+    df: DataFrame,
+    cell_cols: list[str],
+    variant_col: str,
+    xq_col: str,
+    control: str,
+    treatment: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR over one z-test per cell — the
+    multiple-testing correction a metrics platform applies when it
+    tests m metric/segment cells at once (at m = 35 cells and
+    alpha = .05, ~2 false "wins" per experiment are EXPECTED without
+    it). Input: one row per observation with integer-quantized
+    outcome ``xq_col``. Per cell: Welch-style large-sample z between
+    variants; p from the shared normal-tail polynomial
+    (norm_sf2_expr); BH adjusted p = min over j >= rank(p) of
+    p_j * m / j, capped at 1. Returns one row per cell
+    (cells..., n_c, n_t, z, p, p_adj, rejected).
+
+    Scale: the only data-sized pass is the per-cell integer moment
+    aggregation (map-side combinable). Ranking and the suffix-min
+    run on the O(cells) frame under single-partition windows —
+    bounded by the metric/segment vocabulary, not data volume (the
+    markov_attribution rule). Determinism: moments are exact int64;
+    every float (z, p, q) is one shared expression tree; rank ties
+    break on the cell key columns; the suffix min commutes. rejected
+    compares ROUND(p_adj, 9) per the threshold convention.
+    """
+    cells = [F.col(c) for c in cell_cols]
+    per = (
+        df.select(
+            *cells,
+            F.col(variant_col).alias("_v"),
+            F.col(xq_col).cast("long").alias("_x"),
+        )
+        .groupBy(*cell_cols)
+        .agg(
+            F.sum(F.when(F.col("_v") == control, 1).otherwise(0))
+            .cast("long")
+            .alias("n_c"),
+            F.sum(
+                F.when(F.col("_v") == control, F.col("_x")).otherwise(0)
+            ).alias("s_c"),
+            F.sum(
+                F.when(
+                    F.col("_v") == control, F.col("_x") * F.col("_x")
+                ).otherwise(0)
+            ).alias("ssq_c"),
+            F.sum(F.when(F.col("_v") == treatment, 1).otherwise(0))
+            .cast("long")
+            .alias("n_t"),
+            F.sum(
+                F.when(F.col("_v") == treatment, F.col("_x")).otherwise(0)
+            ).alias("s_t"),
+            F.sum(
+                F.when(
+                    F.col("_v") == treatment, F.col("_x") * F.col("_x")
+                ).otherwise(0)
+            ).alias("ssq_t"),
+        )
+        .filter((F.col("n_c") >= 2) & (F.col("n_t") >= 2))
+        # zero pooled variance -> no test (guards the double division:
+        # Spark yields Inf, DuckDB NULL — an engine divergence)
+        .filter(F.expr(BH_VAR_GUARD_EXPR))
+    )
+    scored = per.withColumn("_z", F.expr(BH_Z_EXPR)).withColumn(
+        "_p", F.expr(norm_sf2_expr(f"abs({BH_Z_EXPR})"))
+    )
+    wall = Window.partitionBy()
+    worder = Window.partitionBy().orderBy(
+        F.col("_p"), *[F.col(c) for c in cell_cols]
+    )
+    ranked = scored.withColumn(
+        "_m", F.count(F.lit(1)).over(wall)
+    ).withColumn("_rn", F.row_number().over(worder))
+    wsuffix = (
+        Window.partitionBy()
+        .orderBy(F.col("_rn").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = ranked.withColumn(
+        "_padj",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("_p") * F.col("_m") / F.col("_rn")).over(wsuffix),
+        ),
+    )
+    return adj.select(
+        *cell_cols,
+        "n_c",
+        "n_t",
+        F.round("_z", 9).alias("z"),
+        F.round("_p", 9).alias("p"),
+        F.round("_padj", 9).alias("p_adj"),
+        (F.round("_padj", 9) <= F.lit(alpha)).alias("rejected"),
+    )
+
+
+def mcnemar_paired(
+    df: DataFrame,
+    unit_col: str,
+    period_col,
+    flag_col,
+) -> DataFrame:
+    """McNemar's test on paired binary outcomes — did the same
+    units' conversion behavior CHANGE between two periods (the
+    within-subject design an unpaired chi-square gets wrong: the
+    concordant cells carry no information, only the discordant
+    n10/n01 do). ``period_col``/``flag_col`` are boolean Columns.
+    Returns one row (n11, n10, n01, n00, mcnemar_chi2) with the
+    continuity-corrected statistic (|n10-n01|-1)^2 / (n10+n01),
+    NULL when no unit is discordant.
+
+    One groupBy over raw rows (unit-keyed, the randomization-unit
+    shuffle every paired design needs anyway), then a single scalar
+    aggregation — all counts exact int64, the statistic is the only
+    float."""
+    per = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            F.when(period_col, 1).otherwise(0).alias("_per"),
+            F.when(flag_col, 1).otherwise(0).alias("_f"),
+        )
+        .groupBy("_u")
+        .agg(
+            F.max(F.when(F.col("_per") == 0, F.col("_f")).otherwise(0))
+            .alias("a"),
+            F.max(F.when(F.col("_per") == 1, F.col("_f")).otherwise(0))
+            .alias("b"),
+        )
+    )
+    counts = per.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    return counts.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            F.expr(
+                "CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)"
+                " / CAST(CASE WHEN n10 + n01 > 0 THEN n10 + n01 END"
+                " AS DOUBLE)"
+            ),
+            9,
+        ).alias("mcnemar_chi2"),
+    )

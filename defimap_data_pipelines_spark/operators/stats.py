@@ -1576,3 +1576,81 @@ def ks_pairs(
             9,
         ).alias("ks_d"),
     ).orderBy("g_a", "g_b")
+
+
+# Shared by the Spark operator and the DuckDB oracle (parity rule:
+# identical expression TEXT -> identical IEEE tree on both engines).
+# Column aliases (runs, n_up, n_down) are fixed by runs_test's output.
+# every integer operand casts to DOUBLE before a numeric literal
+# touches it: DuckDB parses 2.0 as DECIMAL, so 2.0 * bigint chains
+# stay exact-decimal there while Spark computes in double — a 1e-8
+# z divergence caught at sf0.001
+_RT_2NN = "(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE))"
+_RT_N = "CAST(n_up + n_down AS DOUBLE)"
+_RT_VAR = (
+    f"{_RT_2NN} * ({_RT_2NN} - {_RT_N})"
+    f" / ({_RT_N} * {_RT_N} * CAST(n_up + n_down - 1 AS DOUBLE))"
+)
+RUNS_TEST_Z_EXPR = (
+    "((CAST(runs AS DOUBLE)"
+    f" - ({_RT_2NN} / {_RT_N} + 1.0))"
+    f" / sqrt(CASE WHEN {_RT_VAR} > 0 THEN {_RT_VAR} END))"
+)
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    xq_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per key over an ordered integer
+    series: is the up/down pattern of successive changes random, or
+    does it trend/mean-revert? Each step is classified up (x > prev)
+    or down (ties count as down — a deterministic engine-exact rule);
+    R = number of maximal same-direction runs; under H0,
+    E[R] = 2*n1*n2/n + 1 and Var[R] = 2*n1*n2*(2*n1*n2 - n)
+    / (n^2 * (n - 1)). Returns (key, n_up, n_down, runs, z) with
+    z = (R - E[R]) / sqrt(Var[R]), NULL for degenerate series
+    (all-up, all-down, or n < 2 steps).
+
+    One window pass per key (the series is already aggregated —
+    O(days) rows, bounded by calendar length like ACF/CUSUM), then a
+    per-key count aggregation: run boundaries and direction counts
+    are exact integers, z is the single float expression.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy("_o")
+    stepped = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("_o"),
+            F.col(xq_col).cast("long").alias("_x"),
+        )
+        .withColumn("_prev", F.lag("_x").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn(
+            "_up", F.when(F.col("_x") > F.col("_prev"), 1).otherwise(0)
+        )
+        .withColumn(
+            "_chg",
+            F.when(
+                F.lag("_up").over(w).isNull()
+                | (F.col("_up") != F.lag("_up").over(w)),
+                1,
+            ).otherwise(0),
+        )
+    )
+    counts = stepped.groupBy("k").agg(
+        F.sum("_up").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("_up")).cast("long").alias("n_down"),
+        F.sum("_chg").cast("long").alias("runs"),
+    )
+    return counts.select(
+        F.col("k"),
+        "n_up",
+        "n_down",
+        "runs",
+        F.round(F.expr(RUNS_TEST_Z_EXPR), 9).alias("z"),
+    )

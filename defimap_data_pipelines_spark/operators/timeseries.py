@@ -467,3 +467,64 @@ def rs_hurst(
             ).alias("hurst"),
         )
     )
+
+
+# Shared engine/oracle expression text (parity rule). Aliases
+# (n_steps, sx, sy, sxx, sxy) are fixed by ar1_halflife's moments.
+AR1_BETA_EXPR = (
+    "((CAST(n_steps AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CASE WHEN CAST(n_steps AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0"
+    "     THEN CAST(n_steps AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) END))"
+)
+AR1_HALFLIFE_EXPR = (
+    f"(CASE WHEN {AR1_BETA_EXPR} > 0 AND {AR1_BETA_EXPR} < 1"
+    f" THEN -ln(2) / ln({AR1_BETA_EXPR}) END)"
+)
+
+
+def ar1_halflife(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    xq_col: str,
+) -> DataFrame:
+    """Mean-reversion half-life per key from an AR(1) fit: regress
+    x_t on x_{t-1} (OLS, closed-form moments), then
+    halflife = -ln(2) / ln(beta) for 0 < beta < 1 — the number of
+    steps for a shock to decay halfway back, the standard
+    mean-reversion speed statistic (Ornstein-Uhlenbeck discretized).
+    Returns (key, n_steps, beta, halflife); beta NULL when var(lag)
+    is zero, halflife NULL outside (0, 1) (non-reverting series).
+
+    One lag window per key over the already-aggregated O(periods)
+    series, then per-key exact int64 moments (n, sums, squares,
+    cross) — same shape as the rolling-beta family. The big products
+    n*sxy - sx*sy compute in DOUBLE after casting each factor (the
+    moment-product convention, docs/SCALE_NOTES.md).
+    """
+    w = Window.partitionBy("k").orderBy("_o")
+    lagged = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("_o"),
+            F.col(xq_col).cast("long").alias("_y"),
+        )
+        .withColumn("_x", F.lag("_y").over(w))
+        .filter(F.col("_x").isNotNull())
+    )
+    m = lagged.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("k"),
+        "n_steps",
+        F.round(F.expr(AR1_BETA_EXPR), 9).alias("beta"),
+        F.round(F.expr(AR1_HALFLIFE_EXPR), 9).alias("halflife"),
+    )

@@ -2333,15 +2333,23 @@ CHAR_JACCARD_SQL = f"""
 @register("char_jaccard_pairs", CHAR_JACCARD_SQL)
 def q_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard near-dup pairs — same prefix-filtered
-    machinery as the word-gram variant, different shingle source."""
+    machinery as the word-gram variant, different shingle source.
+    Char vocab is tiny (2k distinct 5-grams over 5k docs), so the
+    DENSE regime applies — candidates ~= all pairs under ANY prefix
+    order (hash 152 s, PPJoin df-order 26 s at sf0.1). The bitset
+    strategy's block-matmul kernel is the honest dense algorithm
+    (~2 s, same exact output; regime boundary documented in
+    ngram_jaccard_pairs)."""
     from defimap_data_pipelines_spark.functions.text import char_shingles
     from defimap_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", char_shingles(F.col("text"), 5).alias("_sh")
-    ).cache()
-    return ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh)
+    )
+    return ngram_jaccard_pairs(
+        docs, threshold=0.5, shingles=sh, strategy="bitset"
+    )
 
 
 ABOVE_AVG_SQL = """
@@ -14549,6 +14557,284 @@ def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratio_metric_delta(
         e, "user_id", "variant", "xq", "one"
     ).orderBy("variant")
+
+
+# --------------------------------------------------------------------------
+# Wave 17 (r7): multiple testing, paired tests, randomness, mean reversion
+# --------------------------------------------------------------------------
+
+from defimap_data_pipelines_spark.operators.experiments import (  # noqa: E402
+    BH_VAR_GUARD_EXPR,
+    BH_Z_EXPR,
+    norm_sf2_expr,
+)
+from defimap_data_pipelines_spark.operators.stats import (  # noqa: E402
+    RUNS_TEST_Z_EXPR,
+)
+from defimap_data_pipelines_spark.operators.timeseries import (  # noqa: E402
+    AR1_BETA_EXPR,
+    AR1_HALFLIFE_EXPR,
+)
+
+_BH_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+BH_FDR_SQL = f"""
+    WITH per AS (
+        SELECT event_type,
+               CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN {_BH_CENTS}
+                    ELSE 0 END) AS BIGINT) AS s_c,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                    THEN {_BH_CENTS} * {_BH_CENTS}
+                    ELSE 0 END) AS BIGINT) AS ssq_c,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN {_BH_CENTS}
+                    ELSE 0 END) AS BIGINT) AS s_t,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                    THEN {_BH_CENTS} * {_BH_CENTS}
+                    ELSE 0 END) AS BIGINT) AS ssq_t
+        FROM events GROUP BY 1, 2
+    ),
+    guarded AS (
+        SELECT * FROM per
+        WHERE n_c >= 2 AND n_t >= 2 AND {BH_VAR_GUARD_EXPR}
+    ),
+    scored AS (
+        SELECT event_type, dow, n_c, n_t,
+               {BH_Z_EXPR} AS _z,
+               {norm_sf2_expr(f"abs({BH_Z_EXPR})")} AS _p
+        FROM guarded
+    ),
+    ranked AS (
+        SELECT *, COUNT(*) OVER () AS _m,
+               ROW_NUMBER() OVER (ORDER BY _p, event_type, dow) AS _rn
+        FROM scored
+    ),
+    adj AS (
+        SELECT *,
+               LEAST(CAST(1.0 AS DOUBLE),
+                     MIN(_p * _m / _rn) OVER
+                         (ORDER BY _rn DESC ROWS UNBOUNDED PRECEDING))
+                   AS _padj
+        FROM ranked
+    )
+    SELECT event_type, dow, n_c, n_t,
+           ROUND(_z, 9) AS z,
+           ROUND(_p, 9) AS p,
+           ROUND(_padj, 9) AS p_adj,
+           ROUND(_padj, 9) <= CAST(0.1 AS DOUBLE) AS rejected
+    FROM adj ORDER BY event_type, dow
+"""
+
+
+@register("bh_fdr", BH_FDR_SQL)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over 35 metric cells (event_type x
+    iso-weekday), one Welch-style z-test per cell between the
+    user-parity variants (operators/experiments.py::bh_fdr). p from
+    the shared A&S normal-tail polynomial (neither engine ships
+    erf); BH suffix-min on the O(cells) frame. The only data-sized
+    pass is the per-cell integer moment aggregation."""
+    from defimap_data_pipelines_spark.operators.experiments import bh_fdr
+
+    e = read_table(spark, sf_dir, "events")
+    rows = e.select(
+        "event_type",
+        (F.expr("weekday(CAST(ts AS DATE))") + 1).cast("long").alias(
+            "dow"
+        ),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        F.round(F.col("value") * 100).cast("long").alias("xq"),
+    )
+    return bh_fdr(
+        rows, ["event_type", "dow"], "variant", "xq", "control",
+        "treatment", alpha=0.1,
+    ).orderBy("event_type", "dow")
+
+
+MCNEMAR_SQL = """
+    WITH d AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS dd,
+               event_type
+        FROM events
+    ),
+    b AS (SELECT MIN(dd) AS mn, MAX(dd) AS mx FROM d),
+    per AS (
+        SELECT user_id,
+               MAX(CASE WHEN dd < mn + (mx - mn) // 2
+                        AND event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS a,
+               MAX(CASE WHEN dd >= mn + (mx - mn) // 2
+                        AND event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS bb
+        FROM d, b GROUP BY user_id
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN a = 1 AND bb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(SUM(CASE WHEN a = 1 AND bb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN a = 0 AND bb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN a = 0 AND bb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+        FROM per
+    )
+    SELECT n11, n10, n01, n00,
+           ROUND(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+                      AS DOUBLE)
+                 / CAST(CASE WHEN n10 + n01 > 0 THEN n10 + n01 END
+                        AS DOUBLE), 9) AS mcnemar_chi2
+    FROM c
+"""
+
+
+@register("mcnemar_test", MCNEMAR_SQL)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: did the same users' purchase behavior
+    change between the first and second half of the observation
+    window (operators/experiments.py::mcnemar_paired)? The split day
+    derives from exact integer day arithmetic (min + span div 2), so
+    both engines cut identically; only the discordant cells enter
+    the continuity-corrected statistic."""
+    from defimap_data_pipelines_spark.operators.experiments import (
+        mcnemar_paired,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("dd"),
+        "event_type",
+    )
+    b = e.agg(F.min("dd").alias("mn"), F.max("dd").alias("mx"))
+    j = e.crossJoin(F.broadcast(b))
+    return mcnemar_paired(
+        j,
+        "user_id",
+        F.col("dd") >= F.col("mn") + F.expr("(mx - mn) div 2"),
+        F.col("event_type") == "purchase",
+    )
+
+
+_DAILY_REV_SQL = """
+        SELECT l_returnflag AS k, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+"""
+
+RUNS_TEST_SQL = f"""
+    WITH daily AS ({_DAILY_REV_SQL}),
+    stepped AS (
+        SELECT k, day, rev,
+               LAG(rev) OVER (PARTITION BY k ORDER BY day) AS prev
+        FROM daily
+    ),
+    ud AS (
+        SELECT k, day,
+               CASE WHEN rev > prev THEN 1 ELSE 0 END AS up
+        FROM stepped WHERE prev IS NOT NULL
+    ),
+    chg AS (
+        SELECT k, up,
+               CASE WHEN LAG(up) OVER (PARTITION BY k ORDER BY day)
+                        IS NULL
+                    OR up <> LAG(up) OVER (PARTITION BY k ORDER BY day)
+                    THEN 1 ELSE 0 END AS chg
+        FROM ud
+    ),
+    counts AS (
+        SELECT k, CAST(SUM(up) AS BIGINT) AS n_up,
+               CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down,
+               CAST(SUM(chg) AS BIGINT) AS runs
+        FROM chg GROUP BY k
+    )
+    SELECT k AS returnflag, n_up, n_down, runs,
+           ROUND({RUNS_TEST_Z_EXPR}, 9) AS z
+    FROM counts ORDER BY returnflag
+"""
+
+
+@register("runs_test", RUNS_TEST_SQL)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the up/down pattern of daily
+    revenue per returnflag (operators/stats.py::runs_test) — is the
+    day-over-day direction sequence random? Run boundaries and
+    direction counts are exact integers over the O(days) daily
+    frame; z is the single shared float expression."""
+    from defimap_data_pipelines_spark.operators.stats import runs_test
+
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("k"),
+        F.to_date("l_shipdate").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    return (
+        runs_test(daily, "k", "day", "rev")
+        .withColumnRenamed("k", "returnflag")
+        .orderBy("returnflag")
+    )
+
+
+AR1_HALFLIFE_SQL = f"""
+    WITH daily AS ({_DAILY_REV_SQL}),
+    lagged AS (
+        SELECT k, rev AS y,
+               LAG(rev) OVER (PARTITION BY k ORDER BY day) AS x
+        FROM daily
+    ),
+    m AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_steps,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM lagged WHERE x IS NOT NULL GROUP BY k
+    )
+    SELECT k AS returnflag, n_steps,
+           ROUND({AR1_BETA_EXPR}, 9) AS beta,
+           ROUND({AR1_HALFLIFE_EXPR}, 9) AS halflife
+    FROM m ORDER BY returnflag
+"""
+
+
+@register("ar1_halflife", AR1_HALFLIFE_SQL)
+def q_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) mean-reversion half-life of daily revenue per
+    returnflag (operators/timeseries.py::ar1_halflife): closed-form
+    OLS of x_t on x_{t-1} from exact int64 moments (products
+    double-cast per the moment convention); halflife = -ln2/ln(beta)
+    for reverting series only."""
+    from defimap_data_pipelines_spark.operators.timeseries import (
+        ar1_halflife,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("k"),
+        F.to_date("l_shipdate").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    return (
+        ar1_halflife(daily, "k", "day", "rev")
+        .withColumnRenamed("k", "returnflag")
+        .orderBy("returnflag")
+    )
 
 
 # --------------------------------------------------------------------------
