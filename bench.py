@@ -299,6 +299,10 @@ BENCH_QUERIES = [
     "mcnemar_test",
     "runs_test",
     "ar1_halflife",
+    # r7 wave 18
+    "levenshtein_neardup",
+    "decayed_popularity",
+    "k_anonymity",
 ]
 
 

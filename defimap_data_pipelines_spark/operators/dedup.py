@@ -134,13 +134,13 @@ def ngram_jaccard_pairs(
     doc pair shares prefix shingles, so candidate generation is
     provably ~all-pairs whatever the prefix order — the filter
     machinery just adds overhead (measured: hash-order 152 s,
-    df-order 26 s at sf0.1). Instead each doc becomes a
-    vocab-width bitmap (vocab <= 2^16 gate -> <= 1024 longs), and
-    the exact intersection is popcount(a & b) folded JVM-side over a
-    broadcast self-join — same output, ~2 s. Honest scale boundary:
-    with vocab << docs and quadratic-dense candidates NO exact
-    algorithm is sublinear in pairs; the bitset kernel minimizes the
-    per-pair constant (64 set-memberships per machine word). Real
+    df-order 26 s at sf0.1). Instead docs block into groups and each
+    unordered block pair computes ALL exact intersection counts as
+    one float32 BLAS matmul inside applyInPandas (see
+    _bitset_jaccard_pairs) — same output, ~2 s. Honest scale
+    boundary: with vocab << docs and quadratic-dense candidates NO
+    exact algorithm is sublinear in pairs; the matmul kernel
+    minimizes the per-pair constant to a fused multiply-add. Real
     100 TB text corpora have vocab >> docs, where prefix filtering
     is the scale path.
     """
@@ -886,4 +886,80 @@ def containment_pairs(
             F.col("ns_b").cast("long").alias("ns_b"),
             "cont_bp",
         )
+    )
+
+
+def levenshtein_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    lang_col: str = "lang",
+    band_width: int = 16,
+    prefix_len: int = 64,
+    tau: int = 12,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: (doc_a, doc_b, lev) with
+    levenshtein(prefix_a, prefix_b) <= tau over ``prefix_len``-char
+    document prefixes — the string-metric complement to the
+    set-based Jaccard/MinHash family (insensitive to token order,
+    sensitive to character edits).
+
+    Blocking is EXACT, not a recall heuristic: lev >= |len_a -
+    len_b|, so tau < 2 * band_width implies any qualifying pair
+    sits in the same or adjacent length band. Candidates = one
+    same-band self-join (id_a < id_b) plus one strictly-adjacent-band
+    join (disjoint conditions, so no pair dedup needed; adjacent
+    pairs re-orient by id afterwards). Each band holds only docs of
+    similar length, so the join is band-local — the 100 TB shape is
+    |bands| independent block joins, never corpus-quadratic, and the
+    per-pair verify is O(prefix_len * tau) via Spark's thresholded
+    levenshtein (early-exits above tau; the DuckDB oracle computes
+    the plain distance and filters — identical kept pairs and
+    values)."""
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.expr(f"{len_col} div {band_width}").alias("_band"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
+    )
+    a = base.select(
+        F.col("_id").alias("_ida"),
+        F.col("_lang").alias("_la"),
+        F.col("_band").alias("_ba"),
+        F.col("_p").alias("_pa"),
+    )
+    b = base.select(
+        F.col("_id").alias("_idb"),
+        F.col("_lang").alias("_lb"),
+        F.col("_band").alias("_bb"),
+        F.col("_p").alias("_pb"),
+    )
+    same = a.join(
+        b,
+        (F.col("_la") == F.col("_lb"))
+        & (F.col("_ba") == F.col("_bb"))
+        & (F.col("_ida") < F.col("_idb")),
+    ).select(
+        F.col("_ida").alias("doc_a"),
+        F.col("_idb").alias("doc_b"),
+        F.col("_pa").alias("pa"),
+        F.col("_pb").alias("pb"),
+    )
+    adj = a.join(
+        b,
+        (F.col("_la") == F.col("_lb"))
+        & (F.col("_ba") + 1 == F.col("_bb")),
+    ).select(
+        F.least("_ida", "_idb").alias("doc_a"),
+        F.greatest("_ida", "_idb").alias("doc_b"),
+        F.col("_pa").alias("pa"),
+        F.col("_pb").alias("pb"),
+    )
+    cand = same.unionAll(adj)
+    scored = cand.withColumn(
+        "lev", F.levenshtein("pa", "pb", tau).cast("long")
+    )
+    return scored.filter(F.col("lev") >= 0).select(
+        "doc_a", "doc_b", "lev"
     )

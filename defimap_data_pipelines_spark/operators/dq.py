@@ -73,3 +73,45 @@ def check_referential(
 def run_checks(checks: list[DataFrame]) -> DataFrame:
     """Union a suite into one (check, table, violations) report."""
     return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def k_anonymity_risk(
+    df: DataFrame,
+    qi_cols: list,
+    report_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity risk profile over quasi-identifier columns — the
+    data-governance gate before a table leaves the pipeline: any QI
+    combination shared by fewer than ``k`` rows re-identifies its
+    members. Groups rows by the full QI tuple, then reports per
+    ``report_col``: total rows, QI group count, groups below k, rows
+    in those groups, and reident_risk = small-group rows / rows.
+
+    Two map-side-combinable aggregations (rows -> QI cells -> report
+    groups), exact integer counts, one float division at the end.
+    The QI cell frame is the privacy artifact itself — bounded by
+    the QI domain product, not row count."""
+    cells = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    rep = cells.groupBy(F.col(report_col).alias("segment")).agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_small"),
+    )
+    return rep.select(
+        "segment",
+        "n_rows",
+        "n_groups",
+        "n_small_groups",
+        "n_rows_small",
+        F.round(
+            F.col("n_rows_small").cast("double") / F.col("n_rows"), 9
+        ).alias("reident_risk"),
+    ).orderBy("segment")

@@ -446,3 +446,43 @@ def itemcf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def decayed_popularity(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    half_life_days: int = 7,
+    max_shift: int = 30,
+) -> DataFrame:
+    """Exponentially time-decayed popularity per key — the
+    "trending" score every recsys/feed ranker maintains: an event
+    ``a`` days before the corpus's latest day contributes
+    2^(max_shift - min(a div half_life_days, max_shift)), i.e. full
+    weight 2^30 for the current half-life bucket, halving per bucket
+    and flooring at 1. ALL-INTEGER weights, so the sum is exact and
+    order-independent (no float decay drift, no RNG) — the same
+    discipline as the md5 sampling family. Returns (key, n_events,
+    score) ordered by score desc.
+
+    One scalar max-day aggregate broadcast onto the scan, then one
+    map-side-combinable groupBy — no windows, no per-event state.
+    Int64 headroom: 2^30 * events caps at ~2^33 per trillion events.
+    Incremental twin: per-bucket partial sums shift right as days
+    roll over, so a daily job can maintain the score by re-scaling
+    yesterday's buckets — noted, not implemented."""
+    ref = df.agg(F.max(day_col).alias("_mx"))
+    j = df.crossJoin(F.broadcast(ref))
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {max_shift} - "
+        f"CAST(least(((_mx - {day_col}) div {half_life_days}),"
+        f" {max_shift}) AS INT))"
+    )
+    return (
+        j.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(w).cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "key")
+    )

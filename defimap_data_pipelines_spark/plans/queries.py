@@ -14838,6 +14838,133 @@ def q_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Wave 18 (r7): edit-distance dedup, decayed popularity, k-anonymity
+# --------------------------------------------------------------------------
+
+LEV_NEARDUP_SQL = """
+    WITH b AS (
+        SELECT doc_id, lang, n_chars // 16 AS band,
+               substr(text, 1, 64) AS p
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               a.p AS pa, b2.p AS pb
+        FROM b a JOIN b b2
+          ON a.lang = b2.lang AND a.band = b2.band
+         AND a.doc_id < b2.doc_id
+        UNION ALL
+        SELECT LEAST(a.doc_id, b2.doc_id) AS doc_a,
+               GREATEST(a.doc_id, b2.doc_id) AS doc_b,
+               a.p AS pa, b2.p AS pb
+        FROM b a JOIN b b2
+          ON a.lang = b2.lang AND a.band + 1 = b2.band
+    )
+    SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS BIGINT) AS lev
+    FROM cand WHERE levenshtein(pa, pb) <= 12
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register("levenshtein_neardup", LEV_NEARDUP_SQL)
+def q_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over 64-char prefixes
+    (operators/dedup.py::levenshtein_neardup_pairs): EXACT length-band
+    blocking (lev >= length gap, tau < 2*band_width), band-local
+    joins, thresholded-levenshtein verify (O(prefix*tau) per pair on
+    the engine side; the oracle computes the plain distance)."""
+    from defimap_data_pipelines_spark.operators.dedup import (
+        levenshtein_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return levenshtein_neardup_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+DECAYED_POP_SQL = """
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS dd
+        FROM events
+    ),
+    mx AS (SELECT MAX(dd) AS _mx FROM d)
+    SELECT event_type AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(1 AS BIGINT)
+                    << CAST(30 - LEAST((_mx - dd) // 7, 30) AS INT))
+                AS BIGINT) AS score
+    FROM d, mx GROUP BY event_type
+    ORDER BY score DESC, key
+"""
+
+
+@register("decayed_popularity", DECAYED_POP_SQL)
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trending score per event type
+    (operators/ranking.py::decayed_popularity): power-of-two integer
+    weights halving per 7-day bucket — exact, order-independent,
+    no float decay drift. One scalar max-day broadcast + one
+    map-side-combinable groupBy."""
+    from defimap_data_pipelines_spark.operators.ranking import (
+        decayed_popularity,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("dd"),
+    )
+    return decayed_popularity(e, "event_type", "dd")
+
+
+K_ANON_SQL = """
+    WITH g AS (
+        SELECT c_mktsegment AS segment, c_nationkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) // 200000
+                   AS balband,
+               CAST(COUNT(*) AS BIGINT) AS _n
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT segment,
+           CAST(SUM(_n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN _n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(SUM(CASE WHEN _n < 5 THEN _n ELSE 0 END) AS BIGINT)
+               AS n_rows_small,
+           ROUND(CAST(SUM(CASE WHEN _n < 5 THEN _n ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(_n) AS BIGINT), 9) AS reident_risk
+    FROM g GROUP BY segment ORDER BY segment
+"""
+
+
+@register("k_anonymity", K_ANON_SQL)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk per market segment over the QI tuple
+    (segment, nation, $2000 balance band)
+    (operators/dq.py::k_anonymity_risk): share of customers in QI
+    groups smaller than k=5 — the re-identification exposure gate.
+    Exact integer counts through two aggregations."""
+    from defimap_data_pipelines_spark.operators.dq import (
+        k_anonymity_risk,
+    )
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 200000"
+        ).alias("balband"),
+    )
+    return k_anonymity_risk(
+        c, ["c_mktsegment", "c_nationkey", "balband"], "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
