@@ -303,6 +303,10 @@ BENCH_QUERIES = [
     "levenshtein_neardup",
     "decayed_popularity",
     "k_anonymity",
+    # r7 wave 19
+    "forecast_mase",
+    "conformal_interval",
+    "centroid_similarity",
 ]
 
 

@@ -105,8 +105,11 @@ def char_shingles(col: Column, n: int = 5) -> Column:
         F.slice(chars, i + 1, 1_000_000) for i in range(1, n)
     ]
     zipped = F.arrays_zip(*shifted)
+    # concat_ws skips the nulls arrays_zip pads with, so a string
+    # shorter than n yields itself (the substring-clamp semantics of
+    # the replaced form)
     grams = F.transform(
-        zipped, lambda t: F.concat(*[t[str(i)] for i in range(n)])
+        zipped, lambda t: F.concat_ws("", *[t[str(i)] for i in range(n)])
     )
     k = F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))
     return F.array_distinct(F.slice(grams, 1, k))

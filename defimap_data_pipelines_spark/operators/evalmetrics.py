@@ -497,3 +497,143 @@ def cohens_kappa(
             F.when(n * n - F.col("sum_rc") > 0, kappa), 9
         ).alias("kappa"),
     )
+
+
+def forecast_mase(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    xq_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """MASE (mean absolute SCALED error, Hyndman & Koehler) of the
+    seasonal-naive forecaster per key: MAE of the lag-``season``
+    forecast divided by the in-sample MAE of the one-step naive —
+    the scale-free forecast-skill metric (< 1 beats naive). Returns
+    (key, n_scored, mase); NULL when the naive MAE is zero (a
+    constant series has no scale).
+
+    One lag window per key over the already-aggregated O(periods)
+    series; both MAE numerators are exact integer |diff| sums, the
+    single division is the only float. The two means use their own
+    row counts (rows where the respective lag exists), the standard
+    estimator on a truncated sample."""
+    w = Window.partitionBy("k").orderBy("_o")
+    lagged = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("_o"),
+        F.col(xq_col).cast("long").alias("_y"),
+    ).select(
+        "k",
+        "_o",
+        "_y",
+        F.lag("_y", 1).over(w).alias("_l1"),
+        F.lag("_y", season).over(w).alias("_ls"),
+    )
+    m = lagged.groupBy("k").agg(
+        F.sum(F.when(F.col("_ls").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.sum(F.abs(F.col("_y") - F.col("_ls"))).alias("_sf"),
+        F.sum(F.when(F.col("_l1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_nn"),
+        F.sum(F.abs(F.col("_y") - F.col("_l1"))).alias("_sn"),
+    )
+    mase = (
+        "((CAST(_sf AS DOUBLE) / n_scored)"
+        " / (CAST(CASE WHEN _sn > 0 THEN _sn END AS DOUBLE) / _nn))"
+    )
+    return m.select(
+        F.col("k"),
+        "n_scored",
+        F.round(F.expr(mase), 9).alias("mase"),
+    )
+
+
+def conformal_interval(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    xq_col: str,
+    season: int = 7,
+    cal_pct_num: int = 7,
+    cal_pct_den: int = 10,
+    cov_num: int = 9,
+    cov_den: int = 10,
+) -> DataFrame:
+    """Split-conformal interval calibration for the seasonal-naive
+    forecaster, per key: the first cal_pct (by time) of scored
+    periods calibrate q = the ceil((n_cal+1) * cov)-th smallest
+    absolute residual (the finite-sample-valid conformal quantile),
+    and the remaining periods report empirical coverage of
+    |y - yhat| <= q — the distribution-free uncertainty wrapper any
+    point forecaster gets for free. Returns (key, n_cal, n_test, q,
+    coverage).
+
+    Every selection is an integer decision (the var_cvar rank
+    discipline): the calibration cut is rn <= (num*n) div den over a
+    per-key time order, the quantile picks an exact rank over
+    (residual, time) — engine-reproducible bit-for-bit; the only
+    floats are the final q de-scale and coverage ratio."""
+    w = Window.partitionBy("k").orderBy("_o")
+    scored = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("_o"),
+            F.col(xq_col).cast("long").alias("_y"),
+        )
+        .select(
+            "k", "_o", "_y", F.lag("_y", season).over(w).alias("_f")
+        )
+        .filter(F.col("_f").isNotNull())
+        .withColumn("_r", F.abs(F.col("_y") - F.col("_f")))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("k"))
+        )
+        .withColumn(
+            "_cal",
+            F.col("_rn")
+            <= F.expr(f"({cal_pct_num} * _n) div {cal_pct_den}"),
+        )
+    )
+    wq = Window.partitionBy("k").orderBy("_r", "_o")
+    cal = (
+        scored.filter(F.col("_cal"))
+        .withColumn("_qr", F.row_number().over(wq))
+        .withColumn(
+            "_ncal", F.count(F.lit(1)).over(Window.partitionBy("k"))
+        )
+    )
+    qsel = cal.filter(
+        F.col("_qr")
+        == F.least(
+            F.col("_ncal"),
+            F.expr(f"({cov_num} * (_ncal + 1)) div {cov_den}"),
+        )
+    ).select(
+        "k", F.col("_r").alias("_q"), F.col("_ncal").alias("n_cal")
+    )
+    test = scored.filter(~F.col("_cal")).select("k", "_r")
+    cov = (
+        test.join(qsel, "k")
+        .groupBy("k", "_q", "n_cal")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("_r") <= F.col("_q"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("_nc"),
+        )
+    )
+    return cov.select(
+        F.col("k"),
+        "n_cal",
+        "n_test",
+        F.round(F.col("_q").cast("double") / 100.0, 9).alias("q"),
+        F.round(
+            F.col("_nc").cast("double") / F.col("n_test"), 9
+        ).alias("coverage"),
+    )

@@ -552,3 +552,77 @@ def semdedup_prune(
         F.col("_m.a_id").alias("dup_of"),
         F.round(F.col("_m.cosine"), 6).alias("cosine"),
     )
+
+
+def group_centroid_similarity(
+    emb: DataFrame,
+    group_col: str,
+    vec_col: str,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding
+    centroids — the corpus-analysis view ("how close are sources /
+    labels in embedding space") that decides mixture weights and
+    dedup scopes between slices. Returns (g_a, g_b, n_a, n_b,
+    cosine) for g_a < g_b.
+
+    Exactness: components quantize to a 1e-6 grid at the scan, per
+    (group, dim) sums are int64 (order-independent), centroids are
+    truncated integer means (sum div n), and dot/norms over the
+    O(groups x dims) centroid frame are exact int64 (headroom:
+    64 dims x (1e6)^2 = 6.4e13). The only floats are the final
+    cosine divisions. Shuffle: one (group, dim) aggregation over the
+    exploded scan; everything after is vocabulary-sized."""
+    dims = emb.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    cent = (
+        dims.groupBy("g", "pos")
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(ROUND(x * {quantum}) AS BIGINT))"
+                " AS BIGINT) div count(1)"
+            ).alias("cq")
+        )
+        # consumed by norms AND both pair sides
+        .cache()
+    )
+    norms = cent.groupBy("g").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("nrm"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+    )
+    a = cent.select(
+        F.col("g").alias("g_a"), "pos", F.col("cq").alias("ca")
+    )
+    b = cent.select(
+        F.col("g").alias("g_b"), "pos", F.col("cq").alias("cb")
+    )
+    dot = (
+        a.join(b, "pos")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("g").alias("g_a"), F.col("nrm").alias("_na")
+    )
+    nb = norms.select(
+        F.col("g").alias("g_b"), F.col("nrm").alias("_nb")
+    )
+    cos = (
+        "(CAST(dot AS DOUBLE)"
+        " / sqrt(CAST(CASE WHEN _na > 0 THEN _na END AS DOUBLE))"
+        " / sqrt(CAST(CASE WHEN _nb > 0 THEN _nb END AS DOUBLE)))"
+    )
+    return (
+        dot.join(na, "g_a")
+        .join(nb, "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            F.round(F.expr(cos), 9).alias("cosine"),
+        )
+    )

@@ -14788,8 +14788,21 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AR(1) uses $100 units, not cents: the moment aggregation sums x^2
+# per day BEFORE the double-cast products, and cents overflow int64 at
+# sf0.1 (daily ~3e7 cents -> 2.4e18 over 2400 days; ANSI mode faults).
+# beta is invariant under linear rescaling, so coarser quanta only add
+# truncation noise that the oracle replicates exactly. Headroom rule:
+# per-key days * (daily/quantum)^2 < 2^63 — $100 units hold to ~sf1000.
+_DAILY_REV_H_SQL = """
+        SELECT l_returnflag AS k, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(l_extendedprice / 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+"""
+
 AR1_HALFLIFE_SQL = f"""
-    WITH daily AS ({_DAILY_REV_SQL}),
+    WITH daily AS ({_DAILY_REV_H_SQL}),
     lagged AS (
         SELECT k, rev AS y,
                LAG(rev) OVER (PARTITION BY k ORDER BY day) AS x
@@ -14826,7 +14839,7 @@ def q_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("k"),
         F.to_date("l_shipdate").alias("day"),
     ).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        F.sum(F.round(F.col("l_extendedprice") / 100).cast("long"))
         .cast("long")
         .alias("rev")
     )
@@ -14962,6 +14975,186 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_risk(
         c, ["c_mktsegment", "c_nationkey", "balband"], "c_mktsegment"
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 19 (r7): forecast skill, conformal calibration, centroid geometry
+# --------------------------------------------------------------------------
+
+_DAILY_VALUE_SQL = """
+        SELECT event_type AS k, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS vq
+        FROM events GROUP BY 1, 2
+"""
+
+FORECAST_MASE_SQL = f"""
+    WITH daily AS ({_DAILY_VALUE_SQL}),
+    lagged AS (
+        SELECT k, vq AS y,
+               LAG(vq, 1) OVER (PARTITION BY k ORDER BY day) AS _l1,
+               LAG(vq, 7) OVER (PARTITION BY k ORDER BY day) AS _ls
+        FROM daily
+    ),
+    m AS (
+        SELECT k,
+               CAST(SUM(CASE WHEN _ls IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_scored,
+               CAST(SUM(abs(y - _ls)) AS BIGINT) AS _sf,
+               CAST(SUM(CASE WHEN _l1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS _nn,
+               CAST(SUM(abs(y - _l1)) AS BIGINT) AS _sn
+        FROM lagged GROUP BY k
+    )
+    SELECT k AS event_type, n_scored,
+           ROUND(((CAST(_sf AS DOUBLE) / n_scored)
+                  / (CAST(CASE WHEN _sn > 0 THEN _sn END AS DOUBLE)
+                     / _nn)), 9) AS mase
+    FROM m ORDER BY event_type
+"""
+
+
+@register("forecast_mase", FORECAST_MASE_SQL)
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the seasonal-naive (lag-7) forecaster on daily value
+    per event type (operators/evalmetrics.py::forecast_mase) — the
+    scale-free forecast-skill metric. Exact integer |diff| sums;
+    one final division."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        forecast_mase,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("k"), F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("vq")
+    )
+    return (
+        forecast_mase(daily, "k", "day", "vq", season=7)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )
+
+
+CONFORMAL_SQL = f"""
+    WITH daily AS ({_DAILY_VALUE_SQL}),
+    scored AS (
+        SELECT k, day, vq AS y,
+               LAG(vq, 7) OVER (PARTITION BY k ORDER BY day) AS f
+        FROM daily
+    ),
+    sc2 AS (
+        SELECT k, day, abs(y - f) AS r,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY day) AS rn,
+               COUNT(*) OVER (PARTITION BY k) AS n
+        FROM scored WHERE f IS NOT NULL
+    ),
+    flagged AS (SELECT *, rn <= (7 * n) // 10 AS cal FROM sc2),
+    cal AS (
+        SELECT k, r, day,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY r, day)
+                   AS qr,
+               COUNT(*) OVER (PARTITION BY k) AS ncal
+        FROM flagged WHERE cal
+    ),
+    qsel AS (
+        SELECT k, r AS _q, CAST(ncal AS BIGINT) AS n_cal FROM cal
+        WHERE qr = LEAST(ncal, (9 * (ncal + 1)) // 10)
+    ),
+    test AS (SELECT k, r FROM flagged WHERE NOT cal),
+    cov AS (
+        SELECT t.k AS k, _q, n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN t.r <= _q THEN 1 ELSE 0 END)
+                    AS BIGINT) AS _nc
+        FROM test t JOIN qsel USING (k) GROUP BY 1, 2, 3
+    )
+    SELECT k AS event_type, n_cal, n_test,
+           ROUND(CAST(_q AS DOUBLE) / 100.0, 9) AS q,
+           ROUND(CAST(_nc AS DOUBLE) / n_test, 9) AS coverage
+    FROM cov ORDER BY event_type
+"""
+
+
+@register("conformal_interval", CONFORMAL_SQL)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the lag-7 naive forecaster
+    (operators/evalmetrics.py::conformal_interval): first 70% of
+    scored days calibrate the finite-sample 90% residual quantile,
+    the rest report empirical coverage. Every selection is an
+    integer rank decision — engine-exact."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        conformal_interval,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("k"), F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("vq")
+    )
+    return (
+        conformal_interval(daily, "k", "day", "vq", season=7)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )
+
+
+CENTROID_SIM_SQL = """
+    WITH v AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    d AS (
+        SELECT label AS g, i AS pos, e[i] AS x
+        FROM v, range(1, 65) t(i)
+    ),
+    cent AS (
+        SELECT g, pos,
+               CAST(CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT))
+                         AS BIGINT) // COUNT(*) AS BIGINT) AS cq
+        FROM d GROUP BY g, pos
+    ),
+    norms AS (
+        SELECT g, CAST(SUM(cq * cq) AS BIGINT) AS nrm
+        FROM cent GROUP BY g
+    ),
+    dot AS (
+        SELECT a.g AS g_a, b.g AS g_b,
+               CAST(SUM(a.cq * b.cq) AS BIGINT) AS dot
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT g_a, g_b,
+           ROUND((CAST(dot AS DOUBLE)
+                  / sqrt(CAST(CASE WHEN na.nrm > 0 THEN na.nrm END
+                              AS DOUBLE))
+                  / sqrt(CAST(CASE WHEN nb.nrm > 0 THEN nb.nrm END
+                              AS DOUBLE))), 9) AS cosine
+    FROM dot JOIN norms na ON na.g = g_a JOIN norms nb ON nb.g = g_b
+    ORDER BY g_a, g_b
+"""
+
+
+@register("centroid_similarity", CENTROID_SIM_SQL)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (operators/similarity.py::group_centroid_similarity): grid-
+    quantized int64 component sums, truncated integer means, exact
+    int64 dot/norms on the O(labels x dims) centroid frame; floats
+    only in the final cosine."""
+    from defimap_data_pipelines_spark.operators.similarity import (
+        group_centroid_similarity,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return group_centroid_similarity(
+        emb, "label", "embedding"
+    ).orderBy("g_a", "g_b")
 
 
 # --------------------------------------------------------------------------
