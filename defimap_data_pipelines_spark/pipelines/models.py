@@ -52,7 +52,13 @@ class ModelStore:
 
     def save_frame(self, df: DataFrame, name: str) -> str:
         p = self.path(name)
-        df.coalesce(1).write.mode("overwrite").parquet(p)
+        # repartition(1), NOT coalesce(1): artifacts here often come
+        # from createDataFrame(list) (python-parallelized slices), and
+        # coalesce(1) chains every pickled slice through ONE python
+        # worker sequentially — measured 5.5 s for a 2048-row bloom vs
+        # 1.1 s via the shuffle (which converts slices in parallel
+        # first). Same single-file layout either way.
+        df.repartition(1).write.mode("overwrite").parquet(p)
         return p
 
     def load_frame(self, spark: SparkSession, name: str) -> DataFrame:
