@@ -5036,6 +5036,36 @@ STREAM_TUMBLING_SQL = """
 _STREAM_SINK_SEQ = iter(range(1, 1 << 30))
 
 
+def _run_memory_sink(
+    spark: SparkSession, df: DataFrame, name: str, mode: str,
+    partitions: int = 8,
+) -> DataFrame:
+    """Run a bounded streaming frame to completion into a memory sink
+    and return the sink table. Stateful streaming operators
+    instantiate checkpointed state-store providers PER SHUFFLE
+    PARTITION (a stream-stream join: four per partition), so the
+    batch session default (32) is pure setup overhead for a
+    one-micro-batch replay — measured 9 s warm on stream_join_exec,
+    4.5 s at 8 partitions. State partitioning is a streaming-job
+    sizing knob (key cardinality / throughput), pinned here and
+    restored after the run; results are partitioning-independent
+    (the exact-value oracle gate would catch otherwise)."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
 @register("stream_tumbling_exec", STREAM_TUMBLING_SQL)
 def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming EXECUTION under the exact-value gate: the
@@ -5066,15 +5096,7 @@ def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"_stream_tumbling_exec_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, agg, name, "complete")
 
 
 STREAM_SESSIONS_SQL = """
@@ -5141,15 +5163,7 @@ def q_stream_sessions_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"_stream_sessions_exec_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_memory_sink(spark, agg, name, "complete").select(
         "user_id", "session_start_us", "session_end_us", "n_events",
         "sum_value",
     )
@@ -5630,15 +5644,7 @@ def q_stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"_stream_sliding_exec_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, agg, name, "complete")
 
 
 FRAMESAMPLE_SQL = """
@@ -5789,15 +5795,7 @@ def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purchase_value", 6).alias("purchase_value"),
     )
     name = f"_stream_join_exec_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, out, name, "append")
 
 
 MEDIAN_DIST_SQL = """
@@ -5912,24 +5910,10 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     name = f"_stream_dedup_exec_{next(_STREAM_SINK_SEQ)}"
-    q1 = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q1.awaitTermination()
+    t1 = _run_memory_sink(spark, agg, name, "complete")
     name2 = f"_stream_dedup_exec_{next(_STREAM_SINK_SEQ)}"
-    q2 = (
-        pairs.writeStream.format("memory")
-        .queryName(name2)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q2.awaitTermination()
-    return spark.table(name).join(spark.table(name2), "event_type").select(
+    t2 = _run_memory_sink(spark, pairs, name2, "complete")
+    return t1.join(t2, "event_type").select(
         "event_type", "n_events", "n_users"
     )
 
@@ -7822,15 +7806,7 @@ def q_stream_quality_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pass"),
     )
     name = f"_stream_quality_exec_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_memory_sink(spark, agg, name, "complete").select(
         "source",
         "n_docs",
         "n_pass",
@@ -10171,15 +10147,11 @@ def q_stream_rollup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, _events_stream_dir(sf_dir))
     minute = rollup_level(ev, "ts", "minute", "value", quantum=100)
     name = f"_stream_rollup_exec_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        minute.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    hour = rollup_level(
+        _run_memory_sink(spark, minute, name, "complete"),
+        "bucket",
+        "hour",
     )
-    q.awaitTermination()
-    hour = rollup_level(spark.table(name), "bucket", "hour")
     day = rollup_level(hour, "bucket", "day")
     return day.select(
         "bucket",
