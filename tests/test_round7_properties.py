@@ -1,0 +1,229 @@
+"""Property tests: round-7 operators vs independent pure-python
+references on hypothesis-generated inputs. Complements the DuckDB
+parity sweep (same-expression replay) with a DIFFERENT implementation
+of each statistic — the two can't share a bug.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = dict(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_norm_sf2(z: float) -> float:
+    """The same A&S 26.2.17 polynomial in pure python (float64 ops in
+    the same order as the SQL expression)."""
+    az = abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    return 2.0 * math.exp(-az * az / 2.0) * 0.3989422804014327 * poly
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # cell
+            st.booleans(),  # treatment?
+            st.integers(0, 1000),  # outcome
+        ),
+        min_size=40,
+        max_size=120,
+    )
+)
+@settings(**SET)
+def test_bh_fdr_matches_python_reference(spark, rows):
+    from defimap_data_pipelines_spark.operators.experiments import bh_fdr
+
+    data = [
+        (c, "treatment" if t else "control", x) for c, t, x in rows
+    ]
+    df = spark.createDataFrame(data, "cell long, variant string, xq long")
+    got = {
+        r["cell"]: r
+        for r in bh_fdr(
+            df, ["cell"], "variant", "xq", "control", "treatment", 0.1
+        ).collect()
+    }
+
+    # python reference: same moments, same z, same p, same BH
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # nc,sc,ssqc,nt,st,ssqt
+    for c, variant, x in data:
+        a = agg[c]
+        if variant == "control":
+            a[0] += 1
+            a[1] += x
+            a[2] += x * x
+        else:
+            a[3] += 1
+            a[4] += x
+            a[5] += x * x
+    cells = []
+    for c, (nc, sc, ssqc, nt, stv, ssqt) in agg.items():
+        if nc < 2 or nt < 2:
+            continue
+        se2c = (ssqc - sc * sc / nc) / (nc - 1) / nc
+        se2t = (ssqt - stv * stv / nt) / (nt - 1) / nt
+        if not se2c + se2t > 0:
+            continue
+        z = (stv / nt - sc / nc) / math.sqrt(se2c + se2t)
+        cells.append((c, z, _py_norm_sf2(z)))
+    assert set(got) == {c for c, _, _ in cells}
+    m = len(cells)
+    cells.sort(key=lambda x: (x[2], x[0]))
+    # suffix min of p*m/rank
+    adj, best = {}, 1.0
+    for rank in range(m, 0, -1):
+        c, z, p = cells[rank - 1]
+        best = min(best, p * m / rank)
+        adj[c] = min(1.0, best)
+    for c, z, p in cells:
+        assert got[c]["z"] == pytest.approx(z, abs=1e-9)
+        assert got[c]["p"] == pytest.approx(p, abs=1e-9)
+        assert got[c]["p_adj"] == pytest.approx(adj[c], abs=1e-9)
+
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=5, max_size=60)
+)
+@settings(**SET)
+def test_runs_test_matches_brute_force(spark, xs):
+    from defimap_data_pipelines_spark.operators.stats import runs_test
+
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "k long, o long, x long"
+    )
+    out = runs_test(df, "k", "o", "x").collect()[0]
+    ups = [1 if xs[i] > xs[i - 1] else 0 for i in range(1, len(xs))]
+    n1, n2 = sum(ups), len(ups) - sum(ups)
+    runs = 1 + sum(1 for i in range(1, len(ups)) if ups[i] != ups[i - 1])
+    assert out["n_up"] == n1
+    assert out["n_down"] == n2
+    assert out["runs"] == runs
+    n = n1 + n2
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+        if n > 1
+        else 0.0
+    )
+    if var > 0:
+        z = (runs - (2.0 * n1 * n2 / n + 1.0)) / math.sqrt(var)
+        assert out["z"] == pytest.approx(z, abs=1e-9)
+    else:
+        assert out["z"] is None
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=10, max_size=50)
+)
+@settings(**SET)
+def test_forecast_mase_matches_python(spark, xs):
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        forecast_mase,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "k long, o long, x long"
+    )
+    out = forecast_mase(df, "k", "o", "x", season=7).collect()[0]
+    sf = sum(abs(xs[i] - xs[i - 7]) for i in range(7, len(xs)))
+    ns = max(len(xs) - 7, 0)
+    sn = sum(abs(xs[i] - xs[i - 1]) for i in range(1, len(xs)))
+    nn = len(xs) - 1
+    assert out["n_scored"] == ns
+    if sn > 0 and ns > 0:
+        assert out["mase"] == pytest.approx(
+            (sf / ns) / (sn / nn), abs=1e-9
+        )
+    else:
+        assert out["mase"] is None
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    st.integers(2, 9),
+)
+@settings(**SET)
+def test_decayed_popularity_matches_python(spark, ages, hl):
+    from defimap_data_pipelines_spark.operators.ranking import (
+        decayed_popularity,
+    )
+
+    mx = max(ages)
+    df = spark.createDataFrame(
+        [("k", a) for a in ages], "k string, d long"
+    )
+    out = decayed_popularity(df, "k", "d", half_life_days=hl).collect()[0]
+    expect = sum(1 << (30 - min((mx - a) // hl, 30)) for a in ages)
+    assert out["score"] == expect
+    assert out["n_events"] == len(ages)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdef ", min_size=1, max_size=90
+        ),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(**SET)
+def test_levenshtein_neardup_matches_brute_force(spark, texts):
+    """Blocked result == exhaustive python DP over all pairs (the
+    blocking must be lossless for tau < 2*band_width)."""
+    from defimap_data_pipelines_spark.operators.dedup import (
+        levenshtein_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, len(t), "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long, lang string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["lev"]
+        for r in levenshtein_neardup_pairs(
+            docs, band_width=16, prefix_len=64, tau=12
+        ).collect()
+    }
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _lev(texts[i][:64], texts[j][:64])
+            if d <= 12:
+                expect[(i, j)] = d
+    assert got == expect
