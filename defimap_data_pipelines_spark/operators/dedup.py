@@ -290,6 +290,14 @@ def _bitset_jaccard_pairs(
     t = float(threshold)
     nv = n_vocab
 
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+
     def _kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ba, bb = key
 
@@ -303,6 +311,10 @@ def _bitset_jaccard_pairs(
                 m[r_, np.asarray(idxs, dtype=np.int64)] = 1.0
             return ids, m
 
+        # a cross-block task can arrive one-sided when the other
+        # block holds no docs (tiny corpora) — no pairs to emit
+        if (pdf["side"] == 0).sum() == 0 or (pdf["side"] == 1).sum() == 0:
+            return empty
         if ba == bb:
             ids, m = mat(pdf[pdf["side"] == 0])
             inter = (m @ m.T).astype(np.int64)

@@ -116,8 +116,20 @@ def cosine_pairs(
     both = left.unionAll(right)
     t = float(threshold)
 
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
     def _kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ba, bb = key
+        # a cross-block task can arrive one-sided when the other
+        # block holds no vectors (tiny corpora) — no pairs to emit
+        if (pdf["side"] == 0).sum() == 0 or (pdf["side"] == 1).sum() == 0:
+            return empty
 
         def mat(side: pd.DataFrame):
             ids = side["_id"].to_numpy()
