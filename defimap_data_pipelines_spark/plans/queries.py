@@ -15156,19 +15156,22 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 10-27 (r5 verdict #1) and all earned driver rows; 19 round-6
 # registrations fill most of the rest.
 #
-# Round-7 rotation candidates (registered in r6 after the window
-# filled; each already green under tools/parity.py at sf0.01):
-# incremental_cc, skew_report, graph_walks, spearman_corr,
-# mannwhitney_u, kaplan_meier, holt_forecast, seasonal_anomalies,
-# rrf_fusion, itemcf_topk, community_modularity, js_divergence,
-# ams_f2_moment, markov_stationary, bootstrap_ci, top_event_paths,
-# mutual_best_pairs, isotonic_calibration, trailing_distinct_kmv,
-# theilsen_slope, mann_kendall, weighted_median, burstiness,
-# mutual_information, psi_drift, best_split_ig, sortino_calmar,
-# var_cvar, rolling_beta, roc_auc, lift_gains, attribution_credit,
-# peak_concurrency, did_estimator, cuped_adjustment, ndcg_at_k,
-# map_at_k, brier_calibration, leadlag_xcorr —
-# swap these in for prior greens next round.
+# Round-7 rotation (below): the 19 r6-announced candidates + the 3
+# queries changed in r7 + the first 19 of waves 8-16, pre-verified
+# 50/50 with tools/parity.py --vanilla --window at sf0.01.
+#
+# Round-8 rotation candidates (the COMPLETE remaining backlog, 32
+# names for 41 slots): leadlag_xcorr, information_ratio,
+# underwater_spells, kendall_tau, fifo_matching, kruskal_wallis,
+# ulcer_martin, variance_ratio, pr_auc, cohens_kappa,
+# local_clustering, page_hinkley, permutation_test, rs_hurst,
+# updown_capture, zipf_fit, target_encoding, feature_hashing,
+# cramers_v, friedman_test, anova_oneway, heaps_fit (waves 8-16
+# remainder), plus the 10 r7 registrations: bh_fdr, mcnemar_test,
+# runs_test, ar1_halflife, levenshtein_neardup, decayed_popularity,
+# k_anonymity, forecast_mase, conformal_interval,
+# centroid_similarity. After r8 every oracle-backed query will have
+# a driver row again; 9 slots remain for r8 registrations.
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 
