@@ -256,3 +256,42 @@ def test_shapley_attribution_coalition_frame_bounded(spark, sf_dir):
     plan = _final_plan("shapley_attribution", spark, sf_dir)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decayed_popularity_single_aggregation(spark, sf_dir):
+    """One scalar max-day broadcast + one map-side-combinable groupBy
+    + the presentation sort: four exchanges ceiling (scalar-agg
+    SinglePartition, broadcast, group hash, ORDER BY range), no
+    window, no cartesian."""
+    plan = _final_plan("decayed_popularity", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_k_anonymity_two_integer_aggregations(spark, sf_dir):
+    """rows -> QI cells -> report groups: two hash aggregates plus
+    the presentation sort, no join, no window."""
+    plan = _final_plan("k_anonymity", spark, sf_dir)
+    for marker in ("Join", "Window", "CartesianProduct"):
+        assert marker not in plan, marker
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+
+
+def test_levenshtein_neardup_band_local_joins(spark, sf_dir):
+    """The two candidate joins must stay band-keyed equi-joins — a
+    cartesian (or non-equi nested loop) means the length-band blocking
+    fell out of the join keys."""
+    plan = _final_plan("levenshtein_neardup", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_pair_kernels_have_no_join_side_cartesian(spark, sf_dir):
+    """char_jaccard (bitset) and embedding_allpairs (blocked cosine)
+    route ALL pair work through applyInPandas block tasks: the plan
+    must contain the python evaluator and no cartesian."""
+    for name in ("char_jaccard_pairs", "embedding_allpairs_exact"):
+        plan = _final_plan(name, spark, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "FlatMapGroupsInPandas" in plan, name
