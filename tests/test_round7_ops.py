@@ -325,3 +325,14 @@ def test_centroid_similarity_orthogonal_and_identical(spark):
     assert out[(0, 1)] == pytest.approx(0.0, abs=1e-9)
     assert out[(0, 2)] == pytest.approx(1.0, abs=1e-9)
     assert out[(1, 2)] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_run_memory_sink_restores_shuffle_partitions(spark, sf_dir):
+    """The streaming-sink helper pins shuffle partitions for the
+    replay; a leaked conf would silently resize every subsequent
+    batch query's shuffles."""
+    from defimap_data_pipelines_spark.plans.queries import QUERIES
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    QUERIES["stream_tumbling_exec"](spark, sf_dir).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
