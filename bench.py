@@ -307,6 +307,10 @@ BENCH_QUERIES = [
     "forecast_mase",
     "conformal_interval",
     "centroid_similarity",
+    # r7 wave 20
+    "backtest_folds",
+    "wasserstein_drift",
+    "pinball_loss",
 ]
 
 

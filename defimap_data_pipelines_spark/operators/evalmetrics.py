@@ -637,3 +637,62 @@ def conformal_interval(
             F.col("_nc").cast("double") / F.col("n_test"), 9
         ).alias("coverage"),
     )
+
+
+def pinball_loss(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    xq_col: str,
+    season: int = 7,
+    deciles: tuple = (1, 5, 9),
+    quantum: int = 100,
+) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecaster at
+    the requested deciles — the metric that scores an UNCERTAINTY
+    forecast (quantile q should over-predict exactly q of the time;
+    pinball is its proper scoring rule). With q = k/10 the per-period
+    loss is the exact integer k*(y-f) when y >= f else (10-k)*(f-y),
+    summed in int64 and de-scaled ONCE by 10*quantum*n — no float
+    accumulation. Returns (key, decile, n_scored, pinball).
+
+    Same frame contract as forecast_mase: one lag window per key over
+    the O(periods) series, then the decile list fans out as a literal
+    broadcast frame BEFORE one map-side-combinable aggregation."""
+    w = Window.partitionBy("k").orderBy("_o")
+    scored = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("_o"),
+            F.col(xq_col).cast("long").alias("_y"),
+        )
+        .select(
+            "k", "_o", "_y", F.lag("_y", season).over(w).alias("_f")
+        )
+        .filter(F.col("_f").isNotNull())
+    )
+    spark = df.sparkSession
+    dec = spark.createDataFrame(
+        [(int(k),) for k in deciles], "decile long"
+    )
+    fanned = scored.crossJoin(F.broadcast(dec))
+    loss = F.when(
+        F.col("_y") >= F.col("_f"),
+        F.col("decile") * (F.col("_y") - F.col("_f")),
+    ).otherwise((10 - F.col("decile")) * (F.col("_f") - F.col("_y")))
+    out = fanned.groupBy("k", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(loss).cast("long").alias("_lq"),
+    )
+    return out.select(
+        F.col("k"),
+        "decile",
+        "n_scored",
+        F.round(
+            F.col("_lq").cast("double")
+            / 10.0
+            / F.lit(float(quantum))
+            / F.col("n_scored"),
+            9,
+        ).alias("pinball"),
+    )

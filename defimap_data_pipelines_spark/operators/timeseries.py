@@ -528,3 +528,63 @@ def ar1_halflife(
         F.round(F.expr(AR1_BETA_EXPR), 9).alias("beta"),
         F.round(F.expr(AR1_HALFLIFE_EXPR), 9).alias("halflife"),
     )
+
+
+def backtest_folds(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    n_folds: int = 4,
+    horizon: int = 14,
+) -> DataFrame:
+    """Rolling-origin backtest fold assignment — the time-series
+    cross-validation split (never shuffle-split a series: training on
+    the future leaks). Fold i trains on days <= cut_i and tests on
+    the next ``horizon`` days, where the cuts advance evenly across
+    the span that leaves room for the last test window:
+    cut_i = mn + base + i * step (exact integer day arithmetic off
+    the global [mn, mx] day range, so both engines draw identical
+    boundaries). Returns one row per (key, fold): n_train, n_test,
+    train_end (epoch day).
+
+    One scalar min/max aggregate broadcast onto the scan, a literal
+    fold frame crossed in, then a single groupBy — the fold fan-out
+    multiplies rows by n_folds before the aggregation, never
+    afterwards; no windows."""
+    spark = df.sparkSession
+    span = df.agg(
+        F.min(day_col).alias("_mn"), F.max(day_col).alias("_mx")
+    )
+    folds = spark.createDataFrame(
+        [(i,) for i in range(n_folds)], "fold long"
+    )
+    j = (
+        df.select(
+            F.col(key_col).alias("key"), F.col(day_col).alias("_d")
+        )
+        .crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(folds))
+    )
+    # usable span for cuts: everything except the final horizon
+    base = f"(((_mx - _mn + 1) - {horizon}) div {n_folds})"
+    cut = f"(_mn + {base} * (fold + 1) - 1)"
+    tagged = j.select(
+        "key",
+        "fold",
+        F.expr(f"CASE WHEN _d <= {cut} THEN 1 ELSE 0 END").alias(
+            "_tr"
+        ),
+        F.expr(
+            f"CASE WHEN _d > {cut} AND _d <= {cut} + {horizon}"
+            " THEN 1 ELSE 0 END"
+        ).alias("_te"),
+        F.expr(cut).alias("train_end"),
+    )
+    return (
+        tagged.groupBy("key", "fold", "train_end")
+        .agg(
+            F.sum("_tr").cast("long").alias("n_train"),
+            F.sum("_te").cast("long").alias("n_test"),
+        )
+        .select("key", "fold", "train_end", "n_train", "n_test")
+    )
