@@ -15335,11 +15335,12 @@ def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 # local_clustering, page_hinkley, permutation_test, rs_hurst,
 # updown_capture, zipf_fit, target_encoding, feature_hashing,
 # cramers_v, friedman_test, anova_oneway, heaps_fit (waves 8-16
-# remainder), plus the 10 r7 registrations: bh_fdr, mcnemar_test,
+# remainder), plus the 13 r7 registrations: bh_fdr, mcnemar_test,
 # runs_test, ar1_halflife, levenshtein_neardup, decayed_popularity,
 # k_anonymity, forecast_mase, conformal_interval,
-# centroid_similarity. After r8 every oracle-backed query will have
-# a driver row again; 9 slots remain for r8 registrations.
+# centroid_similarity, backtest_folds, wasserstein_drift,
+# pinball_loss. After r8 every oracle-backed query will have a
+# driver row again; 6 slots remain for r8 registrations.
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 
