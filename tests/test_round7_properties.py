@@ -227,3 +227,99 @@ def test_levenshtein_neardup_matches_brute_force(spark, texts):
             if d <= 12:
                 expect[(i, j)] = d
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 120)),
+        min_size=30,
+        max_size=120,
+    )
+)
+@settings(**SET)
+def test_backtest_folds_matches_python(spark, rows):
+    from defimap_data_pipelines_spark.operators.timeseries import (
+        backtest_folds,
+    )
+
+    df = spark.createDataFrame(rows, "k long, d long")
+    got = {
+        (r["key"], r["fold"]): (r["train_end"], r["n_train"], r["n_test"])
+        for r in backtest_folds(df, "k", "d", n_folds=4, horizon=14).collect()
+    }
+    mn = min(d for _, d in rows)
+    mx = max(d for _, d in rows)
+    span = (mx - mn + 1) - 14
+    # engine div and DuckDB // both TRUNCATE toward zero; python //
+    # floors — diverges when the span is shorter than the horizon
+    # (negative base, a degenerate but defined case)
+    base = -((-span) // 4) if span < 0 else span // 4
+    keys = sorted({k for k, _ in rows})
+    for k in keys:
+        days = [d for kk, d in rows if kk == k]
+        for fold in range(4):
+            cut = mn + base * (fold + 1) - 1
+            n_tr = sum(1 for d in days if d <= cut)
+            n_te = sum(1 for d in days if cut < d <= cut + 14)
+            assert got[(k, fold)] == (cut, n_tr, n_te)
+
+
+@given(
+    st.lists(st.integers(-500, 500), min_size=2, max_size=80),
+    st.lists(st.integers(-500, 500), min_size=2, max_size=80),
+)
+@settings(**SET)
+def test_wasserstein_matches_python(spark, xs, ys):
+    """Operator W1 == the textbook sorted-CDF integral computed in
+    exact fractions python-side."""
+    from fractions import Fraction
+
+    from defimap_data_pipelines_spark.operators.stats import (
+        wasserstein_drift,
+    )
+
+    rows = [("control", x) for x in xs] + [("treatment", y) for y in ys]
+    df = spark.createDataFrame(rows, "g string, xq long")
+    out = wasserstein_drift(
+        df, "g", "xq", "control", "treatment", quantum=1
+    ).collect()[0]
+    support = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    w1 = Fraction(0)
+    ca = cb = 0
+    for i, v in enumerate(support[:-1]):
+        ca += sum(1 for x in xs if x == v)
+        cb += sum(1 for y in ys if y == v)
+        gap = support[i + 1] - v
+        w1 += Fraction(abs(ca * nb - cb * na) * gap, na * nb)
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["w1"] == pytest.approx(float(w1), abs=1e-9)
+
+
+@given(
+    st.lists(st.integers(0, 5000), min_size=9, max_size=60)
+)
+@settings(**SET)
+def test_pinball_loss_matches_python(spark, xs):
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        pinball_loss,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "k long, o long, x long"
+    )
+    got = {
+        r["decile"]: (r["n_scored"], r["pinball"])
+        for r in pinball_loss(
+            df, "k", "o", "x", season=7, quantum=1
+        ).collect()
+    }
+    scored = [(xs[i], xs[i - 7]) for i in range(7, len(xs))]
+    for k in (1, 5, 9):
+        lq = sum(
+            k * (y - f) if y >= f else (10 - k) * (f - y)
+            for y, f in scored
+        )
+        n, pb = got[k]
+        assert n == len(scored)
+        assert pb == pytest.approx(lq / 10.0 / 1.0 / len(scored), abs=1e-9)
