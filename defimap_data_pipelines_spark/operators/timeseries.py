@@ -550,7 +550,11 @@ def backtest_folds(
     One scalar min/max aggregate broadcast onto the scan, a literal
     fold frame crossed in, then a single groupBy — the fold fan-out
     multiplies rows by n_folds before the aggregation, never
-    afterwards; no windows."""
+    afterwards; no windows. Degenerate case: a day span shorter than
+    ``horizon`` yields a negative step (cuts before the span start,
+    empty training sets) — defined and engine-consistent because div
+    truncates identically on both engines (python // floors; see the
+    property test), but such a series is too short to backtest."""
     spark = df.sparkSession
     span = df.agg(
         F.min(day_col).alias("_mn"), F.max(day_col).alias("_mx")
