@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 from defimap_data_pipelines_spark.functions.text import fingerprint, word_shingles
 
 
+class BitsetVocabGateExceeded(ValueError):
+    """The dense-regime bitset kernel is gated at 2^16 distinct
+    shingles (per-task matrices are block_docs x vocab); callers that
+    asked for it explicitly fall back to the still-exact df-ordered
+    prefix strategy rather than failing the query outright."""
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents.
 
@@ -147,7 +154,14 @@ def ngram_jaccard_pairs(
     sh = shingles if shingles is not None else doc_shingles(docs, text_col, n)
     hs = hashed if hashed is not None else hashed_shingles(sh)
     if strategy == "bitset":
-        return _bitset_jaccard_pairs(hs, threshold)
+        try:
+            return _bitset_jaccard_pairs(hs, threshold)
+        except BitsetVocabGateExceeded:
+            # vocab outgrew the dense-regime gate (larger SF / wider
+            # alphabet): degrade to the exact df-ordered prefix path
+            # instead of failing — same output, sparse-regime cost
+            strategy = "prefix"
+            order = "df"
     if strategy == "auto":
         strategy = "prefix" if threshold >= 0.5 else "index"
     if strategy == "index":
@@ -262,7 +276,8 @@ def _bitset_jaccard_pairs(
     vocab = sorted(r["h"] for r in ex.select("h").distinct().collect())
     n_vocab = len(vocab)
     if n_vocab > 1 << 16:
-        raise ValueError(
+        ex.unpersist()
+        raise BitsetVocabGateExceeded(
             f"bitset strategy gated at 65536 distinct shingles "
             f"(got {n_vocab}); use strategy='prefix' for sparse vocabs"
         )
@@ -918,23 +933,33 @@ def levenshtein_neardup_pairs(
     sensitive to character edits).
 
     Blocking is EXACT, not a recall heuristic: lev >= |len_a -
-    len_b|, so tau < 2 * band_width implies any qualifying pair
-    sits in the same or adjacent length band. Candidates = one
-    same-band self-join (id_a < id_b) plus one strictly-adjacent-band
-    join (disjoint conditions, so no pair dedup needed; adjacent
-    pairs re-orient by id afterwards). Each band holds only docs of
-    similar length, so the join is band-local — the 100 TB shape is
-    |bands| independent block joins, never corpus-quadratic, and the
-    per-pair verify is O(prefix_len * tau) via Spark's thresholded
-    levenshtein (early-exits above tau; the DuckDB oracle computes
-    the plain distance and filters — identical kept pairs and
-    values)."""
+    len_b| holds for the lengths of the COMPARED strings — the
+    clamped prefixes — so the band key is length(prefix) div
+    band_width (NOT the full-document length: two docs with
+    near-identical prefixes whose full lengths differ by >=
+    2*band_width would land in non-adjacent full-length bands and be
+    silently dropped). With that key, tau < 2 * band_width implies
+    any qualifying pair sits in the same or adjacent band.
+    Candidates = one same-band self-join (id_a < id_b) plus one
+    strictly-adjacent-band join (disjoint conditions, so no pair
+    dedup needed; adjacent pairs re-orient by id afterwards). Each
+    band holds only docs of similar prefix length, so the join is
+    band-local — the 100 TB shape is |bands| independent block
+    joins, never corpus-quadratic, and the per-pair verify is
+    O(prefix_len * tau) via Spark's thresholded levenshtein
+    (early-exits above tau; the DuckDB oracle computes the plain
+    distance and filters — identical kept pairs and values).
+
+    ``len_col`` is unused since the round-8 banding fix (kept for
+    signature compatibility); the band derives from the prefix
+    itself, which also keeps the bound valid when the length column
+    disagrees with length(text)."""
+    del len_col
     base = docs.select(
         F.col(id_col).alias("_id"),
         F.col(lang_col).alias("_lang"),
-        F.expr(f"{len_col} div {band_width}").alias("_band"),
         F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
-    )
+    ).withColumn("_band", F.expr(f"length(_p) div {band_width}"))
     a = base.select(
         F.col("_id").alias("_ida"),
         F.col("_lang").alias("_la"),

@@ -606,11 +606,18 @@ def conformal_interval(
             "_ncal", F.count(F.lit(1)).over(Window.partitionBy("k"))
         )
     )
+    # ceil((n_cal+1)*cov) via integer arithmetic — div alone floors,
+    # which at e.g. n_cal=10, cov=9/10 picks rank 9 instead of 10 and
+    # loses the finite-sample coverage guarantee (r8 ADVICE fix; the
+    # oracle SQL carries the identical +den-1 form)
     qsel = cal.filter(
         F.col("_qr")
         == F.least(
             F.col("_ncal"),
-            F.expr(f"({cov_num} * (_ncal + 1)) div {cov_den}"),
+            F.expr(
+                f"({cov_num} * (_ncal + 1) + {cov_den} - 1)"
+                f" div {cov_den}"
+            ),
         )
     ).select(
         "k", F.col("_r").alias("_q"), F.col("_ncal").alias("n_cal")

@@ -12,9 +12,14 @@ plans/queries.py module docstring): metric values quantize to integer
 cents once at the scan, every accumulation is int64, floats appear
 only in each estimator's final expression. Int64 headroom: DiD sums
 cap at rows x max_cents (~1e15 at 1e12 rows of $10 values); CUPED's
-cross-moments cap at units x (per-unit cents)^2 — safe through ~1e9
-units of ~$10k pre-period volume, swap the moment sums to
-decimal(38,0) beyond that.
+cross-moment SUMS cap at units x (per-unit cents)^2 — safe through
+~1e9 units of ~$10k pre-period volume, swap the moment sums to
+decimal(38,0) beyond that. PRODUCTS of those sums (psxx * pn etc.)
+get no such bound — they are computed with each factor cast to
+double first (measured psxx*pn = 2.56e17 at sf0.1, only 36x under
+int64 max), the same discipline as ratio_metric_delta; the identical
+factor-level casts appear in the DuckDB oracle so both engines run
+the same IEEE arithmetic.
 """
 
 from __future__ import annotations
@@ -142,15 +147,17 @@ def cuped_adjustment(
     )
     j = per_variant.crossJoin(F.broadcast(pooled))
     q = float(quantum)
-    cov = (
-        F.col("psxy") * F.col("pn") - F.col("psx") * F.col("psy")
-    ).cast("double")
-    varx = (
-        F.col("psxx") * F.col("pn") - F.col("psx") * F.col("psx")
-    ).cast("double")
-    vary = (
-        F.col("psyy") * F.col("pn") - F.col("psy") * F.col("psy")
-    ).cast("double")
+    # headroom: each FACTOR is cast to double BEFORE the product
+    # (the ratio_metric_delta pattern) — psxx * pn in int64 measured
+    # 2.56e17 at sf0.1, only 36x below int64 max, so the raw-product
+    # form wraps at ~40x scale while DuckDB promotes to HUGEINT.
+    # Double products are IEEE-deterministic on both engines.
+    _pn = F.col("pn").cast("double")
+    _psx = F.col("psx").cast("double")
+    _psy = F.col("psy").cast("double")
+    cov = F.col("psxy").cast("double") * _pn - _psx * _psy
+    varx = F.col("psxx").cast("double") * _pn - _psx * _psx
+    vary = F.col("psyy").cast("double") * _pn - _psy * _psy
     theta = cov / F.when(varx > 0, varx)
     mean_x = F.col("sx").cast("double") / (F.col("n") * q)
     mean_y = F.col("sy").cast("double") / (F.col("n") * q)

@@ -467,7 +467,11 @@ def decayed_popularity(
 
     One scalar max-day aggregate broadcast onto the scan, then one
     map-side-combinable groupBy — no windows, no per-event state.
-    Int64 headroom: 2^30 * events caps at ~2^33 per trillion events.
+    Int64 headroom: each event contributes up to 2^max_shift = 2^30,
+    so the per-key score sum hits int64 max at ~2^33 (~8.6e9)
+    full-weight events per key — outside ANSI mode the wrap would be
+    silent. Mitigation before that scale: lower max_shift (weights
+    shrink 2x per step) or shard hot keys.
     Incremental twin: per-bucket partial sums shift right as days
     roll over, so a daily job can maintain the score by re-scaling
     yesterday's buckets — noted, not implemented."""

@@ -495,6 +495,9 @@ def rolling_beta(
         F.sum(F.col("xq") * F.col("yq")).over(w).alias("_sxy"),
         F.sum(F.col("xq") * F.col("xq")).over(w).alias("_sxx"),
     ).filter(F.col("_rn") >= window_days)
+    # headroom: bounded by construction — fixed 30-row window of
+    # micro-quantized returns (n <= 30, |xq| ~ 1e6): n*sxx <= 9e14,
+    # independent of data volume (never needs the factor-cast sweep)
     den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
         "double"
     )
@@ -548,6 +551,8 @@ def information_ratio(
     n = F.col("n_days")
     mean_ann = F.col("_s9").cast("double") / RQ9 / n * 365.0
     # sample variance from integer moments: (n*ss - s^2) / (n*(n-1))
+    # headroom: bounded by construction — 365-row calendar tail
+    # (n <= 365, |d6| ~ 1e6): n*ss6 <= 1.4e17, not data-volume-scaled
     var6 = (n * F.col("_ss6") - F.col("_s6") * F.col("_s6")).cast(
         "double"
     ) / (n * (n - 1))
@@ -695,7 +700,10 @@ def variance_ratio(
     (ln() would drag both engines' libm into the oracle contract).
     Both variances come from integer (sum, sum-of-squares) moment
     pairs; squares of q-day sums cap at ~(q * 1e5)^2 ~= 2.5e11 per
-    day — four orders of headroom under int64 for a year.
+    day — four orders of headroom under int64 for a year. The moment
+    PRODUCTS (n * ss - s * s) take factor-level double casts — they
+    scale with data volume and the int64 form loses headroom at large
+    SF (the ratio_metric_delta discipline, mirrored in the oracle).
     """
     gt = _tail(gotk, day_period).select(
         "date", "name", _rq6(F.col("percent_change")).alias("r6")
@@ -729,12 +737,18 @@ def variance_ratio(
     j = one.join(qd, "name")
     n1 = F.col("n_days")
     nq = F.col("_nq")
-    var1 = (n1 * F.col("_ss1") - F.col("_s1") * F.col("_s1")).cast(
-        "double"
-    ) / (n1 * (n1 - 1)) / (RQ6 * float(RQ6))
-    varq = (nq * F.col("_ssq") - F.col("_sq") * F.col("_sq")).cast(
-        "double"
-    ) / (nq * (nq - 1)) / (RQ6 * float(RQ6))
+    # headroom: factor-level double casts before the moment products
+    # (the ratio_metric_delta pattern) — these sums scale with data
+    # volume like leadlag_xcorr's, so the int64 product form loses
+    # its headroom at large SF; the oracle SQL casts identically.
+    _n1d = n1.cast("double")
+    _nqd = nq.cast("double")
+    _s1 = F.col("_s1").cast("double")
+    _sq = F.col("_sq").cast("double")
+    num1 = _n1d * F.col("_ss1").cast("double") - _s1 * _s1
+    numq = _nqd * F.col("_ssq").cast("double") - _sq * _sq
+    var1 = num1 / (n1 * (n1 - 1)) / (RQ6 * float(RQ6))
+    varq = numq / (nq * (nq - 1)) / (RQ6 * float(RQ6))
     return j.select(
         "name",
         "n_days",
@@ -742,11 +756,7 @@ def variance_ratio(
         F.round(var1, 12).alias("var_1"),
         F.round(varq, 12).alias("var_q"),
         F.round(
-            varq
-            / F.when(
-                n1 * F.col("_ss1") - F.col("_s1") * F.col("_s1") > 0,
-                float(q) * var1,
-            ),
+            varq / F.when(num1 > 0, float(q) * var1),
             9,
         ).alias("vr"),
     )

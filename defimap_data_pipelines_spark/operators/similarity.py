@@ -676,14 +676,18 @@ def group_centroid_similarity(
             F.expr(
                 f"CAST(sum(CAST(ROUND(x * {quantum}) AS BIGINT))"
                 " AS BIGINT) div count(1)"
-            ).alias("cq")
+            ).alias("cq"),
+            # per-(g, pos) row count == the group's row count (every
+            # row contributes one component per dim) — rides the same
+            # aggregate, no extra scan
+            F.count(F.lit(1)).cast("long").alias("_cnt"),
         )
         # consumed by norms AND both pair sides
         .cache()
     )
     norms = cent.groupBy("g").agg(
         F.sum(F.col("cq") * F.col("cq")).alias("nrm"),
-        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.max("_cnt").alias("_gn"),
     )
     a = cent.select(
         F.col("g").alias("g_a"), "pos", F.col("cq").alias("ca")
@@ -698,10 +702,14 @@ def group_centroid_similarity(
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
     )
     na = norms.select(
-        F.col("g").alias("g_a"), F.col("nrm").alias("_na")
+        F.col("g").alias("g_a"),
+        F.col("nrm").alias("_na"),
+        F.col("_gn").alias("n_a"),
     )
     nb = norms.select(
-        F.col("g").alias("g_b"), F.col("nrm").alias("_nb")
+        F.col("g").alias("g_b"),
+        F.col("nrm").alias("_nb"),
+        F.col("_gn").alias("n_b"),
     )
     cos = (
         "(CAST(dot AS DOUBLE)"
@@ -714,6 +722,8 @@ def group_centroid_similarity(
         .select(
             "g_a",
             "g_b",
+            "n_a",
+            "n_b",
             F.round(F.expr(cos), 9).alias("cosine"),
         )
     )

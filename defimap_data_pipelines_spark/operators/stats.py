@@ -1051,10 +1051,17 @@ def leadlag_xcorr(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    n = F.col("n_days")
-    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # headroom: cast each FACTOR to double before the product — the
+    # sums are daily-revenue-scaled (sxy ~ 1.2e16/750x headroom at
+    # sf0.1), so the int64 product form overflows almost exactly at
+    # the 100x posture. Same discipline as ratio_metric_delta; the
+    # oracle SQL carries the identical factor-level casts.
+    n = F.col("n_days").cast("double")
+    _sx = F.col("sx").cast("double")
+    _sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - _sx * _sy
+    vx = n * F.col("sxx").cast("double") - _sx * _sx
+    vy = n * F.col("syy").cast("double") - _sy * _sy
     return agg.select(
         "lag",
         "n_days",
@@ -1675,9 +1682,13 @@ def wasserstein_drift(
     One groupBy on the quantized value (map-side combinable), one
     global cumulative window over the O(distinct values) support
     frame — bounded by value cardinality, not row count — plus a
-    scalar arm-totals broadcast. Int64 headroom: the summed term is
-    <= nA * nB * span_quanta; at 1e6-row arms over a 1e4-quanta span
-    that is 1e16 — quantize coarser before 1e8-row arms.
+    scalar arm-totals broadcast. Headroom (r8): the summed term is
+    <= nA * nB * span_quanta — rows-squared-scaled, so int64 wraps
+    near 1e8-row arms. The accumulation therefore runs in
+    decimal(38,0) (DuckDB oracle: HUGEINT) — still EXACT integer
+    arithmetic, order-independent, with ~1e38 headroom (= 1e12-row
+    arms over a 1e5-quanta span with nine orders to spare); the one
+    float division happens after.
     """
     from pyspark.sql.window import Window
 
@@ -1709,13 +1720,12 @@ def wasserstein_drift(
     term = F.when(
         F.col("gap").isNotNull(),
         F.abs(
-            F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")
+            F.col("cuma").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("cumb").cast("decimal(38,0)") * F.col("n_a")
         )
         * F.col("gap"),
-    ).otherwise(F.lit(0))
-    agg = cum.groupBy("n_a", "n_b").agg(
-        F.sum(term).cast("long").alias("_raw")
-    )
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    agg = cum.groupBy("n_a", "n_b").agg(F.sum(term).alias("_raw"))
     return agg.select(
         "n_a",
         "n_b",

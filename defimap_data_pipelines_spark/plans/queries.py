@@ -2339,7 +2339,9 @@ def q_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (hash 152 s, PPJoin df-order 26 s at sf0.1). The bitset
     strategy's block-matmul kernel is the honest dense algorithm
     (~2 s, same exact output; regime boundary documented in
-    ngram_jaccard_pairs)."""
+    ngram_jaccard_pairs). If the vocab ever outgrows the 2^16 dense
+    gate at larger SF, the operator degrades to the exact df-ordered
+    prefix path instead of failing (r8 ADVICE fix)."""
     from defimap_data_pipelines_spark.functions.text import char_shingles
     from defimap_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -8017,11 +8019,18 @@ KS_DRIFT_SQL = """
         FROM cums GROUP BY value
     ),
     diffs AS (
-        SELECT value, ABS(a_end * nb - b_end * na) AS d
+        -- headroom: counts-times-counts is rows-squared-scaled; the
+        -- exact integer argmax runs in HUGEINT (Spark twin:
+        -- decimal(38,0))
+        SELECT value,
+               ABS(CAST(a_end AS HUGEINT) * nb
+                   - CAST(b_end AS HUGEINT) * na) AS d
         FROM ends, tot
     )
     SELECT na AS n_a, nb AS n_b,
-           ROUND(CAST(MAX(d) AS DOUBLE) / (na * nb), 6) AS ks_stat,
+           ROUND(CAST(MAX(d) AS DOUBLE)
+                 / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6)
+               AS ks_stat,
            MIN(CASE WHEN d = (SELECT MAX(d) FROM diffs)
                     THEN value END) AS at_value
     FROM diffs, tot GROUP BY na, nb
@@ -8073,10 +8082,14 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("_ca").cast("long").alias("a_end"),
         F.max("_cb").cast("long").alias("b_end"),
     )
+    # headroom: a_end*nb is counts-times-counts (rows-squared-scaled,
+    # int64 wraps at ~3e9 rows per class) — the exact integer argmax
+    # survives in decimal(38,0) (oracle: HUGEINT)
     diffs = ends.select(
         "value",
         F.abs(
-            F.col("a_end") * F.lit(nb) - F.col("b_end") * F.lit(na)
+            F.col("a_end").cast("decimal(38,0)") * F.lit(nb)
+            - F.col("b_end").cast("decimal(38,0)") * F.lit(na)
         ).alias("d"),
     )
     best = diffs.agg(
@@ -12286,6 +12299,10 @@ ROLLING_BETA_SQL = f"""
                w30 AS (PARTITION BY name ORDER BY date ASC
                        ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     )
+    -- headroom: bounded by construction — fixed 30-row window
+    -- (n <= 30, |xq| ~ 1e6 micro-quantized returns): sxx <= 3e13,
+    -- n*sxx <= 9e14 — four orders under int64, independent of data
+    -- volume
     SELECT date, name,
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                  / (CASE WHEN n * sxx - sx * sx <> 0
@@ -12646,10 +12663,16 @@ CUPED_SQL = f"""
         FROM v
     ),
     m AS (
+        -- headroom: cast each FACTOR before the product (the
+        -- RATIO_DELTA pattern) — psxx*pn in int64 has only 36x
+        -- headroom at sf0.1; double products match Spark bit-for-bit
         SELECT variant, n, sx, sy,
-               CAST(psxy * pn - psx * psy AS DOUBLE) AS cov,
-               CAST(psxx * pn - psx * psx AS DOUBLE) AS varx,
-               CAST(psyy * pn - psy * psy AS DOUBLE) AS vary,
+               CAST(psxy AS DOUBLE) * CAST(pn AS DOUBLE)
+                 - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE) AS cov,
+               CAST(psxx AS DOUBLE) * CAST(pn AS DOUBLE)
+                 - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) AS varx,
+               CAST(psyy AS DOUBLE) * CAST(pn AS DOUBLE)
+                 - CAST(psy AS DOUBLE) * CAST(psy AS DOUBLE) AS vary,
                CAST(psx AS DOUBLE) / (pn * 100.0) AS mean_all_x
         FROM v CROSS JOIN pool
     )
@@ -12856,13 +12879,29 @@ LEADLAG_SQL = f"""
                CAST(SUM(y * y) AS BIGINT) AS syy
         FROM p GROUP BY lag
     )
+    -- headroom: factor-level DOUBLE casts (the RATIO_DELTA pattern);
+    -- the int64 product n_days*sxy is ~1.2e16 at sf0.1 and would
+    -- wrap at ~100x scale
     SELECT lag, n_days,
-           ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
-                 / SQRT(CASE WHEN CAST(n_days * sxx - sx * sx AS DOUBLE)
-                                  * CAST(n_days * syy - sy * sy AS DOUBLE)
+           ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT(CASE WHEN (CAST(n_days AS DOUBLE)
+                                     * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n_days AS DOUBLE)
+                                       * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))
                                   > 0
-                        THEN CAST(n_days * sxx - sx * sx AS DOUBLE)
-                             * CAST(n_days * syy - sy * sy AS DOUBLE)
+                        THEN (CAST(n_days AS DOUBLE)
+                                * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE)
+                                * CAST(sx AS DOUBLE))
+                             * (CAST(n_days AS DOUBLE)
+                                  * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE)
+                                  * CAST(sy AS DOUBLE))
                         END), 9) AS xcorr
     FROM a ORDER BY lag
 """
@@ -12917,6 +12956,10 @@ INFO_RATIO_SQL = f"""
                CAST(SUM(d6 * d6) AS BIGINT) AS ss6
         FROM j GROUP BY name
     )
+    -- headroom: bounded by construction — 365-row tail of micro-
+    -- quantized active returns (n_days <= 365, |d6| ~ 1e6): ss6 <=
+    -- 3.7e14, n_days*ss6 <= 1.4e17 — bounded by the calendar, not
+    -- data volume
     SELECT name, n_days,
            ROUND(CAST(s9 AS DOUBLE) / 1000000000.0 / n_days * 365.0, 9)
                AS active_return_ann,
@@ -13300,16 +13343,27 @@ VARIANCE_RATIO_SQL = f"""
                CAST(SUM(s6 * s6) AS BIGINT) AS ssq
         FROM st WHERE rn >= 5 GROUP BY 1
     )
+    -- headroom: factor-level DOUBLE casts before the moment products
+    -- (the RATIO_DELTA pattern), matching the Spark twin bit-for-bit
     SELECT name, n_days, CAST(5 AS BIGINT) AS q,
-           ROUND(CAST(n_days * ss1 - s1 * s1 AS DOUBLE)
+           ROUND((CAST(n_days AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                  / (n_days * (n_days - 1)) / 1000000000000.0, 12)
                AS var_1,
-           ROUND(CAST(nq * ssq - sq * sq AS DOUBLE)
+           ROUND((CAST(nq AS DOUBLE) * CAST(ssq AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
                  / (nq * (nq - 1)) / 1000000000000.0, 12) AS var_q,
-           ROUND((CAST(nq * ssq - sq * sq AS DOUBLE)
+           ROUND(((CAST(nq AS DOUBLE) * CAST(ssq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
                   / (nq * (nq - 1)) / 1000000000000.0)
-                 / (CASE WHEN n_days * ss1 - s1 * s1 > 0
-                    THEN 5.0 * (CAST(n_days * ss1 - s1 * s1 AS DOUBLE)
+                 / (CASE WHEN (CAST(n_days AS DOUBLE)
+                                 * CAST(ss1 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE)
+                                 * CAST(s1 AS DOUBLE)) > 0
+                    THEN 5.0 * ((CAST(n_days AS DOUBLE)
+                                   * CAST(ss1 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE)
+                                   * CAST(s1 AS DOUBLE))
                          / (n_days * (n_days - 1)) / 1000000000000.0)
                     END), 9) AS vr
     FROM one JOIN qd USING (name) ORDER BY name
@@ -13808,6 +13862,10 @@ ZIPF_SQL = f"""
                CAST(SUM(y * y) AS BIGINT) AS syy
         FROM xy
     )
+    -- headroom: bounded by construction — k = rank cutoff (vocab-
+    -- bounded, <= ~1e4) over log-scale integers (|x|,|y| ~ 1e7*ln):
+    -- k*sxx <= ~1e4 * 1e4 * (2e8)^2 is still < 1e17 at a 1e6-word
+    -- vocab; grows with log(vocab), not data volume
     SELECT k,
            ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
                  / CAST(CASE WHEN k * sxx - sx * sx <> 0
@@ -14177,6 +14235,9 @@ HEAPS_SQL = f"""
                CAST(SUM(y * y) AS BIGINT) AS syy
         FROM xy
     )
+    -- headroom: bounded by construction — points = number of log-log
+    -- curve samples (<= ~60 doubling steps) of log-scale integers:
+    -- the products are sample-count-bounded, not data-volume-scaled
     SELECT points,
            ROUND(CAST(points * sxy - sx * sy AS DOUBLE)
                  / CAST(CASE WHEN points * sxx - sx * sx <> 0
@@ -14828,7 +14889,11 @@ def q_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEV_NEARDUP_SQL = """
     WITH b AS (
-        SELECT doc_id, lang, n_chars // 16 AS band,
+        -- band on the COMPARED (clamped-prefix) length: the exact
+        -- bound lev >= |len_a - len_b| holds for the prefixes, not
+        -- the full documents (r8 fix, mirrors the operator)
+        SELECT doc_id, lang,
+               length(substr(text, 1, 64)) // 16 AS band,
                substr(text, 1, 64) AS p
         FROM documents
     ),
@@ -14854,9 +14919,10 @@ LEV_NEARDUP_SQL = """
 @register("levenshtein_neardup", LEV_NEARDUP_SQL)
 def q_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs over 64-char prefixes
-    (operators/dedup.py::levenshtein_neardup_pairs): EXACT length-band
-    blocking (lev >= length gap, tau < 2*band_width), band-local
-    joins, thresholded-levenshtein verify (O(prefix*tau) per pair on
+    (operators/dedup.py::levenshtein_neardup_pairs): EXACT
+    prefix-length-band blocking (lev >= length gap of the COMPARED
+    strings, tau < 2*band_width), band-local joins,
+    thresholded-levenshtein verify (O(prefix*tau) per pair on
     the engine side; the oracle computes the plain distance)."""
     from defimap_data_pipelines_spark.operators.dedup import (
         levenshtein_neardup_pairs,
@@ -15033,8 +15099,10 @@ CONFORMAL_SQL = f"""
         FROM flagged WHERE cal
     ),
     qsel AS (
+        -- ceil((ncal+1)*0.9) via +den-1 integer arithmetic (the
+        -- finite-sample conformal rank; floor is anti-conservative)
         SELECT k, r AS _q, CAST(ncal AS BIGINT) AS n_cal FROM cal
-        WHERE qr = LEAST(ncal, (9 * (ncal + 1)) // 10)
+        WHERE qr = LEAST(ncal, (9 * (ncal + 1) + 9) // 10)
     ),
     test AS (SELECT k, r FROM flagged WHERE NOT cal),
     cov AS (
@@ -15088,11 +15156,13 @@ CENTROID_SIM_SQL = """
     cent AS (
         SELECT g, pos,
                CAST(CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT))
-                         AS BIGINT) // COUNT(*) AS BIGINT) AS cq
+                         AS BIGINT) // COUNT(*) AS BIGINT) AS cq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
         FROM d GROUP BY g, pos
     ),
     norms AS (
-        SELECT g, CAST(SUM(cq * cq) AS BIGINT) AS nrm
+        SELECT g, CAST(SUM(cq * cq) AS BIGINT) AS nrm,
+               CAST(MAX(cnt) AS BIGINT) AS gn
         FROM cent GROUP BY g
     ),
     dot AS (
@@ -15101,7 +15171,7 @@ CENTROID_SIM_SQL = """
         FROM cent a JOIN cent b ON a.pos = b.pos AND a.g < b.g
         GROUP BY 1, 2
     )
-    SELECT g_a, g_b,
+    SELECT g_a, g_b, na.gn AS n_a, nb.gn AS n_b,
            ROUND((CAST(dot AS DOUBLE)
                   / sqrt(CAST(CASE WHEN na.nrm > 0 THEN na.nrm END
                               AS DOUBLE))
@@ -15211,10 +15281,14 @@ WASSERSTEIN_SQL = """
         FROM per_v
     ),
     agg AS (
+        -- headroom: term <= nA*nB*span is rows-squared-scaled, so
+        -- the exact accumulation runs in HUGEINT (Spark twin:
+        -- decimal(38,0)) — still order-independent integers
         SELECT n_a, n_b,
-               CAST(SUM(CASE WHEN gap IS NOT NULL
-                        THEN abs(cuma * n_b - cumb * n_a) * gap
-                        ELSE 0 END) AS BIGINT) AS raw
+               SUM(CASE WHEN gap IS NOT NULL
+                   THEN abs(CAST(cuma AS HUGEINT) * n_b
+                            - CAST(cumb AS HUGEINT) * n_a) * gap
+                   ELSE 0 END) AS raw
         FROM cum, tot GROUP BY n_a, n_b
     )
     SELECT n_a, n_b,

@@ -47,6 +47,112 @@ def test_query_index_rows_match_registry():
     )
 
 
+# --------------------------------------------------------------------------
+# int64 moment-product headroom lint (r7 verdict item 4)
+#
+# The ar1_halflife/cuped lessons: a product of two DATA-SCALED int64
+# aggregates (n * sum_sq - sum * sum, count * count, ...) silently
+# loses headroom as SF grows — Spark wraps (or ANSI-faults) where
+# DuckDB promotes to HUGEINT, a cross-engine divergence invisible to
+# small-SF parity. Discipline: such products either cast each FACTOR
+# to double first (or widen to decimal(38,0)/HUGEINT when exactness
+# is load-bearing), or carry an explicit bounded-by-construction
+# "headroom:" annotation (fixed window / calendar tail / vocab-rank
+# bound). These lints make a revert of the r8 sweep a local red.
+# --------------------------------------------------------------------------
+
+# raw int64 product-minus-product inside oracle SQL; factor-level
+# CAST(x AS DOUBLE)/HUGEINT forms do not match (a ')' precedes '*')
+_SQL_MOMENT_PAT = re.compile(r"\b\w+\s*\*\s*\w+\s*-\s*\w+\s*\*\s*\w+\b")
+
+# queries allowed to keep the raw integer form, with the reason the
+# product is NOT data-volume-scaled
+_SQL_MOMENT_BOUNDED = {
+    "risk": "float moments (reference-parity flagship) — not int64",
+    "rolling_beta": "fixed 30-row window",
+    "information_ratio": "365-row calendar tail",
+    "zipf_fit": "rank/vocab-bounded log-scale sums",
+    "heaps_fit": "log-log curve sample-count bounded",
+}
+
+
+def test_oracle_moment_products_have_headroom():
+    from defimap_data_pipelines_spark.plans import queries as q
+
+    offenders = {}
+    for name, sql in ORACLE.items():
+        if not _SQL_MOMENT_PAT.search(sql):
+            continue
+        if name in _SQL_MOMENT_BOUNDED:
+            # bounded sites (except float-typed risk) must carry the
+            # annotation in the SQL itself so the bound is auditable
+            if name != "risk":
+                assert "headroom:" in sql, (
+                    f"{name} is allowlisted as bounded but its oracle "
+                    "SQL lost the '-- headroom:' annotation"
+                )
+            continue
+        offenders[name] = _SQL_MOMENT_PAT.search(sql).group(0)
+    assert not offenders, (
+        f"oracle SQL with raw int64 moment products (overflow class — "
+        f"cast each factor to DOUBLE or widen to HUGEINT, or allowlist "
+        f"with a bounded-by-construction reason): {offenders}"
+    )
+
+
+def test_swept_sites_keep_factor_level_casts():
+    """Direct revert guard for the r8 overflow sweep: the three
+    prescribed queries must not regress to CAST(a*b - c*d AS DOUBLE),
+    and the two rows-squared sites must keep their HUGEINT widening."""
+    cast_pat = re.compile(
+        r"CAST\(\s*\w+\s*\*\s*\w+\s*-\s*\w+\s*\*\s*\w+\s+AS\s+DOUBLE\)",
+        re.I,
+    )
+    for name in ("cuped_adjustment", "leadlag_xcorr", "variance_ratio"):
+        assert not cast_pat.search(ORACLE[name]), (
+            f"{name} reverted to the int64-product-then-cast form"
+        )
+    for name in ("ks_drift", "wasserstein_drift"):
+        assert "HUGEINT" in ORACLE[name], (
+            f"{name} lost its HUGEINT widening (counts-times-counts "
+            "is rows-squared-scaled)"
+        )
+
+
+# operator-side twin: product-minus-product wrapped in .cast("double")
+_PY_MOMENT_PAT = re.compile(
+    r"\(\s*[\w.()\"']+\s*\*\s*[\w.()\"']+\s*-\s*[\w.()\"']+\s*\*\s*"
+    r"[\w.()\"']+\s*\)\s*\.cast\(\s*\"double\"\s*\)",
+    re.S,
+)
+
+
+def test_operator_moment_products_have_headroom():
+    import glob
+
+    offenders = []
+    pkg = os.path.join(REPO, "defimap_data_pipelines_spark")
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        for m in _PY_MOMENT_PAT.finditer(src):
+            body = m.group(0)
+            # factor-level casts inside the product are the fix, not
+            # the bug
+            if '.cast("double")' in body[: body.rfind(".cast")]:
+                continue
+            line = src[: m.start()].count("\n") + 1
+            # a '# headroom:' annotation within the preceding 10
+            # lines marks a verified bounded-by-construction site
+            preceding = "\n".join(src[: m.start()].split("\n")[-10:])
+            if "headroom:" in preceding:
+                continue
+            offenders.append(f"{os.path.relpath(path, REPO)}:{line}")
+    assert not offenders, (
+        "operator-side int64 moment products without factor-level "
+        f"casts or a '# headroom:' bounded annotation: {offenders}"
+    )
+
+
 def test_every_registered_query_is_benched():
     import bench
 

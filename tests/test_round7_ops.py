@@ -276,8 +276,9 @@ def test_forecast_mase_perfect_seasonal(spark):
 
 def test_conformal_interval_known_quantile(spark):
     """20 scored periods -> 14 calibrate; residuals 1..14 with
-    cov=0.9 pick rank ceil(15*9/10)=13 -> q=13; coverage counts test
-    residuals <= 13."""
+    cov=0.9 pick rank ceil(15*9/10)=ceil(13.5)=14 -> q=14 (the
+    finite-sample conformal rank; the pre-r8 floor picked 13);
+    coverage counts test residuals <= 14."""
     from defimap_data_pipelines_spark.operators.evalmetrics import (
         conformal_interval,
     )
@@ -296,7 +297,7 @@ def test_conformal_interval_known_quantile(spark):
     out = conformal_interval(df, "k", "o", "x", season=7).collect()[0]
     assert out["n_cal"] == 14
     assert out["n_test"] == 6
-    assert out["q"] == pytest.approx(13 / 100.0, abs=1e-12)
+    assert out["q"] == pytest.approx(14 / 100.0, abs=1e-12)
     assert out["coverage"] == pytest.approx(3 / 6, abs=1e-12)
 
 
