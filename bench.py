@@ -311,6 +311,10 @@ BENCH_QUERIES = [
     "backtest_folds",
     "wasserstein_drift",
     "pinball_loss",
+    # r8 wave 21
+    "ljung_box",
+    "partial_corr",
+    "qini_uplift",
 ]
 
 

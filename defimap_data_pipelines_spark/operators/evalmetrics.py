@@ -703,3 +703,91 @@ def pinball_loss(
             9,
         ).alias("pinball"),
     )
+
+
+def qini_uplift(
+    df: DataFrame,
+    treat_col,
+    response_col,
+    score_col: str,
+    quantum: int = 100,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini (cumulative uplift) table — the evaluation curve for
+    uplift models, the treatment-aware sibling of lift_gains: rank
+    everyone by score descending, and at each decile boundary report
+    how many EXTRA responses the treated group shows over the
+    control-rate expectation at the same depth:
+
+        qini(d) = cum_resp_t(d) - cum_resp_c(d) * cum_n_t(d) / cum_n_c(d)
+
+    Returns one row per occupied bin: (bin, cum_n_t, cum_n_c,
+    cum_resp_t, cum_resp_c, qini); qini is NULL while the control
+    side is still empty. A perfect uplift model front-loads qini; a
+    random one grows it linearly to the endpoint.
+
+    Determinism under ties: rows collapse to quantized-score blocks
+    (O(distinct scores), the roc_auc substrate) carrying per-arm row
+    and response counts; cumulative counts ride ONE ordered window
+    over that block frame, and a block's bin is decided by its START
+    offset — (off * n_bins) div n, an integer decision, so tied
+    scores can never straddle engines differently. Every cumulative
+    is int64; the two float ops (the control scaling and the ratio)
+    run per output row.
+    """
+    rows = df.select(
+        F.round(F.col(score_col) * quantum).cast("long").alias("vq"),
+        F.when(treat_col, 1).otherwise(0).cast("long").alias("t"),
+        F.when(response_col, 1).otherwise(0).cast("long").alias("y"),
+    )
+    blocks = rows.groupBy("vq").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("t").alias("nt"),
+        F.sum(F.col("t") * F.col("y")).alias("rt"),
+        F.sum((1 - F.col("t")) * F.col("y")).alias("rc"),
+    )
+    wdesc = Window.orderBy(F.col("vq").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = blocks.select(
+        (F.sum("cnt").over(wdesc) - F.col("cnt")).alias("off"),
+        F.sum("nt").over(wdesc).alias("cnt_t"),
+        (F.sum("cnt").over(wdesc) - F.sum("nt").over(wdesc)).alias(
+            "cnt_c"
+        ),
+        F.sum("rt").over(wdesc).alias("crt"),
+        F.sum("rc").over(wdesc).alias("crc"),
+    )
+    total = blocks.agg(F.sum("cnt").alias("_n"))
+    binned = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.expr(f"(off * {n_bins}) div _n").alias("bin"),
+            "cnt_t",
+            "cnt_c",
+            "crt",
+            "crc",
+        )
+        .groupBy("bin")
+        .agg(
+            # all four cumulatives are monotone in block order, so
+            # max = the value at the bin's last block
+            F.max("cnt_t").alias("cum_n_t"),
+            F.max("cnt_c").alias("cum_n_c"),
+            F.max("crt").alias("cum_resp_t"),
+            F.max("crc").alias("cum_resp_c"),
+        )
+    )
+    qini = F.col("cum_resp_t").cast("double") - F.col(
+        "cum_resp_c"
+    ).cast("double") * F.col("cum_n_t").cast("double") / F.col(
+        "cum_n_c"
+    ).cast("double")
+    return binned.select(
+        F.col("bin").cast("long").alias("bin"),
+        "cum_n_t",
+        "cum_n_c",
+        "cum_resp_t",
+        "cum_resp_c",
+        F.round(F.when(F.col("cum_n_c") > 0, qini), 9).alias("qini"),
+    )

@@ -175,8 +175,16 @@ def gini_by_group(
     equal values among their positions leaves sum(i * x) unchanged
     (the tied block contributes x * sum(positions) either way), so
     any total order gives the same G — the tie column only pins the
-    per-row rank for the oracle replay. All sums exact int64; one
-    double division per group.
+    per-row rank for the oracle replay.
+
+    Headroom (r8): the rank-weighted sum is ROWS-SQUARED-scaled
+    (sum(i*x) ~ n^2 * mean(x) / 2 — int64 wraps near 1e8 docs of 1e3
+    chars per group), so it accumulates in decimal(38,0) (oracle:
+    HUGEINT) — still exact, order-independent integers — and the
+    (n+1)*sx / n*sx products ride the same widened type; the per-row
+    product i*x stays int64 (safe to ~9e12 rows of 1e3-char docs —
+    document-count-bounded, not corpus-mass-bounded). One double
+    division per group at the end.
 
     Shape: one window sort per group + one groupBy — the same cost as
     any per-group ranking; no self-joins, no O(n^2) pair sums.
@@ -192,11 +200,14 @@ def gini_by_group(
     agg = ranked.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("_x").alias("sx"),
-        F.sum(F.col("_i") * F.col("_x")).alias("six"),
+        F.sum(
+            (F.col("_i") * F.col("_x")).cast("decimal(38,0)")
+        ).alias("six"),
     )
-    g = (
-        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
-        / (F.col("n") * F.col("sx")).cast("double")
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    g = (2 * F.col("six") - (nd + 1) * sxd).cast("double") / (
+        (nd * sxd).cast("double")
     )
     return agg.select(
         group_col, "n", "sx", F.round(g, 9).alias("gini")
@@ -1736,4 +1747,100 @@ def wasserstein_drift(
             / F.lit(float(quantum)),
             9,
         ).alias("w1"),
+    )
+
+
+def pearson_r_expr(sab: str, sa: str, sb: str, saa: str, sbb: str) -> str:
+    """Pearson r as a SQL expression over int64 moment columns plus a
+    row count column ``_n`` — shared VERBATIM between the Spark
+    operator and the DuckDB oracle so both engines build the identical
+    float tree. Every FACTOR casts to double BEFORE the product (the
+    r8 headroom discipline: the moment sums are data-scaled, so the
+    int64 product form loses headroom as SF grows); NULL when either
+    side has zero variance."""
+
+    def c(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    n = c("_n")
+    cov = f"({n} * {c(sab)} - {c(sa)} * {c(sb)})"
+    va = f"({n} * {c(saa)} - {c(sa)} * {c(sa)})"
+    vb = f"({n} * {c(sbb)} - {c(sb)} * {c(sb)})"
+    return (
+        f"(CASE WHEN {va} > 0 AND {vb} > 0 "
+        f"THEN {cov} / SQRT({va} * {vb}) END)"
+    )
+
+
+#: partial correlation of x and y CONTROLLING FOR z, from the three
+#: pairwise r columns (r_xy, r_xz, r_yz) — the first-order partial
+#: correlation identity. Shared verbatim between engine and oracle.
+PARTIAL_R_EXPR = (
+    "(CASE WHEN (1 - _rxz * _rxz) * (1 - _ryz * _ryz) > 0 "
+    "THEN (_rxy - _rxz * _ryz) "
+    "/ SQRT((1 - _rxz * _rxz) * (1 - _ryz * _ryz)) END)"
+)
+
+
+def partial_corr(
+    daily: DataFrame,
+    group_x: str,
+    group_y: str,
+    group_z: str,
+) -> DataFrame:
+    """First-order partial correlation between two groups' daily
+    series CONTROLLING for a third (the ``daily_series`` substrate):
+    r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)) — the
+    question spearman/leadlag can't answer: is the click~purchase
+    correlation real, or do both just follow views? Returns ONE row
+    (n_days, r_xy, r_xz, r_yz, r_partial); the partial is NULL when
+    either controlling correlation is +/-1 (degenerate control).
+
+    Scale shape: the heavy work (rows -> per-day totals) happened in
+    daily_series; here three O(days) series inner-join on day, ONE
+    moment aggregate produces the 10 int64 sums, and all float math
+    runs on that single row via pearson_r_expr / PARTIAL_R_EXPR —
+    identical trees both engines, factor-level double casts per the
+    r8 headroom discipline.
+    """
+    x = daily.filter(F.col("g") == group_x).select(
+        "day", F.col("yq").alias("x")
+    )
+    y = daily.filter(F.col("g") == group_y).select(
+        "day", F.col("yq").alias("y")
+    )
+    z = daily.filter(F.col("g") == group_z).select(
+        "day", F.col("yq").alias("z")
+    )
+    xyz = x.join(y, "day").join(z, "day")
+    mom = xyz.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum("z").alias("_sz"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("_sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("_syz"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+        F.sum(F.col("z") * F.col("z")).alias("_szz"),
+    )
+    rs = mom.select(
+        F.col("_n"),
+        F.expr(
+            pearson_r_expr("_sxy", "_sx", "_sy", "_sxx", "_syy")
+        ).alias("_rxy"),
+        F.expr(
+            pearson_r_expr("_sxz", "_sx", "_sz", "_sxx", "_szz")
+        ).alias("_rxz"),
+        F.expr(
+            pearson_r_expr("_syz", "_sy", "_sz", "_syy", "_szz")
+        ).alias("_ryz"),
+    )
+    return rs.select(
+        F.col("_n").alias("n_days"),
+        F.round("_rxy", 9).alias("r_xy"),
+        F.round("_rxz", 9).alias("r_xz"),
+        F.round("_ryz", 9).alias("r_yz"),
+        F.round(F.expr(PARTIAL_R_EXPR), 9).alias("r_partial"),
     )

@@ -158,6 +158,93 @@ def acf_quantized(
     )
 
 
+def ljung_box_q_expr(max_lag: int) -> str:
+    """The Ljung-Box Q expression over the wide per-lag numerator
+    columns (_n1.._n{max_lag}), the denominator _d and the series
+    length _n — shared VERBATIM between the Spark operator and the
+    DuckDB oracle (the RUNS_TEST_Z_EXPR discipline) so both engines
+    build the identical float expression tree.
+
+    Q = n(n+2) * sum_k rho_k^2 / (n-k) with rho_k = num_k / denom.
+    The sum over lags is a FIXED-ORDER literal chain of max_lag
+    terms, never a float row-aggregation — float addition is only
+    order-stable when the order is spelled out.
+    """
+    terms = " + ".join(
+        f"(CAST(_n{k} AS DOUBLE) / CAST(_d AS DOUBLE))"
+        f" * (CAST(_n{k} AS DOUBLE) / CAST(_d AS DOUBLE))"
+        f" / (_n - {k})"
+        for k in range(1, max_lag + 1)
+    )
+    return f"CAST(_n AS DOUBLE) * (_n + 2) * ({terms})"
+
+
+def ljung_box(
+    series: DataFrame,
+    order_col: str,
+    value_q_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung-Box portmanteau Q over the plug-in autocorrelations of an
+    integer-valued series — the standard "is there ANY autocorrelation
+    through lag h" test (Ljung & Box 1978) that upgrades acf_quantized
+    from per-lag eyeballing to one decision statistic:
+
+        Q = n (n + 2) * sum_{k=1..h} rho_k^2 / (n - k)
+
+    with rho_k the same exact-integer plug-in ACF acf_quantized
+    computes (centered via n*x - S so every accumulation stays int64;
+    identical headroom bound: keep |n*x| < 3e9 by quantizing the
+    series coarse enough). Returns ONE row (n_days, max_lag, lb_q);
+    lb_q is NULL for series shorter than max_lag + 1 (a lag with no
+    overlap has an undefined rho). Under H0 (white noise) Q ~
+    chi2(h), so the caller compares against the literal chi2 critical
+    value for their alpha.
+
+    Scale shape: identical to acf_quantized — the series frame is one
+    row per period (O(days), aggregated upstream), the per-lag
+    numerators ride ONE window pass, and the lag sum is a fixed-order
+    scalar expression on a single joined row (see ljung_box_q_expr).
+    """
+    n_s = series.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(value_q_col)).cast("long").alias("_s"),
+    )
+    w = Window.orderBy(order_col)
+    base = (
+        series.select(order_col, value_q_col)
+        .crossJoin(F.broadcast(n_s))
+        .withColumn("_c", F.col("_n") * F.col(value_q_col) - F.col("_s"))
+    )
+    denom = base.agg(F.sum(F.col("_c") * F.col("_c")).alias("_d"))
+    lagged = base.select(
+        "_c",
+        F.col("_n"),
+        *[
+            F.lag("_c", lag).over(w).alias(f"_c{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    nums = lagged.groupBy("_n").agg(
+        *[
+            F.sum(F.col("_c") * F.col(f"_c{lag}")).alias(f"_n{lag}")
+            for lag in range(1, max_lag + 1)
+        ]
+    )
+    q = F.when(
+        (F.col("_n") > max_lag) & (F.col("_d") > 0),
+        F.expr(ljung_box_q_expr(max_lag)),
+    )
+    return (
+        nums.crossJoin(F.broadcast(denom))
+        .select(
+            F.col("_n").alias("n_days"),
+            F.lit(max_lag).cast("int").alias("max_lag"),
+            F.round(q, 9).alias("lb_q"),
+        )
+    )
+
+
 def seasonal_residuals(
     series: DataFrame,
     day_col: str,

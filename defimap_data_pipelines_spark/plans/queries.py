@@ -9837,14 +9837,17 @@ GINI_SQL = """
         FROM documents
     ),
     agg AS (
+        -- headroom: the rank-weighted sum is rows-squared-scaled, so
+        -- it accumulates in HUGEINT (Spark twin: decimal(38,0)) —
+        -- exact, order-independent integers (r8 widening)
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(i * x) AS BIGINT) AS six
+               SUM(CAST(i * x AS HUGEINT)) AS six
         FROM ranked GROUP BY source
     )
     SELECT source, n, sx,
-           ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
-                 / CAST(n * sx AS DOUBLE), 9) AS gini
+           ROUND(CAST(2 * six - (CAST(n AS HUGEINT) + 1) * sx AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE), 9) AS gini
     FROM agg ORDER BY source
 """
 
@@ -15372,6 +15375,202 @@ def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 8 wave 21: Ljung-Box portmanteau, partial correlation, Qini
+# uplift table
+# --------------------------------------------------------------------------
+
+from defimap_data_pipelines_spark.operators.stats import (  # noqa: E402
+    PARTIAL_R_EXPR,
+    pearson_r_expr,
+)
+from defimap_data_pipelines_spark.operators.timeseries import (  # noqa: E402
+    ljung_box_q_expr,
+)
+
+LJUNG_BOX_SQL = f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value) AS BIGINT)) AS BIGINT) AS xq
+        FROM events GROUP BY 1
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n,
+                  CAST(SUM(xq) AS BIGINT) AS _s FROM daily),
+    c AS (SELECT day, ns._n AS _n, ns._n * xq - ns._s AS _c
+          FROM daily, ns),
+    d AS (SELECT CAST(SUM(_c * _c) AS BIGINT) AS _d FROM c),
+    l AS (
+        SELECT _n, _c,
+               LAG(_c, 1) OVER w AS _c1, LAG(_c, 2) OVER w AS _c2,
+               LAG(_c, 3) OVER w AS _c3, LAG(_c, 4) OVER w AS _c4,
+               LAG(_c, 5) OVER w AS _c5, LAG(_c, 6) OVER w AS _c6,
+               LAG(_c, 7) OVER w AS _c7
+        FROM c WINDOW w AS (ORDER BY day)
+    ),
+    nums AS (
+        SELECT CAST(MAX(_n) AS BIGINT) AS _n,
+               CAST(SUM(_c * _c1) AS BIGINT) AS _n1,
+               CAST(SUM(_c * _c2) AS BIGINT) AS _n2,
+               CAST(SUM(_c * _c3) AS BIGINT) AS _n3,
+               CAST(SUM(_c * _c4) AS BIGINT) AS _n4,
+               CAST(SUM(_c * _c5) AS BIGINT) AS _n5,
+               CAST(SUM(_c * _c6) AS BIGINT) AS _n6,
+               CAST(SUM(_c * _c7) AS BIGINT) AS _n7
+        FROM l
+    )
+    SELECT _n AS n_days, CAST(7 AS INT) AS max_lag,
+           ROUND(CASE WHEN _n > 7 AND _d > 0
+                 THEN {ljung_box_q_expr(7)} END, 9) AS lb_q
+    FROM nums, d
+"""
+
+
+@register("ljung_box", LJUNG_BOX_SQL)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box white-noise test of total daily event mass through
+    lag 7 (operators/timeseries.py::ljung_box): Q = n(n+2) sum
+    rho_k^2/(n-k) over acf_lags' exact-integer plug-in ACF. The lag
+    sum is a fixed-order expression shared verbatim with the oracle
+    (ljung_box_q_expr) — never a float row-aggregation."""
+    from defimap_data_pipelines_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.round(F.col("value")).cast("long")).alias("xq"))
+    )
+    return ljung_box(daily, "day", "xq", max_lag=7)
+
+
+PARTIAL_CORR_SQL = f"""
+    WITH daily AS (
+        SELECT event_type AS g, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value) AS BIGINT)) AS BIGINT) AS yq
+        FROM events GROUP BY 1, 2
+    ),
+    x AS (SELECT day, yq AS x FROM daily WHERE g = 'click'),
+    y AS (SELECT day, yq AS y FROM daily WHERE g = 'purchase'),
+    z AS (SELECT day, yq AS z FROM daily WHERE g = 'view'),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS _n,
+               CAST(SUM(x) AS BIGINT) AS _sx,
+               CAST(SUM(y) AS BIGINT) AS _sy,
+               CAST(SUM(z) AS BIGINT) AS _sz,
+               CAST(SUM(x * y) AS BIGINT) AS _sxy,
+               CAST(SUM(x * z) AS BIGINT) AS _sxz,
+               CAST(SUM(y * z) AS BIGINT) AS _syz,
+               CAST(SUM(x * x) AS BIGINT) AS _sxx,
+               CAST(SUM(y * y) AS BIGINT) AS _syy,
+               CAST(SUM(z * z) AS BIGINT) AS _szz
+        FROM x JOIN y USING (day) JOIN z USING (day)
+    ),
+    r AS (
+        SELECT _n,
+               {pearson_r_expr("_sxy", "_sx", "_sy", "_sxx", "_syy")}
+                   AS _rxy,
+               {pearson_r_expr("_sxz", "_sx", "_sz", "_sxx", "_szz")}
+                   AS _rxz,
+               {pearson_r_expr("_syz", "_sy", "_sz", "_syy", "_szz")}
+                   AS _ryz
+        FROM m
+    )
+    SELECT _n AS n_days,
+           ROUND(_rxy, 9) AS r_xy,
+           ROUND(_rxz, 9) AS r_xz,
+           ROUND(_ryz, 9) AS r_yz,
+           ROUND({PARTIAL_R_EXPR}, 9) AS r_partial
+    FROM r
+"""
+
+
+@register("partial_corr", PARTIAL_CORR_SQL)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily click vs purchase revenue
+    CONTROLLING for views (operators/stats.py::partial_corr) — the
+    confounder-aware complement to leadlag_xcorr/spearman. Daily
+    sums quantize to WHOLE units for moment-product headroom; every
+    r comes from pearson_r_expr with factor-level double casts (the
+    r8 discipline), shared verbatim with this oracle."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        partial_corr,
+    )
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value")).cast("long")).alias("yq"))
+    )
+    return partial_corr(daily, "click", "purchase", "view")
+
+
+QINI_SQL = """
+    WITH rows_q AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    blocks AS (
+        SELECT vq, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(t) AS BIGINT) AS nt,
+               CAST(SUM(t * y) AS BIGINT) AS rt,
+               CAST(SUM((1 - t) * y) AS BIGINT) AS rc
+        FROM rows_q GROUP BY vq
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS _n FROM blocks),
+    cum AS (
+        SELECT SUM(cnt) OVER w - cnt AS off,
+               SUM(nt) OVER w AS cnt_t,
+               SUM(cnt) OVER w - SUM(nt) OVER w AS cnt_c,
+               SUM(rt) OVER w AS crt,
+               SUM(rc) OVER w AS crc
+        FROM blocks
+        WINDOW w AS (ORDER BY vq DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    binned AS (
+        SELECT (off * 10) // _n AS bin,
+               CAST(MAX(cnt_t) AS BIGINT) AS cum_n_t,
+               CAST(MAX(cnt_c) AS BIGINT) AS cum_n_c,
+               CAST(MAX(crt) AS BIGINT) AS cum_resp_t,
+               CAST(MAX(crc) AS BIGINT) AS cum_resp_c
+        FROM cum, tot GROUP BY 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, cum_n_t, cum_n_c,
+           cum_resp_t, cum_resp_c,
+           ROUND(CASE WHEN cum_n_c > 0 THEN
+                 CAST(cum_resp_t AS DOUBLE)
+                 - CAST(cum_resp_c AS DOUBLE)
+                   * CAST(cum_n_t AS DOUBLE)
+                   / CAST(cum_n_c AS DOUBLE) END, 9) AS qini
+    FROM binned ORDER BY bin
+"""
+
+
+@register("qini_uplift", QINI_SQL)
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini cumulative-uplift table for the synthetic experiment
+    (operators/evalmetrics.py::qini_uplift): value as the uplift
+    score, user parity as the arm, purchase as the response. Tie-safe
+    block deciles (a block bins by its start offset), int64
+    cumulatives, floats only in the per-row qini."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        qini_uplift,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return qini_uplift(
+        e,
+        F.col("user_id") % 2 == 1,
+        F.col("event_type") == "purchase",
+        "value",
+    ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -15402,21 +15601,22 @@ def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries changed in r7 + the first 19 of waves 8-16, pre-verified
 # 50/50 with tools/parity.py --vanilla --window at sf0.01.
 #
-# Round-8 rotation candidates (the COMPLETE remaining backlog, 32
-# names for 41 slots): leadlag_xcorr, information_ratio,
-# underwater_spells, kendall_tau, fifo_matching, kruskal_wallis,
-# ulcer_martin, variance_ratio, pr_auc, cohens_kappa,
-# local_clustering, page_hinkley, permutation_test, rs_hurst,
-# updown_capture, zipf_fit, target_encoding, feature_hashing,
-# cramers_v, friedman_test, anova_oneway, heaps_fit (waves 8-16
-# remainder), plus the 13 r7 registrations: bh_fdr, mcnemar_test,
-# runs_test, ar1_halflife, levenshtein_neardup, decayed_popularity,
-# k_anonymity, forecast_mase, conformal_interval,
-# centroid_similarity, backtest_folds, wasserstein_drift,
-# pinball_loss. After r8 every oracle-backed query will have a
-# driver row again; 6 slots remain for r8 registrations.
+# Round-8 rotation (below): the COMPLETE remaining backlog (22
+# waves-8-16 names + 13 r7 registrations = 35), the 3 queries
+# changed in r8 that already had driver rows (cuped_adjustment's
+# factor-cast sweep; char_jaccard_pairs' bitset-gate fallback;
+# ks_drift's HUGEINT widening — the other changed queries are
+# already in the backlog), and the 3 r8 registrations (wave 21).
+# After this window EVERY oracle-backed query in the registry has a
+# driver row — the coverage contract fully discharged.
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
+#
+# Round-9 rotation candidates: gini_concentration (changed in r8 —
+# rank-weighted sum widened to decimal/HUGEINT — after the 50 slots
+# were committed; re-verified by tools/parity.py at sf0.01 and the
+# sf0.001 suite, but should get a fresh driver row) + any r9
+# registrations; 46 slots will be free.
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
@@ -15429,55 +15629,57 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # r7 rotation, part 1: the 19 candidates announced at the end of
-    # r6 (waves 5-7) — none has a driver row yet
-    "incremental_cc",
-    "skew_report",
-    "graph_walks",
-    "spearman_corr",
-    "mannwhitney_u",
-    "kaplan_meier",
-    "holt_forecast",
-    "seasonal_anomalies",
-    "rrf_fusion",
-    "itemcf_topk",
-    "community_modularity",
-    "js_divergence",
-    "ams_f2_moment",
-    "markov_stationary",
-    "bootstrap_ci",
-    "top_event_paths",
-    "mutual_best_pairs",
-    "isotonic_calibration",
-    "trailing_distinct_kmv",
-    # r7 rotation, part 2: changed this round (journeys driver-side
-    # value iteration; experiments double-cast moments) — must be
-    # driver-revalidated
-    "markov_attribution",
-    "ratio_metric_delta",
-    "shapley_attribution",
-    # r7 rotation, part 3: waves 8-16 in registration order (19 of
-    # 41; the remaining 22 — leadlag_xcorr .. heaps_fit — are the
-    # complete r8 backlog and fit its window with 19 slots to spare)
-    "theilsen_slope",
-    "mann_kendall",
-    "weighted_median",
-    "burstiness",
-    "mutual_information",
-    "psi_drift",
-    "best_split_ig",
-    "sortino_calmar",
-    "var_cvar",
-    "rolling_beta",
-    "roc_auc",
-    "lift_gains",
-    "attribution_credit",
-    "peak_concurrency",
-    "did_estimator",
+    # r8 rotation, part 1: the complete waves-8-16 remainder (22) —
+    # none has a driver row yet; leadlag_xcorr and variance_ratio
+    # carry this round's factor-cast overflow fix
+    "leadlag_xcorr",
+    "information_ratio",
+    "underwater_spells",
+    "kendall_tau",
+    "fifo_matching",
+    "kruskal_wallis",
+    "ulcer_martin",
+    "variance_ratio",
+    "pr_auc",
+    "cohens_kappa",
+    "local_clustering",
+    "page_hinkley",
+    "permutation_test",
+    "rs_hurst",
+    "updown_capture",
+    "zipf_fit",
+    "target_encoding",
+    "feature_hashing",
+    "cramers_v",
+    "friedman_test",
+    "anova_oneway",
+    "heaps_fit",
+    # r8 rotation, part 2: the 13 r7 registrations (waves 17-20);
+    # levenshtein_neardup (prefix-length banding), conformal_interval
+    # (ceil rank), centroid_similarity (n_a/n_b columns) and
+    # wasserstein_drift (decimal widening) changed this round
+    "bh_fdr",
+    "mcnemar_test",
+    "runs_test",
+    "ar1_halflife",
+    "levenshtein_neardup",
+    "decayed_popularity",
+    "k_anonymity",
+    "forecast_mase",
+    "conformal_interval",
+    "centroid_similarity",
+    "backtest_folds",
+    "wasserstein_drift",
+    "pinball_loss",
+    # r8 rotation, part 3: driver-green in earlier rounds but CHANGED
+    # this round — must be revalidated
     "cuped_adjustment",
-    "ndcg_at_k",
-    "map_at_k",
-    "brier_calibration",
+    "char_jaccard_pairs",
+    "ks_drift",
+    # r8 rotation, part 4: the wave-21 registrations
+    "ljung_box",
+    "partial_corr",
+    "qini_uplift",
 ]
 
 

@@ -295,3 +295,39 @@ def test_blocked_pair_kernels_have_no_join_side_cartesian(spark, sf_dir):
         plan = _final_plan(name, spark, sf_dir)
         assert "CartesianProduct" not in plan, name
         assert "FlatMapGroupsInPandas" in plan, name
+
+
+def test_wasserstein_support_frame_window(spark, sf_dir):
+    """The W1 cumulative must ride ONE window pass over the
+    value-grouped support frame (bounded by value cardinality), and
+    candidate work must never go cartesian; the only nested-loop
+    allowed is the broadcast-of-scalar totals join."""
+    plan = _final_plan("wasserstein_drift", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1, plan.count("Window")
+
+
+def test_ljung_box_single_window_pass(spark, sf_dir):
+    """All 7 lag columns must come from ONE ordered window pass over
+    the O(days) series (a per-lag window would re-sort 7 times)."""
+    plan = _final_plan("ljung_box", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1, plan.count("Window")
+
+
+def test_partial_corr_no_window_one_moment_agg(spark, sf_dir):
+    """partial_corr is pure aggregation: three O(days) series join on
+    day and ONE moment aggregate produces every sum — no window, no
+    cartesian; float math runs on the single joined row."""
+    plan = _final_plan("partial_corr", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 0, plan.count("Window")
+
+
+def test_qini_cumulatives_single_window_over_blocks(spark, sf_dir):
+    """The qini cumulative counts ride ONE ordered window over the
+    score-distinct block frame (the roc_auc substrate), never a
+    row-grained global sort."""
+    plan = _final_plan("qini_uplift", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1, plan.count("Window")

@@ -61,14 +61,22 @@ def test_query_index_rows_match_registry():
 # bound). These lints make a revert of the r8 sweep a local red.
 # --------------------------------------------------------------------------
 
-# raw int64 product-minus-product inside oracle SQL; factor-level
-# CAST(x AS DOUBLE)/HUGEINT forms do not match (a ')' precedes '*')
-_SQL_MOMENT_PAT = re.compile(r"\b\w+\s*\*\s*\w+\s*-\s*\w+\s*\*\s*\w+\b")
+# raw int64 product-minus-product inside oracle SQL; factors may be
+# bare identifiers or single-level parenthesized expressions (the
+# gini (n + 1) * sx form the first pattern missed). Factor-level
+# CAST(x AS DOUBLE)/HUGEINT forms do not match: the CAST's nested
+# parens break the single-level factor.
+_SQL_FACTOR = r"(?:\w+|\([^()]+\))"
+_SQL_MOMENT_PAT = re.compile(
+    rf"{_SQL_FACTOR}\s*\*\s*{_SQL_FACTOR}\s*-\s*"
+    rf"{_SQL_FACTOR}\s*\*\s*{_SQL_FACTOR}"
+)
 
 # queries allowed to keep the raw integer form, with the reason the
 # product is NOT data-volume-scaled
 _SQL_MOMENT_BOUNDED = {
     "risk": "float moments (reference-parity flagship) — not int64",
+    "q9_product_profit": "row-level float price arithmetic (TPC-H)",
     "rolling_beta": "fixed 30-row window",
     "information_ratio": "365-row calendar tail",
     "zipf_fit": "rank/vocab-bounded log-scale sums",
@@ -84,9 +92,11 @@ def test_oracle_moment_products_have_headroom():
         if not _SQL_MOMENT_PAT.search(sql):
             continue
         if name in _SQL_MOMENT_BOUNDED:
-            # bounded sites (except float-typed risk) must carry the
-            # annotation in the SQL itself so the bound is auditable
-            if name != "risk":
+            # bounded INT sites must carry the annotation in the SQL
+            # itself so the bound is auditable; float-typed matches
+            # (risk's float moments, Q9's price arithmetic) have no
+            # int64 bound to document
+            if name not in ("risk", "q9_product_profit"):
                 assert "headroom:" in sql, (
                     f"{name} is allowlisted as bounded but its oracle "
                     "SQL lost the '-- headroom:' annotation"
@@ -112,10 +122,10 @@ def test_swept_sites_keep_factor_level_casts():
         assert not cast_pat.search(ORACLE[name]), (
             f"{name} reverted to the int64-product-then-cast form"
         )
-    for name in ("ks_drift", "wasserstein_drift"):
+    for name in ("ks_drift", "wasserstein_drift", "gini_concentration"):
         assert "HUGEINT" in ORACLE[name], (
-            f"{name} lost its HUGEINT widening (counts-times-counts "
-            "is rows-squared-scaled)"
+            f"{name} lost its HUGEINT widening (counts-times-counts / "
+            "rank-weighted sums are rows-squared-scaled)"
         )
 
 
