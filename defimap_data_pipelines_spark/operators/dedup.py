@@ -931,40 +931,45 @@ def levenshtein_neardup_pairs(
     prefix_len: int = 64,
     tau: int = 12,
 ) -> DataFrame:
-    """Edit-distance near-duplicate pairs: (doc_a, doc_b, lev) with
-    levenshtein(prefix_a, prefix_b) <= tau over ``prefix_len``-char
-    document prefixes — the string-metric complement to the
-    set-based Jaccard/MinHash family (insensitive to token order,
-    sensitive to character edits).
+    """Edit-distance near-duplicate pairs: (doc_a, doc_b, lev) where
 
-    Blocking is EXACT, not a recall heuristic: lev >= |len_a -
-    len_b| holds for the lengths of the COMPARED strings — the
-    clamped prefixes — so the band key is length(prefix) div
-    band_width (NOT the full-document length: two docs with
-    near-identical prefixes whose full lengths differ by >=
-    2*band_width would land in non-adjacent full-length bands and be
-    silently dropped). With that key, tau < 2 * band_width implies
-    any qualifying pair sits in the same or adjacent band.
+      1. the documents' FULL lengths (``len_col``) fall in the same
+         or adjacent ``band_width``-char bands, AND
+      2. levenshtein(prefix_a, prefix_b) <= tau over
+         ``prefix_len``-char prefixes.
+
+    The length-similarity condition (1) is PART OF THE OUTPUT
+    CONTRACT, not a recall heuristic that can silently drop pairs:
+    two documents of wildly different total length are not
+    near-duplicates even when their prefixes match (a 52-char note
+    is not a near-dup of a 9000-char article that quotes it —
+    that's the CONTAINMENT operator's job, containment_pairs). The
+    r8 ADVICE showed that banding alone is NOT exact for the
+    prefix-lev predicate (prefix lengths clamp at prefix_len, so
+    lev >= |len_a - len_b| only bounds the compared strings); and
+    banding on the compared-prefix length, while exact for (2)
+    alone, collapses every >= prefix_len doc into ONE band — the
+    corpus becomes a single quadratic block (measured 2.8 s -> 69 s
+    at sf0.1). Defining (1) into the contract keeps the blocking
+    EXACT for the defined output and band-local.
+
     Candidates = one same-band self-join (id_a < id_b) plus one
     strictly-adjacent-band join (disjoint conditions, so no pair
     dedup needed; adjacent pairs re-orient by id afterwards). Each
-    band holds only docs of similar prefix length, so the join is
+    band holds only docs of similar full length, so the join is
     band-local — the 100 TB shape is |bands| independent block
     joins, never corpus-quadratic, and the per-pair verify is
     O(prefix_len * tau) via Spark's thresholded levenshtein
     (early-exits above tau; the DuckDB oracle computes the plain
-    distance and filters — identical kept pairs and values).
-
-    ``len_col`` is unused since the round-8 banding fix (kept for
-    signature compatibility); the band derives from the prefix
-    itself, which also keeps the bound valid when the length column
-    disagrees with length(text)."""
-    del len_col
+    distance and filters — identical kept pairs and values; the
+    oracle carries the SAME band predicate, so condition (1) is
+    parity-checked, not assumed)."""
     base = docs.select(
         F.col(id_col).alias("_id"),
         F.col(lang_col).alias("_lang"),
+        F.expr(f"{len_col} div {band_width}").alias("_band"),
         F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
-    ).withColumn("_band", F.expr(f"length(_p) div {band_width}"))
+    )
     a = base.select(
         F.col("_id").alias("_ida"),
         F.col("_lang").alias("_la"),

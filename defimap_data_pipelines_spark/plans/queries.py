@@ -14892,11 +14892,11 @@ def q_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEV_NEARDUP_SQL = """
     WITH b AS (
-        -- band on the COMPARED (clamped-prefix) length: the exact
-        -- bound lev >= |len_a - len_b| holds for the prefixes, not
-        -- the full documents (r8 fix, mirrors the operator)
-        SELECT doc_id, lang,
-               length(substr(text, 1, 64)) // 16 AS band,
+        -- the full-length band (same/adjacent) is part of the
+        -- OUTPUT CONTRACT (near-dups have similar total length;
+        -- wildly different lengths are containment_pairs' job) —
+        -- see the operator docstring (r8)
+        SELECT doc_id, lang, n_chars // 16 AS band,
                substr(text, 1, 64) AS p
         FROM documents
     ),
@@ -14922,11 +14922,12 @@ LEV_NEARDUP_SQL = """
 @register("levenshtein_neardup", LEV_NEARDUP_SQL)
 def q_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs over 64-char prefixes
-    (operators/dedup.py::levenshtein_neardup_pairs): EXACT
-    prefix-length-band blocking (lev >= length gap of the COMPARED
-    strings, tau < 2*band_width), band-local joins,
-    thresholded-levenshtein verify (O(prefix*tau) per pair on
-    the engine side; the oracle computes the plain distance)."""
+    (operators/dedup.py::levenshtein_neardup_pairs): the output
+    CONTRACT is similar-full-length (same/adjacent 16-char band —
+    parity-checked, the oracle carries the same predicate) AND
+    prefix-lev <= 12; band-local joins, thresholded-levenshtein
+    verify (O(prefix*tau) per pair on the engine side; the oracle
+    computes the plain distance)."""
     from defimap_data_pipelines_spark.operators.dedup import (
         levenshtein_neardup_pairs,
     )

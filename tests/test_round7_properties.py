@@ -204,8 +204,11 @@ def _lev(a: str, b: str) -> int:
 )
 @settings(**SET)
 def test_levenshtein_neardup_matches_brute_force(spark, texts):
-    """Blocked result == exhaustive python DP over all pairs (the
-    blocking must be lossless for tau < 2*band_width)."""
+    """Blocked result == exhaustive python DP over all pairs UNDER
+    THE OUTPUT CONTRACT: similar full length (same/adjacent
+    band_width-char band) AND prefix-lev <= tau. The length condition
+    is part of the contract, not a recall loss (r8 ADVICE
+    resolution — see the operator docstring)."""
     from defimap_data_pipelines_spark.operators.dedup import (
         levenshtein_neardup_pairs,
     )
@@ -223,6 +226,8 @@ def test_levenshtein_neardup_matches_brute_force(spark, texts):
     expect = {}
     for i in range(len(texts)):
         for j in range(i + 1, len(texts)):
+            if abs(len(texts[i]) // 16 - len(texts[j]) // 16) > 1:
+                continue  # outside the length-similarity contract
             d = _lev(texts[i][:64], texts[j][:64])
             if d <= 12:
                 expect[(i, j)] = d

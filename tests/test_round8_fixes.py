@@ -199,27 +199,38 @@ def test_conformal_rank_is_finite_sample_ceil(spark):
     assert out["q"] == pytest.approx(10 / 100.0, abs=1e-12)
 
 
-def test_levenshtein_banding_uses_compared_prefix_length(spark):
-    """The ADVICE counterexample: two docs with near-identical
-    64-char prefixes whose FULL lengths differ by >= 2*band_width
-    (52 vs 90 chars). Full-length banding drops the pair (bands 3 vs
-    5); prefix-length banding must keep it."""
+def test_levenshtein_length_contract(spark):
+    """The r8 ADVICE resolution: the full-length-band condition is
+    part of the OUTPUT CONTRACT. The ADVICE counterexample pair
+    (near-identical prefixes, full lengths 52 vs 90 = bands 3 vs 5)
+    is EXCLUDED by contract — it is a containment case, not a
+    near-dup — while a same-prefix pair with similar full lengths
+    (90 vs 100 = bands 5 vs 6, adjacent) is reported. An earlier r8
+    attempt banded on the compared-prefix length instead, which IS
+    exact for prefix-lev alone but collapses every >= 64-char doc
+    into one band (measured 2.8 -> 69 s at sf0.1 — a corpus-sized
+    quadratic block)."""
     from defimap_data_pipelines_spark.operators.dedup import (
         levenshtein_neardup_pairs,
     )
 
-    a = "x" * 52  # prefix = 52 chars
-    b = "x" * 52 + "y" * 38  # 90 chars; prefix = "x"*52 + "y"*12
+    a = "x" * 52
+    b = "x" * 52 + "y" * 38  # 90 chars: prefix lev vs a = 12
+    c = "x" * 52 + "y" * 48  # 100 chars: same 64-char prefix as b
     docs = spark.createDataFrame(
-        [(1, a, len(a), "en"), (2, b, len(b), "en")],
+        [(1, a, len(a), "en"), (2, b, len(b), "en"), (3, c, len(c), "en")],
         "doc_id long, text string, n_chars long, lang string",
     )
-    got = levenshtein_neardup_pairs(
-        docs, band_width=16, prefix_len=64, tau=12
-    ).collect()
-    assert len(got) == 1
-    assert (got[0]["doc_a"], got[0]["doc_b"]) == (1, 2)
-    assert got[0]["lev"] == 12  # 12 trailing 'y's in b's prefix
+    got = {
+        (r["doc_a"], r["doc_b"]): r["lev"]
+        for r in levenshtein_neardup_pairs(
+            docs, band_width=16, prefix_len=64, tau=12
+        ).collect()
+    }
+    # (1,2): prefix-close but length bands 3 vs 5 -> outside contract
+    # (1,3): bands 3 vs 6 -> outside contract
+    # (2,3): identical 64-char prefixes, bands 5 vs 6 (adjacent) -> in
+    assert got == {(2, 3): 0}
 
 
 def test_char_jaccard_bitset_falls_back_when_vocab_gate_trips(spark):
