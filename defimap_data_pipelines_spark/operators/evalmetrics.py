@@ -75,16 +75,22 @@ def roc_auc(
         "pos",
         (F.sum("cnt").over(w) - F.col("cnt")).alias("cb"),
     )
+    # headroom (r8): the doubled rank-sum is ROWS-SQUARED-scaled
+    # (r2 ~ n^2, as are n1*(n1+1) and 2*n1*n0) — decimal(38,0)
+    # accumulation (oracle: HUGEINT), exact and order-independent;
+    # one double division at the end.
     agg = ranked.agg(
         F.sum("pos").alias("n1"),
         (F.sum("cnt") - F.sum("pos")).alias("n0"),
         F.sum(
-            F.col("pos") * (2 * F.col("cb") + F.col("cnt") + 1)
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("cnt") + 1)
         ).alias("r2"),
     )
-    auc = (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).cast(
-        "double"
-    ) / (2 * F.col("n1") * F.col("n0")).cast("double")
+    n1d = F.col("n1").cast("decimal(38,0)")
+    auc = (F.col("r2") - n1d * (F.col("n1") + 1)).cast("double") / (
+        (2 * n1d * F.col("n0")).cast("double")
+    )
     return agg.select(
         F.col("n1").alias("n_pos"),
         F.col("n0").alias("n_neg"),
@@ -421,11 +427,14 @@ def average_precision(
     termq = F.round(
         F.col("_cpos").cast("double") / F.col("_ccnt") * 1000000000.0
     ).cast("long")
+    # headroom (r8): the nano-quantized precision sum is ~n_pos*1e9
+    # (wraps int64 at ~9e9 positives) — decimal(38,0) accumulation
+    # (oracle: HUGEINT)
     agg = stepped.select(
         "pos",
         "_ccnt",
         "_cpos",
-        (F.col("pos") * termq).alias("_tq"),
+        (F.col("pos").cast("decimal(38,0)") * termq).alias("_tq"),
     ).agg(
         F.max("_cpos").alias("n1"),
         (F.max("_ccnt") - F.max("_cpos")).alias("n0"),
@@ -457,10 +466,12 @@ def cohens_kappa(
     unfalsifiable).
 
     One groupBy to the O(categories^2) confusion frame; p_o and p_e
-    are exact-int64 ratios (agree*N and sum of marginal products
-    over N^2), so kappa = (agree*N - sum_rc) / (N^2 - sum_rc)
-    divides exact integers once. Marginals come from the confusion
-    frame, never a second scan.
+    are exact ratios (agree*N and sum of marginal products over
+    N^2), so kappa = (agree*N - sum_rc) / (N^2 - sum_rc) divides
+    exact integers once. Marginals come from the confusion frame,
+    never a second scan. Headroom (r8): na*nb, agree*N and N^2 are
+    ROWS-SQUARED-scaled — they compute in decimal(38,0) (oracle:
+    HUGEINT), exact with ~1e38 headroom.
     """
     conf = (
         df.select(rater_a.alias("ra"), rater_b.alias("rb"))
@@ -474,7 +485,11 @@ def cohens_kappa(
         ma.join(
             F.broadcast(mb), F.col("ra") == F.col("rb"), "inner"
         )
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_rc"))
+        .agg(
+            F.sum(
+                F.col("na").cast("decimal(38,0)") * F.col("nb")
+            ).alias("sum_rc")
+        )
     )
     base = conf.agg(
         F.sum("c").alias("n"),
@@ -484,17 +499,18 @@ def cohens_kappa(
     )
     j = base.crossJoin(F.broadcast(cross))
     n = F.col("n")
+    nd = n.cast("decimal(38,0)")
     po = F.col("agree").cast("double") / n
-    pe = F.col("sum_rc").cast("double") / (n * n).cast("double")
-    kappa = (F.col("agree") * n - F.col("sum_rc")).cast("double") / (
-        n * n - F.col("sum_rc")
-    ).cast("double")
+    pe = F.col("sum_rc").cast("double") / (nd * n).cast("double")
+    kappa = (
+        F.col("agree").cast("decimal(38,0)") * n - F.col("sum_rc")
+    ).cast("double") / (nd * n - F.col("sum_rc")).cast("double")
     return j.select(
         n.alias("n"),
         F.round(po, 9).alias("observed_agreement"),
         F.round(pe, 9).alias("expected_agreement"),
         F.round(
-            F.when(n * n - F.col("sum_rc") > 0, kappa), 9
+            F.when(nd * n - F.col("sum_rc") > 0, kappa), 9
         ).alias("kappa"),
     )
 

@@ -354,18 +354,25 @@ def mannwhitney_pairs(
     stepped = blocks.withColumn(
         "_cumbef", F.coalesce(F.sum("blk").over(w), F.lit(0))
     )
+    # headroom (r8): rank sums are ROWS-SQUARED-scaled (r2 ~ n^2) and
+    # the tie term ROWS-CUBED per block (blk^3 wraps int64 at ~2e6
+    # tied rows) — both accumulate in decimal(38,0) (oracle: HUGEINT),
+    # still exact order-independent integers; u2 (itself ~n^2) emits
+    # as double on both engines.
+    _blkd = F.col("blk").cast("decimal(38,0)")
     agg = stepped.groupBy("g_a", "g_b").agg(
         F.sum("cnt_a").alias("n_a"),
         (F.sum("blk") - F.sum("cnt_a")).alias("n_b"),
         F.sum(
-            F.col("cnt_a")
+            F.col("cnt_a").cast("decimal(38,0)")
             * (2 * F.col("_cumbef") + F.col("blk") + 1)
         ).alias("r2"),
         F.sum(
-            F.col("blk") * F.col("blk") * F.col("blk") - F.col("blk")
+            _blkd * F.col("blk") * F.col("blk") - F.col("blk")
         ).alias("t_ties"),
     )
-    u2 = F.col("r2") - F.col("n_a") * (F.col("n_a") + 1)
+    nad = F.col("n_a").cast("decimal(38,0)")
+    u2 = (F.col("r2") - nad * (F.col("n_a") + 1)).cast("double")
     n = F.col("n_a") + F.col("n_b")
     var = (
         F.col("n_a").cast("double")
@@ -373,11 +380,12 @@ def mannwhitney_pairs(
         / 12.0
         * (
             (n + 1).cast("double")
-            - F.col("t_ties").cast("double") / (n * (n - 1))
+            - F.col("t_ties").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
         )
     )
     z = (
-        (u2.cast("double") / 2.0)
+        (u2 / 2.0)
         - F.col("n_a").cast("double") * F.col("n_b") / 2.0
     ) / F.sqrt(var)
     return (
@@ -1213,20 +1221,27 @@ def kruskal_wallis(
         "blk",
         F.coalesce(F.sum("blk").over(wcum), F.lit(0)).alias("_cumbef"),
     )
+    # headroom (r8): the rank sum r2 is ROWS-SQUARED-scaled, the tie
+    # term ROWS-CUBED per block (blk^3 wraps int64 at ~2e6 tied rows
+    # in one value block) and n_total^3 wraps at ~2e6 rows outright —
+    # all three accumulate/compute in decimal(38,0) (oracle:
+    # HUGEINT); t_ties emits as double on both engines.
     perg = (
         counts.join(stepped, "vq")
         .groupBy("g")
         .agg(
             F.sum("cnt").alias("n_g"),
             F.sum(
-                F.col("cnt") * (2 * F.col("_cumbef") + F.col("blk") + 1)
+                F.col("cnt").cast("decimal(38,0)")
+                * (2 * F.col("_cumbef") + F.col("blk") + 1)
             ).alias("r2"),
         )
     )
+    _blkd = F.col("blk").cast("decimal(38,0)")
     totals = blocks.agg(
         F.sum("blk").alias("n_total"),
         F.sum(
-            F.col("blk") * F.col("blk") * F.col("blk") - F.col("blk")
+            _blkd * F.col("blk") * F.col("blk") - F.col("blk")
         ).alias("t_ties"),
     )
     n = F.col("n_total")
@@ -1244,21 +1259,22 @@ def kruskal_wallis(
         .groupBy("n_total", "t_ties")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.sum("_tq").alias("_stq"),
+            F.sum(F.col("_tq").cast("decimal(38,0)")).alias("_stq"),
         )
     )
     h = F.col("_stq").cast("double") / 1000000.0 - 3.0 * (n + 1)
+    ncube = n.cast("decimal(38,0)") * n * n - n
     denom = (
         F.lit(1.0)
-        - F.col("t_ties").cast("double") / (n * n * n - n).cast("double")
+        - F.col("t_ties").cast("double") / ncube.cast("double")
     )
     return agg.select(
         "n_total",
         "n_groups",
-        "t_ties",
+        F.col("t_ties").cast("double").alias("t_ties"),
         F.round(h, 9).alias("h_stat"),
         F.round(
-            h / F.when(n * n * n - n - F.col("t_ties") > 0, denom), 9
+            h / F.when(ncube - F.col("t_ties") > 0, denom), 9
         ).alias("h_corrected"),
     )
 

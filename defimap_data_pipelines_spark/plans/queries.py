@@ -10690,29 +10690,35 @@ MANNWHITNEY_SQL = """
         FROM blocks
     ),
     agg AS (
+        -- headroom: rank sums are rows-squared, the tie term
+        -- rows-cubed per block — HUGEINT accumulation (Spark twin:
+        -- decimal(38,0)); u2 emits as double (r8 widening)
         SELECT g_a, g_b,
                CAST(SUM(cnt_a) AS BIGINT) AS n_a,
                CAST(SUM(blk) - SUM(cnt_a) AS BIGINT) AS n_b,
-               CAST(SUM(cnt_a * (2 * cumbef + blk + 1)) AS BIGINT)
+               SUM(CAST(cnt_a AS HUGEINT) * (2 * cumbef + blk + 1))
                    AS r2,
-               CAST(SUM(blk * blk * blk - blk) AS BIGINT) AS t_ties
+               SUM(CAST(blk AS HUGEINT) * blk * blk - blk) AS t_ties
         FROM stepped GROUP BY 1, 2
     )
     SELECT g_a, g_b, n_a, n_b,
-           CAST(r2 - n_a * (n_a + 1) AS BIGINT) AS u2,
-           ROUND((CAST(r2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+           CAST(r2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) AS u2,
+           ROUND((CAST(r2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+                      / 2.0
                   - CAST(n_a AS DOUBLE) * n_b / 2.0)
                  / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
                         * (CAST(n_a + n_b + 1 AS DOUBLE)
                            - CAST(t_ties AS DOUBLE)
-                             / ((n_a + n_b) * (n_a + n_b - 1)))),
+                             / (CAST(n_a + n_b AS DOUBLE)
+                                * CAST(n_a + n_b - 1 AS DOUBLE)))),
                  9) AS z
     FROM agg
     WHERE n_a > 0 AND n_b > 0
       AND CAST(n_a AS DOUBLE) * n_b / 12.0
           * (CAST(n_a + n_b + 1 AS DOUBLE)
              - CAST(t_ties AS DOUBLE)
-               / ((n_a + n_b) * (n_a + n_b - 1))) > 0
+               / (CAST(n_a + n_b AS DOUBLE)
+                  * CAST(n_a + n_b - 1 AS DOUBLE))) > 0
     ORDER BY g_a, g_b
 """
 
@@ -12360,17 +12366,19 @@ ROC_AUC_SQL = """
         FROM blocks
     ),
     a AS (
+        -- headroom: doubled rank-sum is rows-squared — HUGEINT
+        -- (Spark twin: decimal(38,0)) (r8 widening)
         SELECT CAST(SUM(pos) AS BIGINT) AS n1,
                CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n0,
-               CAST(SUM(pos * (2 * cb + cnt + 1)) AS BIGINT) AS r2
+               SUM(CAST(pos AS HUGEINT) * (2 * cb + cnt + 1)) AS r2
         FROM rk
     )
     SELECT n_pos, n_neg, ROUND(auc, 9) AS auc,
            ROUND(2 * auc - 1, 9) AS gini
     FROM (
         SELECT n1 AS n_pos, n0 AS n_neg,
-               CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
-                   / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+               CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                   / CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE) AS auc
         FROM a
     )
 """
@@ -13221,13 +13229,16 @@ KRUSKAL_SQL = """
         FROM blocks
     ),
     perg AS (
+        -- headroom: rank sums rows-squared, tie term rows-cubed per
+        -- block, n_total^3 rows-cubed — HUGEINT (Spark twin:
+        -- decimal(38,0)); t_ties emits as double (r8 widening)
         SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g,
-               CAST(SUM(cnt * (2 * cumbef + blk + 1)) AS BIGINT) AS r2
+               SUM(CAST(cnt AS HUGEINT) * (2 * cumbef + blk + 1)) AS r2
         FROM counts JOIN stepped USING (vq) GROUP BY 1
     ),
     totals AS (
         SELECT CAST(SUM(blk) AS BIGINT) AS n_total,
-               CAST(SUM(blk * blk * blk - blk) AS BIGINT) AS t_ties
+               SUM(CAST(blk AS HUGEINT) * blk * blk - blk) AS t_ties
         FROM blocks
     ),
     terms AS (
@@ -13239,18 +13250,19 @@ KRUSKAL_SQL = """
     ),
     agg AS (
         SELECT n_total, t_ties, CAST(COUNT(*) AS BIGINT) AS n_groups,
-               CAST(SUM(tq) AS BIGINT) AS stq
+               SUM(CAST(tq AS HUGEINT)) AS stq
         FROM terms GROUP BY 1, 2
     )
-    SELECT n_total, n_groups, t_ties,
+    SELECT n_total, n_groups, CAST(t_ties AS DOUBLE) AS t_ties,
            ROUND(CAST(stq AS DOUBLE) / 1000000.0 - 3.0 * (n_total + 1), 9)
                AS h_stat,
            ROUND((CAST(stq AS DOUBLE) / 1000000.0 - 3.0 * (n_total + 1))
-                 / (CASE WHEN n_total * n_total * n_total - n_total
-                              - t_ties > 0
+                 / (CASE WHEN CAST(n_total AS HUGEINT) * n_total * n_total
+                              - n_total - t_ties > 0
                     THEN 1.0 - CAST(t_ties AS DOUBLE)
-                         / CAST(n_total * n_total * n_total - n_total
-                                AS DOUBLE) END), 9) AS h_corrected
+                         / CAST(CAST(n_total AS HUGEINT) * n_total
+                                * n_total - n_total AS DOUBLE) END), 9)
+               AS h_corrected
     FROM agg
 """
 
@@ -13404,10 +13416,13 @@ PR_AUC_SQL = """
         FROM blocks
     ),
     agg AS (
+        -- headroom: the nano-quantized precision sum is ~n_pos*1e9
+        -- — HUGEINT (Spark twin: decimal(38,0)) (r8 widening)
         SELECT CAST(MAX(cpos) AS BIGINT) AS n1,
                CAST(MAX(ccnt) - MAX(cpos) AS BIGINT) AS n0,
-               CAST(SUM(pos * CAST(ROUND(CAST(cpos AS DOUBLE) / ccnt
-                        * 1000000000.0) AS BIGINT)) AS BIGINT) AS stq
+               SUM(CAST(pos AS HUGEINT)
+                   * CAST(ROUND(CAST(cpos AS DOUBLE) / ccnt
+                          * 1000000000.0) AS BIGINT)) AS stq
         FROM st
     )
     SELECT n1 AS n_pos, n0 AS n_neg,
@@ -13449,7 +13464,9 @@ KAPPA_SQL = """
     ma AS (SELECT ra, CAST(SUM(c) AS BIGINT) AS na FROM conf GROUP BY 1),
     mb AS (SELECT rb, CAST(SUM(c) AS BIGINT) AS nb FROM conf GROUP BY 1),
     cr AS (
-        SELECT CAST(SUM(na * nb) AS BIGINT) AS sum_rc
+        -- headroom: marginal products are rows-squared — HUGEINT
+        -- (Spark twin: decimal(38,0)) (r8 widening)
+        SELECT SUM(CAST(na AS HUGEINT) * nb) AS sum_rc
         FROM ma JOIN mb ON ma.ra = mb.rb
     ),
     base AS (
@@ -13460,11 +13477,13 @@ KAPPA_SQL = """
     )
     SELECT n,
            ROUND(CAST(agree AS DOUBLE) / n, 9) AS observed_agreement,
-           ROUND(CAST(sum_rc AS DOUBLE) / CAST(n * n AS DOUBLE), 9)
+           ROUND(CAST(sum_rc AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 9)
                AS expected_agreement,
-           ROUND(CASE WHEN n * n - sum_rc > 0
-                 THEN CAST(agree * n - sum_rc AS DOUBLE)
-                      / CAST(n * n - sum_rc AS DOUBLE) END, 9) AS kappa
+           ROUND(CASE WHEN CAST(n AS HUGEINT) * n - sum_rc > 0
+                 THEN CAST(CAST(agree AS HUGEINT) * n - sum_rc AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n - sum_rc AS DOUBLE)
+                 END, 9) AS kappa
     FROM base CROSS JOIN cr
 """
 
@@ -15613,11 +15632,13 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 #
-# Round-9 rotation candidates: gini_concentration (changed in r8 —
-# rank-weighted sum widened to decimal/HUGEINT — after the 50 slots
-# were committed; re-verified by tools/parity.py at sf0.01 and the
-# sf0.001 suite, but should get a fresh driver row) + any r9
-# registrations; 46 slots will be free.
+# Round-9 rotation candidates: gini_concentration, mannwhitney_u and
+# roc_auc (changed in r8 — rank sums / tie terms widened to
+# decimal(38,0)/HUGEINT — after the 50 slots were committed;
+# re-verified by tools/parity.py at sf0.01 and the sf0.001 suite,
+# but should get fresh driver rows; kruskal_wallis / pr_auc /
+# cohens_kappa got the same widening and ARE in this window) + any
+# r9 registrations; 44 slots will be free.
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)

@@ -122,10 +122,19 @@ def test_swept_sites_keep_factor_level_casts():
         assert not cast_pat.search(ORACLE[name]), (
             f"{name} reverted to the int64-product-then-cast form"
         )
-    for name in ("ks_drift", "wasserstein_drift", "gini_concentration"):
+    for name in (
+        "ks_drift",
+        "wasserstein_drift",
+        "gini_concentration",
+        "mannwhitney_u",
+        "kruskal_wallis",
+        "roc_auc",
+        "pr_auc",
+        "cohens_kappa",
+    ):
         assert "HUGEINT" in ORACLE[name], (
-            f"{name} lost its HUGEINT widening (counts-times-counts / "
-            "rank-weighted sums are rows-squared-scaled)"
+            f"{name} lost its HUGEINT widening (rank sums / marginal "
+            "products / tie terms are rows-squared- or cubed-scaled)"
         )
 
 

@@ -280,3 +280,28 @@ def test_centroid_similarity_reports_group_counts(spark):
     assert set(r.asDict()) == {"g_a", "g_b", "n_a", "n_b", "cosine"}
     assert (r["n_a"], r["n_b"]) == (3, 2)
     assert r["cosine"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kruskal_tie_term_survives_rows_cubed_magnitudes(spark):
+    """One value block with 2.2e6 tied rows: blk^3 = 1.06e19 > int64
+    max — the pre-r8 int64 tie term wraps (or ANSI-faults); the
+    decimal(38,0) form must return the exact value."""
+    from defimap_data_pipelines_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    big = 2_200_000
+    assert big**3 > I64_MAX
+    df = (
+        spark.range(big + 3)
+        .selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+            f"CASE WHEN id < {big} THEN 5.0 ELSE CAST(id AS DOUBLE) END"
+            " AS v",
+        )
+    )
+    out = kruskal_wallis(df, "g", "v", quantum=1).collect()[0]
+    assert out["n_total"] == big + 3
+    # exact tie term: the big block contributes big^3 - big; the 3
+    # singleton blocks contribute 0
+    assert out["t_ties"] == float(big**3 - big)
