@@ -14,8 +14,11 @@ window passes run over an O(distinct scores) frame, not O(rows).
 `lift_gains` needs a true per-row rank for its tie-break, but gets
 it two-phase: a partitioned row_number WITHIN each score value plus
 the block's cumulative offset — no global row-grained window ever
-exists. Int64 headroom: rank-by-count products cap at ~2·n², safe
-through ~10⁹ rows; beyond that swap the doubled sums to decimal.
+exists. Headroom (r8): rank-by-count products are ~2·n² —
+rows-squared-scaled — so the doubled rank sums, marginal products
+and nano-quantized precision sums accumulate in decimal(38,0)
+(HUGEINT in the DuckDB oracles): exact, order-independent, ~1e38
+headroom; rows-squared OUTPUT quantities (u2) emit as double.
 """
 
 from __future__ import annotations
