@@ -187,3 +187,30 @@ def test_every_registered_query_is_benched():
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES)), (
         "duplicate names in BENCH_QUERIES"
     )
+
+
+def test_driver_window_is_registry_prefix():
+    """The driver's correctness gate checks the FIRST 50 registered
+    queries; _DRIVER_WINDOW documents and pins that set. If a
+    registration reorders the prefix, the driver would silently
+    validate the wrong 50 — make that a local red."""
+    from defimap_data_pipelines_spark.plans.queries import (
+        _DRIVER_WINDOW,
+    )
+
+    prefix = list(QUERIES)[: len(_DRIVER_WINDOW)]
+    assert prefix == _DRIVER_WINDOW, (
+        "registry prefix drifted from _DRIVER_WINDOW: "
+        f"{[ (a, b) for a, b in zip(prefix, _DRIVER_WINDOW) if a != b ][:5]}"
+    )
+    assert prefix[:9] == [
+        "gotk",
+        "total_return",
+        "tvl",
+        "trailing_return",
+        "return_1y",
+        "benchmark_capital_gotk",
+        "benchmark_price_gotk",
+        "interpolate_linear",
+        "risk",
+    ], "the 9 reference-parity flagships must stay first (SURVEY §2)"
