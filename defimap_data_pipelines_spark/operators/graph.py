@@ -735,27 +735,34 @@ def degree_assortativity(
     )
     ju = deg.select(F.col(src).alias("_u"), F.col("deg").alias("j"))
     kv = deg.select(F.col(src).alias("_v"), F.col("deg").alias("k"))
+    # headroom (r8): over edges, sum(j) = sum_v d_v^2 (rows-squared)
+    # and sum(j^2) = sum_v d_v^3 (rows-CUBED — a 2e6-degree hub wraps
+    # an int64 cube); all five degree sums accumulate in
+    # decimal(38,0) (oracle: HUGEINT) and the coefficient combines
+    # factor-level double casts.
+    _jd = F.col("j").cast("decimal(38,0)")
+    _kd = F.col("k").cast("decimal(38,0)")
     stats = (
         sym.join(ju, sym[src] == ju["_u"])
         .join(kv, sym[dst] == kv["_v"])
         .agg(
             F.count(F.lit(1)).cast("long").alias("m"),
-            F.sum("j").alias("sj"),
-            F.sum("k").alias("sk"),
-            F.sum(F.col("j") * F.col("k")).alias("sjk"),
-            F.sum(F.col("j") * F.col("j")).alias("sj2"),
-            F.sum(F.col("k") * F.col("k")).alias("sk2"),
+            F.sum(_jd).alias("sj"),
+            F.sum(_kd).alias("sk"),
+            F.sum(_jd * F.col("k")).alias("sjk"),
+            F.sum(_jd * F.col("j")).alias("sj2"),
+            F.sum(_kd * F.col("k")).alias("sk2"),
         )
     )
-    num = F.col("m").cast("double") * F.col("sjk") - F.col(
-        "sj"
-    ).cast("double") * F.col("sk")
-    den_j = F.col("m").cast("double") * F.col("sj2") - F.col(
-        "sj"
-    ).cast("double") * F.col("sj")
-    den_k = F.col("m").cast("double") * F.col("sk2") - F.col(
-        "sk"
-    ).cast("double") * F.col("sk")
+    num = F.col("m").cast("double") * F.col("sjk").cast(
+        "double"
+    ) - F.col("sj").cast("double") * F.col("sk").cast("double")
+    den_j = F.col("m").cast("double") * F.col("sj2").cast(
+        "double"
+    ) - F.col("sj").cast("double") * F.col("sj").cast("double")
+    den_k = F.col("m").cast("double") * F.col("sk2").cast(
+        "double"
+    ) - F.col("sk").cast("double") * F.col("sk").cast("double")
     return stats.select(
         F.col("m").alias("m_edges"),
         F.round(num / F.sqrt(den_j * den_k), 9).alias("r"),

@@ -375,25 +375,33 @@ def ams_f2(
             for j in range(estimators)
         ]
     )
+    # headroom (r8): each sign-sum y_j is ~n, so y_j^2 — and the
+    # exact F2 sum(c^2) with one hot key — are ROWS-SQUARED-scaled:
+    # both compute in decimal(38,0) (oracle: HUGEINT); f2_exact,
+    # itself rows-squared, emits as double on both engines.
     y_total = None
     for j in range(estimators):
-        sq = F.col(f"_y{j}") * F.col(f"_y{j}")
+        sq = F.col(f"_y{j}").cast("decimal(38,0)") * F.col(f"_y{j}")
         y_total = sq if y_total is None else y_total + sq
     est = y_total.cast("double") / estimators
     exact = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .agg(F.sum(F.col("_c") * F.col("_c")).alias("f2_exact"))
+        .agg(
+            F.sum(
+                F.col("_c").cast("decimal(38,0)") * F.col("_c")
+            ).alias("f2_exact")
+        )
     )
     return (
         sums.crossJoin(F.broadcast(exact))
         .select(
             F.lit(estimators).cast("int").alias("estimators"),
             F.round(est, 6).alias("f2_est"),
-            "f2_exact",
+            F.col("f2_exact").cast("double").alias("f2_exact"),
             F.round(
                 F.abs(est - F.col("f2_exact").cast("double"))
-                / F.col("f2_exact"),
+                / F.col("f2_exact").cast("double"),
                 9,
             ).alias("rel_err"),
         )

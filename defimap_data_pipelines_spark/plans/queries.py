@@ -9700,22 +9700,26 @@ ASSORTATIVITY_SQL = f"""
     deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg
             FROM sym GROUP BY u),
     st AS (
+        -- headroom: over edges sum(deg) = sum d^2, sum(deg^2) =
+        -- sum d^3 (rows-cubed) — HUGEINT (Spark: decimal(38,0))
         SELECT CAST(COUNT(*) AS BIGINT) AS m,
-               CAST(SUM(dj.deg) AS BIGINT) AS sj,
-               CAST(SUM(dk.deg) AS BIGINT) AS sk,
-               CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sjk,
-               CAST(SUM(dj.deg * dj.deg) AS BIGINT) AS sj2,
-               CAST(SUM(dk.deg * dk.deg) AS BIGINT) AS sk2
+               SUM(CAST(dj.deg AS HUGEINT)) AS sj,
+               SUM(CAST(dk.deg AS HUGEINT)) AS sk,
+               SUM(CAST(dj.deg AS HUGEINT) * dk.deg) AS sjk,
+               SUM(CAST(dj.deg AS HUGEINT) * dj.deg) AS sj2,
+               SUM(CAST(dk.deg AS HUGEINT) * dk.deg) AS sk2
         FROM sym
         JOIN deg dj ON dj.n = sym.u
         JOIN deg dk ON dk.n = sym.v
     )
     SELECT m AS m_edges,
-           ROUND((CAST(m AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sk)
-                 / sqrt((CAST(m AS DOUBLE) * sj2
-                         - CAST(sj AS DOUBLE) * sj)
-                        * (CAST(m AS DOUBLE) * sk2
-                           - CAST(sk AS DOUBLE) * sk)), 9) AS r
+           ROUND((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                  - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+                 / sqrt((CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)
+                         - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                        * (CAST(m AS DOUBLE) * CAST(sk2 AS DOUBLE)
+                           - CAST(sk AS DOUBLE)
+                             * CAST(sk AS DOUBLE))), 9) AS r
     FROM st
 """
 
@@ -11286,7 +11290,11 @@ def _ams_f2_sql(estimators: int = 16) -> str:
         f"CAST(SUM({ams_sign_sql('h', j)}) AS BIGINT) AS y{j}"
         for j in range(estimators)
     )
-    sq = " + ".join(f"y{j} * y{j}" for j in range(estimators))
+    # headroom: y^2 and sum(c^2) are rows-squared — HUGEINT (Spark:
+    # decimal(38,0)); f2_exact emits as double (r8 widening)
+    sq = " + ".join(
+        f"CAST(y{j} AS HUGEINT) * y{j}" for j in range(estimators)
+    )
     return f"""
     WITH bits AS (
         SELECT {ams_hash_bits_sql('l_partkey')} AS h FROM lineitem
@@ -11296,15 +11304,16 @@ def _ams_f2_sql(estimators: int = 16) -> str:
         FROM bits
     ),
     ex AS (
-        SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact
+        SELECT SUM(CAST(c AS HUGEINT) * c) AS f2_exact
         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
               FROM lineitem GROUP BY l_partkey)
     )
     SELECT CAST({estimators} AS INT) AS estimators,
            ROUND(CAST({sq} AS DOUBLE) / {estimators}, 6) AS f2_est,
-           f2_exact,
+           CAST(f2_exact AS DOUBLE) AS f2_exact,
            ROUND(abs(CAST({sq} AS DOUBLE) / {estimators}
-                     - CAST(f2_exact AS DOUBLE)) / f2_exact, 9)
+                     - CAST(f2_exact AS DOUBLE))
+                 / CAST(f2_exact AS DOUBLE), 9)
                AS rel_err
     FROM s, ex
 """
@@ -15632,13 +15641,13 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 #
-# Round-9 rotation candidates: gini_concentration, mannwhitney_u and
-# roc_auc (changed in r8 — rank sums / tie terms widened to
+# Round-9 rotation candidates: gini_concentration, mannwhitney_u,
+# roc_auc, degree_assortativity and ams_f2_moment (changed in r8 — rank sums / tie terms widened to
 # decimal(38,0)/HUGEINT — after the 50 slots were committed;
 # re-verified by tools/parity.py at sf0.01 and the sf0.001 suite,
 # but should get fresh driver rows; kruskal_wallis / pr_auc /
 # cohens_kappa got the same widening and ARE in this window) + any
-# r9 registrations; 44 slots will be free.
+# r9 registrations; 42 slots will be free.
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)

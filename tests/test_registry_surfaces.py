@@ -131,6 +131,8 @@ def test_swept_sites_keep_factor_level_casts():
         "roc_auc",
         "pr_auc",
         "cohens_kappa",
+        "degree_assortativity",
+        "ams_f2_moment",
     ):
         assert "HUGEINT" in ORACLE[name], (
             f"{name} lost its HUGEINT widening (rank sums / marginal "
