@@ -9705,9 +9705,9 @@ ASSORTATIVITY_SQL = f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS m,
                SUM(CAST(dj.deg AS HUGEINT)) AS sj,
                SUM(CAST(dk.deg AS HUGEINT)) AS sk,
-               SUM(CAST(dj.deg AS HUGEINT) * dk.deg) AS sjk,
-               SUM(CAST(dj.deg AS HUGEINT) * dj.deg) AS sj2,
-               SUM(CAST(dk.deg AS HUGEINT) * dk.deg) AS sk2
+               SUM(CAST(dj.deg * dk.deg AS HUGEINT)) AS sjk,
+               SUM(CAST(dj.deg * dj.deg AS HUGEINT)) AS sj2,
+               SUM(CAST(dk.deg * dk.deg AS HUGEINT)) AS sk2
         FROM sym
         JOIN deg dj ON dj.n = sym.u
         JOIN deg dk ON dk.n = sym.v
