@@ -108,12 +108,17 @@ def acf_quantized(
         acf(L) = sum_{t>L} (n*x_t - S)(n*x_{t-L} - S)
                  / sum_t (n*x_t - S)^2
 
-    (the n^2 scale cancels). Everything up to the ratio is int64 —
-    both engines sum exact integers in any order — and the ratio is
-    one double division. int64 headroom: |n*x| < 3e9 keeps products
-    under 9.2e18; quantize the series coarser (dollars, not cents)
-    when mass grows. Denominator uses the FULL series (the standard
-    plug-in ACF estimator, constant across lags).
+    (the n^2 scale cancels). Everything up to the ratio is exact
+    integer arithmetic — both engines sum exact integers in any
+    order — and the ratio is one double division. Headroom (r8): the
+    centered value c = n*x - S is ~days * daily-mass, so c*c wraps
+    int64 at ~3e9 of |c|; c and its products therefore compute in
+    decimal(38,0) (oracle: HUGEINT) — the series frame is O(days),
+    so the per-row decimal cost is nil, and headroom extends from
+    ~3e9 to ~1e19 of |c| (~3e15 daily mass units on a 10-year
+    series, six orders beyond the int64 form); quantize coarser
+    past that. Denominator uses the FULL series (the
+    standard plug-in ACF estimator, constant across lags).
 
     The series frame is one row per period — O(days), not O(events)
     — so the two global windows (lag, and the cross-join'd scalars)
@@ -127,7 +132,11 @@ def acf_quantized(
     base = (
         series.select(order_col, value_q_col)
         .crossJoin(F.broadcast(n_s))
-        .withColumn("_c", F.col("_n") * F.col(value_q_col) - F.col("_s"))
+        .withColumn(
+            "_c",
+            F.col("_n").cast("decimal(38,0)") * F.col(value_q_col)
+            - F.col("_s"),
+        )
     )
     denom = base.agg(F.sum(F.col("_c") * F.col("_c")).alias("_d"))
     lagged = base.select(
@@ -193,9 +202,9 @@ def ljung_box(
         Q = n (n + 2) * sum_{k=1..h} rho_k^2 / (n - k)
 
     with rho_k the same exact-integer plug-in ACF acf_quantized
-    computes (centered via n*x - S so every accumulation stays int64;
-    identical headroom bound: keep |n*x| < 3e9 by quantizing the
-    series coarse enough). Returns ONE row (n_days, max_lag, lb_q);
+    computes (centered via n*x - S; like acf_quantized, c and its
+    products ride decimal(38,0)/HUGEINT so the bound is ~1e19 of
+    |c|, not int64's ~3e9). Returns ONE row (n_days, max_lag, lb_q);
     lb_q is NULL for series shorter than max_lag + 1 (a lag with no
     overlap has an undefined rho). Under H0 (white noise) Q ~
     chi2(h), so the caller compares against the literal chi2 critical
@@ -214,7 +223,11 @@ def ljung_box(
     base = (
         series.select(order_col, value_q_col)
         .crossJoin(F.broadcast(n_s))
-        .withColumn("_c", F.col("_n") * F.col(value_q_col) - F.col("_s"))
+        .withColumn(
+            "_c",
+            F.col("_n").cast("decimal(38,0)") * F.col(value_q_col)
+            - F.col("_s"),
+        )
     )
     denom = base.agg(F.sum(F.col("_c") * F.col("_c")).alias("_d"))
     lagged = base.select(

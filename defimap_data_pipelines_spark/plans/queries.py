@@ -9342,8 +9342,11 @@ ACF_LAGS_SQL = """
     ),
     ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(SUM(xq) AS BIGINT) AS s FROM daily),
-    c AS (SELECT day, ns.n * xq - ns.s AS c FROM daily, ns),
-    d AS (SELECT CAST(SUM(c * c) AS BIGINT) AS d FROM c),
+    -- headroom: c = n*x - S is days*mass-scaled, its products
+    -- rows-squared of that — HUGEINT (Spark twin: decimal(38,0))
+    c AS (SELECT day, CAST(ns.n AS HUGEINT) * xq - ns.s AS c
+          FROM daily, ns),
+    d AS (SELECT SUM(c * c) AS d FROM c),
     l AS (
         SELECT c,
                LAG(c, 1) OVER w AS c1, LAG(c, 2) OVER w AS c2,
@@ -9353,13 +9356,13 @@ ACF_LAGS_SQL = """
         FROM c WINDOW w AS (ORDER BY day)
     ),
     nums AS (
-        SELECT CAST(SUM(c * c1) AS BIGINT) AS n1,
-               CAST(SUM(c * c2) AS BIGINT) AS n2,
-               CAST(SUM(c * c3) AS BIGINT) AS n3,
-               CAST(SUM(c * c4) AS BIGINT) AS n4,
-               CAST(SUM(c * c5) AS BIGINT) AS n5,
-               CAST(SUM(c * c6) AS BIGINT) AS n6,
-               CAST(SUM(c * c7) AS BIGINT) AS n7
+        SELECT SUM(c * c1) AS n1,
+               SUM(c * c2) AS n2,
+               SUM(c * c3) AS n3,
+               SUM(c * c4) AS n4,
+               SUM(c * c5) AS n5,
+               SUM(c * c6) AS n6,
+               SUM(c * c7) AS n7
         FROM l
     )
     SELECT CAST(u.lag AS INTEGER) AS lag,
@@ -15424,9 +15427,12 @@ LJUNG_BOX_SQL = f"""
     ),
     ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n,
                   CAST(SUM(xq) AS BIGINT) AS _s FROM daily),
-    c AS (SELECT day, ns._n AS _n, ns._n * xq - ns._s AS _c
+    -- headroom: c and its products ride HUGEINT (Spark twin:
+    -- decimal(38,0)) — see acf_lags
+    c AS (SELECT day, ns._n AS _n,
+                 CAST(ns._n AS HUGEINT) * xq - ns._s AS _c
           FROM daily, ns),
-    d AS (SELECT CAST(SUM(_c * _c) AS BIGINT) AS _d FROM c),
+    d AS (SELECT SUM(_c * _c) AS _d FROM c),
     l AS (
         SELECT _n, _c,
                LAG(_c, 1) OVER w AS _c1, LAG(_c, 2) OVER w AS _c2,
@@ -15437,13 +15443,13 @@ LJUNG_BOX_SQL = f"""
     ),
     nums AS (
         SELECT CAST(MAX(_n) AS BIGINT) AS _n,
-               CAST(SUM(_c * _c1) AS BIGINT) AS _n1,
-               CAST(SUM(_c * _c2) AS BIGINT) AS _n2,
-               CAST(SUM(_c * _c3) AS BIGINT) AS _n3,
-               CAST(SUM(_c * _c4) AS BIGINT) AS _n4,
-               CAST(SUM(_c * _c5) AS BIGINT) AS _n5,
-               CAST(SUM(_c * _c6) AS BIGINT) AS _n6,
-               CAST(SUM(_c * _c7) AS BIGINT) AS _n7
+               SUM(_c * _c1) AS _n1,
+               SUM(_c * _c2) AS _n2,
+               SUM(_c * _c3) AS _n3,
+               SUM(_c * _c4) AS _n4,
+               SUM(_c * _c5) AS _n5,
+               SUM(_c * _c6) AS _n6,
+               SUM(_c * _c7) AS _n7
         FROM l
     )
     SELECT _n AS n_days, CAST(7 AS INT) AS max_lag,

@@ -133,6 +133,8 @@ def test_swept_sites_keep_factor_level_casts():
         "cohens_kappa",
         "degree_assortativity",
         "ams_f2_moment",
+        "acf_lags",
+        "ljung_box",
     ):
         assert "HUGEINT" in ORACLE[name], (
             f"{name} lost its HUGEINT widening (rank sums / marginal "
