@@ -884,7 +884,12 @@ def containment_pairs(
     # self-join sides (and the optional df filter) — cache the
     # per-doc array frame (pre-explode, so O(docs) rows) or the
     # whole upstream scan executes once per consumer (r8 containment
-    # adjudication: the double scan was ~40% of wall time at sf0.1)
+    # adjudication: the double scan was ~40% of wall time at sf0.1).
+    # DELIBERATELY left cached (the centroid_similarity precedent):
+    # the result is lazy, so the cache must survive until the
+    # caller's action; Spark evicts LRU under memory pressure, and
+    # callers that want eager cleanup can spark.catalog.clearCache()
+    # after collecting.
     hs = hashed_shingles(doc_shingles(docs, text_col, n)).cache()
     post = hs.select(
         "doc_id", F.size("_hh").alias("ns"), F.explode("_hh").alias("h")

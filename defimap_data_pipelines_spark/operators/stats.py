@@ -1716,6 +1716,16 @@ def wasserstein_drift(
     arithmetic, order-independent, with ~1e38 headroom (= 1e12-row
     arms over a 1e5-quanta span with nine orders to spare); the one
     float division happens after.
+
+    r9 adjudication of the widening cost (r8 verdict task 4): the
+    decimal term measures ~1.3x vs the int64 form at sf0.1 (min-of-3
+    same-session A/B: 1.232 s vs 0.948 s) — real, not noise — but the
+    degree_assortativity sum-cast pattern (int64 per-row, decimal at
+    the SUM) is UNSOUND here: the per-row term cumA*nB carries
+    GLOBAL mass squared (cum counts times arm totals), not a
+    row-local bound like deg^3, so the int64 per-row product itself
+    wraps at ~3e9-row arms regardless of where the cast sits. The
+    ~0.3 s is the price of exactness at 1e11-row arms; kept.
     """
     from pyspark.sql.window import Window
 
@@ -1829,17 +1839,27 @@ def partial_corr(
         "day", F.col("yq").alias("z")
     )
     xyz = x.join(y, "day").join(z, "day")
+    # The six quadratic moments are products of two daily-mass-scaled
+    # values (each yq ~ rows-per-day of mass) — rows/mass-SQUARED, the
+    # overflow class the r8 sweep widened everywhere else: they ride
+    # decimal(38,0) (oracle: HUGEINT). The frame is O(days), so the
+    # per-row decimal multiply is free (the r8 perf rule); the linear
+    # sums _sx/_sy/_sz stay int64 (single-power daily mass).
+
+    def _dprod(a: str, b: str):
+        return F.col(a).cast("decimal(38,0)") * F.col(b)
+
     mom = xyz.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("x").alias("_sx"),
         F.sum("y").alias("_sy"),
         F.sum("z").alias("_sz"),
-        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
-        F.sum(F.col("x") * F.col("z")).alias("_sxz"),
-        F.sum(F.col("y") * F.col("z")).alias("_syz"),
-        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("_syy"),
-        F.sum(F.col("z") * F.col("z")).alias("_szz"),
+        F.sum(_dprod("x", "y")).alias("_sxy"),
+        F.sum(_dprod("x", "z")).alias("_sxz"),
+        F.sum(_dprod("y", "z")).alias("_syz"),
+        F.sum(_dprod("x", "x")).alias("_sxx"),
+        F.sum(_dprod("y", "y")).alias("_syy"),
+        F.sum(_dprod("z", "z")).alias("_szz"),
     )
     rs = mom.select(
         F.col("_n"),

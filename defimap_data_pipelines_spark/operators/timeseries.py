@@ -238,11 +238,16 @@ def ljung_box(
             for lag in range(1, max_lag + 1)
         ],
     )
-    nums = lagged.groupBy("_n").agg(
+    # Global agg, carrying _n via MAX, to mirror the oracle's
+    # no-GROUP-BY aggregate exactly: an EMPTY series must yield one
+    # row of NULLs in BOTH engines (a groupBy("_n") would yield zero
+    # rows here while the oracle yields one — r8 ADVICE shape fix).
+    nums = lagged.agg(
+        F.max("_n").alias("_n"),
         *[
             F.sum(F.col("_c") * F.col(f"_c{lag}")).alias(f"_n{lag}")
             for lag in range(1, max_lag + 1)
-        ]
+        ],
     )
     q = F.when(
         (F.col("_n") > max_lag) & (F.col("_d") > 0),

@@ -15488,16 +15488,18 @@ PARTIAL_CORR_SQL = f"""
     y AS (SELECT day, yq AS y FROM daily WHERE g = 'purchase'),
     z AS (SELECT day, yq AS z FROM daily WHERE g = 'view'),
     m AS (
+        -- quadratic moments are daily-mass-SQUARED: HUGEINT (engine:
+        -- decimal(38,0)); linear sums stay BIGINT (r8 discipline)
         SELECT CAST(COUNT(*) AS BIGINT) AS _n,
                CAST(SUM(x) AS BIGINT) AS _sx,
                CAST(SUM(y) AS BIGINT) AS _sy,
                CAST(SUM(z) AS BIGINT) AS _sz,
-               CAST(SUM(x * y) AS BIGINT) AS _sxy,
-               CAST(SUM(x * z) AS BIGINT) AS _sxz,
-               CAST(SUM(y * z) AS BIGINT) AS _syz,
-               CAST(SUM(x * x) AS BIGINT) AS _sxx,
-               CAST(SUM(y * y) AS BIGINT) AS _syy,
-               CAST(SUM(z * z) AS BIGINT) AS _szz
+               SUM(CAST(x AS HUGEINT) * y) AS _sxy,
+               SUM(CAST(x AS HUGEINT) * z) AS _sxz,
+               SUM(CAST(y AS HUGEINT) * z) AS _syz,
+               SUM(CAST(x AS HUGEINT) * x) AS _sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS _syy,
+               SUM(CAST(z AS HUGEINT) * z) AS _szz
         FROM x JOIN y USING (day) JOIN z USING (day)
     ),
     r AS (
@@ -15524,9 +15526,10 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial correlation of daily click vs purchase revenue
     CONTROLLING for views (operators/stats.py::partial_corr) — the
     confounder-aware complement to leadlag_xcorr/spearman. Daily
-    sums quantize to WHOLE units for moment-product headroom; every
-    r comes from pearson_r_expr with factor-level double casts (the
-    r8 discipline), shared verbatim with this oracle."""
+    sums quantize to WHOLE units; the quadratic moment products are
+    daily-mass-squared so they accumulate in decimal(38,0)/HUGEINT
+    (the r8 widening class); every r comes from pearson_r_expr with
+    factor-level double casts, shared verbatim with this oracle."""
     from defimap_data_pipelines_spark.operators.stats import (
         partial_corr,
     )
