@@ -315,6 +315,13 @@ BENCH_QUERIES = [
     "ljung_box",
     "partial_corr",
     "qini_uplift",
+    # r9 wave 22
+    "mrr_at_k",
+    "recall_at_k",
+    "logloss_binned",
+    "omega_ratio",
+    "hhi_concentration",
+    "two_proportion_ztest",
 ]
 
 

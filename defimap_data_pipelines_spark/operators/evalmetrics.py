@@ -810,3 +810,209 @@ def qini_uplift(
         "cum_resp_c",
         F.round(F.when(F.col("cum_n_c") > 0, qini), 9).alias("qini"),
     )
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col,
+    tiebreak_col: str,
+    rel_bool,
+    k: int = 10,
+) -> DataFrame:
+    """Corpus Mean Reciprocal Rank@k: rank each query group's
+    candidates by ``score_col`` descending (``tiebreak_col``
+    ascending breaks ties deterministically), find the FIRST relevant
+    candidate's rank, and average 1/rank over all query groups
+    (queries with no relevant candidate in the top k contribute 0 —
+    the standard MRR convention). Returns ONE row
+    (n_queries, n_hit, mrr).
+
+    EXACT-integer MRR (the avg_precision_at_k LCM trick): 1/rank
+    enters as the int64 literal L/rank with L = lcm(1..k), so the
+    corpus sum is exact in any partition order; the single float
+    division mrr = sum / (L * n_queries) happens on one row. The
+    rank window partitions by the query key — per-group fan-in,
+    never a global sort.
+    """
+    lcm = 1
+    for i in range(1, k + 1):
+        lcm = lcm * i // math.gcd(lcm, i)
+    wq = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_tb").asc()
+    )
+    ranked = df.select(
+        F.col(query_col).alias("_q"),
+        score_col.alias("_s")
+        if not isinstance(score_col, str)
+        else F.col(score_col).alias("_s"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.when(rel_bool, 1).otherwise(0).cast("long").alias("_y"),
+    ).select("_q", "_y", F.row_number().over(wq).alias("_rk"))
+    # first relevant rank per query, restricted to the top k
+    firsts = ranked.groupBy("_q").agg(
+        F.min(
+            F.when((F.col("_y") == 1) & (F.col("_rk") <= k), F.col("_rk"))
+        ).alias("_frk")
+    )
+    wgt = F.element_at(
+        F.array(*[F.lit(lcm // (i + 1)).cast("long") for i in range(k)]),
+        F.col("_frk").cast("int"),
+    )
+    agg = firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.count("_frk").cast("long").alias("n_hit"),
+        F.sum(F.when(F.col("_frk").isNotNull(), wgt).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_num"),
+    )
+    return agg.select(
+        "n_queries",
+        "n_hit",
+        F.round(
+            F.col("_num").cast("double")
+            / (
+                F.lit(float(lcm))
+                * F.when(F.col("n_queries") > 0, F.col("n_queries"))
+            ),
+            9,
+        ).alias("mrr"),
+    )
+
+
+def recall_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col,
+    tiebreak_col: str,
+    rel_bool,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query Recall@k with binary relevance: rank by score
+    descending (tie-break ascending), recall = |relevant in top k| /
+    |relevant| — the retrieval-eval complement of avg_precision_at_k
+    (which rewards ORDER inside the cut; recall only rewards making
+    the cut). Returns one row per query group:
+    (query, n_cands, n_rel, hits_k, recall); recall is NULL when the
+    group has no relevant candidates (0/0 is "nothing to find").
+
+    Pure integer counts from one partitioned rank window over one
+    scan; the single float division per group happens on the
+    O(queries) aggregate frame.
+    """
+    wq = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_tb").asc()
+    )
+    ranked = df.select(
+        F.col(query_col).alias("_q"),
+        score_col.alias("_s")
+        if not isinstance(score_col, str)
+        else F.col(score_col).alias("_s"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.when(rel_bool, 1).otherwise(0).cast("long").alias("_y"),
+    ).select("_q", "_y", F.row_number().over(wq).alias("_rk"))
+    agg = ranked.groupBy(F.col("_q").alias("query")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.sum("_y").cast("long").alias("n_rel"),
+        F.sum(
+            F.when((F.col("_y") == 1) & (F.col("_rk") <= k), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("hits_k"),
+    )
+    return agg.select(
+        "query",
+        "n_cands",
+        "n_rel",
+        "hits_k",
+        F.round(
+            F.col("hits_k").cast("double")
+            / F.when(F.col("n_rel") > 0, F.col("n_rel")),
+            9,
+        ).alias("recall"),
+    )
+
+
+def logloss_nano_weights(n_bins: int) -> tuple[list[int], list[int]]:
+    """Per-bin nano-quantized cross-entropy weights for
+    ``logloss_binned``: bin b predicts the bin-center probability
+    p_b = (2b+1)/(2*n_bins), and the per-row loss is the int64
+    literal round(-ln(p_b)*1e9) (positive rows) or
+    round(-ln(1-p_b)*1e9) (negative rows) — computed ONCE in Python
+    and shared with the oracle SQL as literals, the
+    ndcg_weight_nano discipline (two engines' ln() are never trusted
+    to agree at the last ulp on data rows)."""
+    pos, neg = [], []
+    for b in range(n_bins):
+        p = (2 * b + 1) / (2 * n_bins)
+        pos.append(round(-math.log(p) * 1e9))
+        neg.append(round(-math.log(1.0 - p) * 1e9))
+    return pos, neg
+
+
+def logloss_binned(
+    df: DataFrame,
+    pred_permille,
+    label_bool,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Binned binary log loss (cross-entropy of the DISCRETIZED
+    predictor): rows bin by predicted probability exactly as
+    brier_calibration does, each bin predicts its center probability,
+    and the loss of that binned predictor is
+    mean(-y ln p_bin - (1-y) ln(1-p_bin)). Returns ONE row
+    (n_rows, n_pos, log_loss). The deliberate binning makes the
+    metric exactly replayable: the per-row loss is a LITERAL int64
+    lookup (logloss_nano_weights), so the corpus sum is exact in any
+    order and one float division ends it. The un-binned metric would
+    need per-row ln() on data values — float row-aggregation, not
+    oracle-able.
+
+    Headroom: the per-row weight is ~3e9 nano-units at the extreme
+    bins, so rows x weight wraps int64 at ~3e9 rows — the loss sum
+    accumulates in decimal(38,0) (oracle: HUGEINT) via the
+    degree_assortativity pattern: the per-row value STAYS int64 (it
+    is a literal with a row-local bound), only the SUM widens.
+    """
+    pos_w, neg_w = logloss_nano_weights(n_bins)
+    p = (
+        pred_permille
+        if not isinstance(pred_permille, str)
+        else F.col(pred_permille)
+    ).cast("long")
+    y = F.when(label_bool, 1).otherwise(0).cast("long")
+    rows = df.select(
+        y.alias("_y"),
+        F.least(
+            F.floor(p * n_bins / F.lit(1000)),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin"),
+    )
+    wp = F.element_at(
+        F.array(*[F.lit(w).cast("long") for w in pos_w]),
+        (F.col("bin") + 1).cast("int"),
+    )
+    wn = F.element_at(
+        F.array(*[F.lit(w).cast("long") for w in neg_w]),
+        (F.col("bin") + 1).cast("int"),
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum(
+            F.when(F.col("_y") == 1, wp)
+            .otherwise(wn)
+            .cast("decimal(38,0)")
+        ).alias("_loss_nano"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_pos",
+        F.round(
+            F.col("_loss_nano").cast("double")
+            / 1e9
+            / F.when(F.col("n_rows") > 0, F.col("n_rows")),
+            9,
+        ).alias("log_loss"),
+    )

@@ -517,3 +517,85 @@ def mcnemar_paired(
             9,
         ).alias("mcnemar_chi2"),
     )
+
+
+#: pooled two-proportion z statistic over the four int64 scalars
+#: (n1, c1, n0, c0) — shared VERBATIM between the Spark operator and
+#: the DuckDB oracle so both engines build the identical float tree
+#: (the pearson_r_expr discipline). NULL when either arm is empty or
+#: the pooled rate is degenerate (0 or 1 -> zero standard error).
+TWO_PROP_Z_EXPR = (
+    "(CASE WHEN n1 > 0 AND n0 > 0"
+    " AND (c1 + c0) > 0 AND (c1 + c0) < (n1 + n0) THEN"
+    " (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "  - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    " / SQRT((CAST(c1 + c0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))"
+    "   * (1 - CAST(c1 + c0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))"
+    "   * (1 / CAST(n1 AS DOUBLE) + 1 / CAST(n0 AS DOUBLE)))"
+    " END)"
+)
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    treat_expr,
+    conv_expr,
+) -> DataFrame:
+    """Pooled two-proportion z-test of UNIT-level conversion between
+    arms — the first readout of any A/B test: did treatment move the
+    conversion rate, measured per experimental unit (a user converts
+    if ANY of their rows satisfies ``conv_expr``; arm = the unit's
+    max of ``treat_expr``, so a unit is treated if any row tags it).
+    Returns ONE row (n1, c1, n0, c0, p1, p0, diff, z): arm sizes,
+    conversions, rates, their difference, and
+    z = diff / sqrt(p(1-p)(1/n1 + 1/n0)) with p the pooled rate.
+
+    Two map-side-combining aggregates (rows -> units -> four int64
+    scalars); every float appears once, in TWO_PROP_Z_EXPR, on the
+    single output row. The unit rollup uses MAX, so duplicate event
+    rows can never double-count a conversion — the estimator is
+    idempotent in event volume, only unit counts matter.
+    """
+    units = df.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.max(F.when(treat_expr, 1).otherwise(0)).alias("_t"),
+        F.max(F.when(conv_expr, 1).otherwise(0)).alias("_c"),
+    )
+    counts = units.agg(
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when((F.col("_t") == 1) & (F.col("_c") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("_t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when((F.col("_t") == 0) & (F.col("_c") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    )
+    return counts.select(
+        "n1",
+        "c1",
+        "n0",
+        "c0",
+        F.round(
+            F.col("c1").cast("double")
+            / F.when(F.col("n1") > 0, F.col("n1")),
+            9,
+        ).alias("p1"),
+        F.round(
+            F.col("c0").cast("double")
+            / F.when(F.col("n0") > 0, F.col("n0")),
+            9,
+        ).alias("p0"),
+        F.round(
+            F.col("c1").cast("double")
+            / F.when(F.col("n1") > 0, F.col("n1"))
+            - F.col("c0").cast("double")
+            / F.when(F.col("n0") > 0, F.col("n0")),
+            9,
+        ).alias("diff"),
+        F.round(F.expr(TWO_PROP_Z_EXPR), 9).alias("z"),
+    )

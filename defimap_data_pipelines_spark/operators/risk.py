@@ -404,6 +404,51 @@ def sortino_calmar(gotk: DataFrame, day_period: int = 365) -> DataFrame:
     )
 
 
+def omega_ratio(
+    gotk: DataFrame, day_period: int = 365, threshold: float = 0.0
+) -> DataFrame:
+    """Omega ratio per name over the trailing ``day_period`` days:
+    Omega(theta) = sum(max(r - theta, 0)) / sum(max(theta - r, 0))
+    — the probability-weighted gains-over-losses ratio around a
+    daily threshold (Keating & Shadwick 2002), the distribution-free
+    sibling of sortino_calmar (no variance assumption; every moment
+    of the return distribution participates). Returns (name, n_days,
+    gain_sum, loss_sum, omega); omega is NULL (not inf) when there
+    are no sub-threshold days.
+
+    Exactness: returns ride nano-quantized int64 (_rq9) and the
+    threshold enters as the SAME int literal in both engines, so the
+    gain/loss sums are exact integer accumulations (order-free);
+    the one float division happens per name on the O(names)
+    aggregate. Headroom: |rq| <= ~1e10 for daily moves, so a 10-year
+    series sums to ~4e13 — int64-safe by five orders.
+    """
+    tq = round(threshold * RQ9)
+    gt = _tail(gotk, day_period).select(
+        "name", _rq9(F.col("percent_change")).alias("rq")
+    )
+    agg = gt.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.greatest(F.col("rq") - tq, F.lit(0).cast("long"))).alias(
+            "_g"
+        ),
+        F.sum(F.greatest(F.lit(tq).cast("long") - F.col("rq"), F.lit(0))).alias(
+            "_l"
+        ),
+    )
+    return agg.select(
+        "name",
+        "n_days",
+        F.round(F.col("_g").cast("double") / RQ9, 9).alias("gain_sum"),
+        F.round(F.col("_l").cast("double") / RQ9, 9).alias("loss_sum"),
+        F.round(
+            F.col("_g").cast("double")
+            / F.when(F.col("_l") > 0, F.col("_l")),
+            9,
+        ).alias("omega"),
+    )
+
+
 def var_cvar(
     gotk: DataFrame, day_period: int = 365, tail_pct: int = 5
 ) -> DataFrame:

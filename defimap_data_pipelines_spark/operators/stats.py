@@ -214,6 +214,61 @@ def gini_by_group(
     )
 
 
+def hhi_by_group(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    value_q_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of ``value_q_col``
+    (pre-quantized int64 mass) across members within each group:
+    HHI = sum_i share_i^2 where share_i = member i's fraction of the
+    group total — the market-concentration complement of
+    gini_by_group (gini measures inequality of the distribution; HHI
+    measures how close it is to single-member monopoly; 1/HHI is the
+    "effective number of members"). Returns (group, n_members,
+    total, hhi, hhi_norm); hhi_norm = (n*hhi - 1)/(n - 1) rescales
+    to [0, 1] and is NULL for single-member groups.
+
+    Exact form: HHI = sum(m_i^2) / (sum(m_i))^2 — both numerator and
+    denominator are integer quantities. m_i (a member's total mass)
+    is data-scaled with no row-local bound, so the squares and the
+    squared total accumulate in decimal(38,0) (oracle: HUGEINT), the
+    r8 rows/mass-squared discipline; the member frame is grouped
+    (O(members), far below the event grain), so the per-row decimal
+    multiply is off the data-sized path. Two aggregates (rows ->
+    member totals -> group moments), both map-side-combining; one
+    float division per group.
+    """
+    member = df.groupBy(
+        F.col(group_col).alias("g"), F.col(member_col).alias("_m")
+    ).agg(F.sum(F.col(value_q_col)).cast("long").alias("_mq"))
+    agg = member.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("_mq").alias("total"),
+        F.sum(
+            F.col("_mq").cast("decimal(38,0)") * F.col("_mq")
+        ).alias("_ssq"),
+    )
+    totd = F.col("total").cast("decimal(38,0)")
+    # guard total == 0 explicitly (engines disagree on double 0/0)
+    hhi = F.col("_ssq").cast("double") / F.when(
+        F.col("total") != 0, (totd * totd).cast("double")
+    )
+    nd = F.col("n_members").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_members",
+        "total",
+        F.round(hhi, 9).alias("hhi"),
+        F.round(
+            (nd * hhi - 1)
+            / F.when(F.col("n_members") > 1, nd - 1),
+            9,
+        ).alias("hhi_norm"),
+    )
+
+
 def spearman_by_group(
     df: DataFrame,
     group_col: str,

@@ -15609,6 +15609,303 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 9 wave 22: retrieval-eval completions (MRR, recall@k, binned
+# log loss), Omega ratio, Herfindahl concentration, two-proportion
+# z-test
+# --------------------------------------------------------------------------
+
+from defimap_data_pipelines_spark.operators.evalmetrics import (  # noqa: E402
+    logloss_nano_weights,
+)
+from defimap_data_pipelines_spark.operators.experiments import (  # noqa: E402
+    TWO_PROP_Z_EXPR,
+)
+
+_MRR_LCM = 2520  # lcm(1..10), matches mrr_at_k's k=10 literal weights
+
+MRR_AT_K_SQL = f"""
+    WITH ranked AS (
+        SELECT source AS q,
+               CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM documents
+    ),
+    firsts AS (
+        SELECT q, MIN(CASE WHEN y = 1 AND rk <= 10 THEN rk END) AS frk
+        FROM ranked GROUP BY q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(frk) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN frk IS NOT NULL
+                          THEN {_MRR_LCM} // frk ELSE 0 END) AS DOUBLE)
+                 / ({_MRR_LCM}.0 * (CASE WHEN COUNT(*) > 0
+                                    THEN COUNT(*) END)), 9) AS mrr
+    FROM firsts
+"""
+
+
+@register("mrr_at_k", MRR_AT_K_SQL)
+def q_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus MRR@10 of ranking documents by length per source with
+    sparse relevance doc_id % 7 == 0
+    (operators/evalmetrics.py::mrr_at_k). 1/rank rides the LCM
+    integer trick (L = 2520 divides every rank 1..10 exactly), so
+    the corpus sum is exact int64 and the oracle's L // frk replays
+    it bit-for-bit."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        mrr_at_k,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return mrr_at_k(
+        d, "source", F.col("n_chars"), "doc_id",
+        F.col("doc_id") % 7 == 0, k=10,
+    )
+
+
+RECALL_AT_K_SQL = """
+    WITH ranked AS (
+        SELECT source AS query,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS y,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM documents
+    )
+    SELECT query,
+           CAST(COUNT(*) AS BIGINT) AS n_cands,
+           CAST(SUM(y) AS BIGINT) AS n_rel,
+           CAST(SUM(CASE WHEN y = 1 AND rk <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_k,
+           ROUND(CAST(SUM(CASE WHEN y = 1 AND rk <= 10 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(CASE WHEN SUM(y) > 0 THEN SUM(y) END AS DOUBLE),
+                 9) AS recall
+    FROM ranked GROUP BY query ORDER BY query
+"""
+
+
+@register("recall_at_k", RECALL_AT_K_SQL)
+def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 per source of the same length ranking map_at_k/
+    ndcg_at_k evaluate, binary relevance doc_id % 4 == 0
+    (operators/evalmetrics.py::recall_at_k) — did the top-10 cut
+    FIND the relevant docs, regardless of order. Integer counts from
+    one partitioned rank window; one division per group."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        recall_at_k,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return recall_at_k(
+        d, "source", F.col("n_chars"), "doc_id",
+        F.col("doc_id") % 4 == 0, k=10,
+    ).orderBy("query")
+
+
+def _logloss_weight_case(col: str) -> str:
+    """CASE chain mapping bin -> nano loss literal, positive and
+    negative label arms — the ndcg_weight_nano discipline: python
+    computes ln() ONCE and both engines consume identical int64
+    literals."""
+    pos, neg = logloss_nano_weights(10)
+    pos_arms = " ".join(
+        f"WHEN {col} = {b} THEN {w}" for b, w in enumerate(pos)
+    )
+    neg_arms = " ".join(
+        f"WHEN {col} = {b} THEN {w}" for b, w in enumerate(neg)
+    )
+    return pos_arms, neg_arms
+
+
+_LL_POS_ARMS, _LL_NEG_ARMS = _logloss_weight_case("bin")
+
+LOGLOSS_SQL = f"""
+    WITH rows_ AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               LEAST(CAST(FLOOR(LEAST(n_chars * 2, 1000) * 10 / 1000.0)
+                          AS BIGINT), 9) AS bin
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CAST(CASE WHEN y = 1
+                          THEN (CASE {_LL_POS_ARMS} END)
+                          ELSE (CASE {_LL_NEG_ARMS} END) END
+                          AS HUGEINT)) AS DOUBLE)
+                 / 1e9
+                 / (CASE WHEN COUNT(*) > 0 THEN COUNT(*) END), 9)
+               AS log_loss
+    FROM rows_
+"""
+
+
+@register("logloss_binned", LOGLOSS_SQL)
+def q_logloss_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned binary log loss of "document length predicts English"
+    — the same decile-binned permille predictor brier_calibration
+    scores, judged by cross-entropy instead of squared error
+    (operators/evalmetrics.py::logloss_binned). Per-row losses are
+    literal nano ints (python ln, shared with this oracle); the sum
+    accumulates in decimal(38,0)/HUGEINT (weights reach ~3e9 nano,
+    so rows x weight wraps int64 at ~3e9 rows)."""
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        logloss_binned,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return logloss_binned(
+        d,
+        F.least(F.col("n_chars") * 2, F.lit(1000)),
+        F.col("lang") == "en",
+        n_bins=10,
+    )
+
+
+OMEGA_RATIO_SQL = f"""
+    {_FIN_TAIL_PREFIX_SQL},
+    q AS (
+        SELECT name,
+               CAST(ROUND(percent_change * 1000000000.0) AS BIGINT) AS rq
+        FROM gt
+    ),
+    agg AS (
+        SELECT name, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(GREATEST(rq - 0, 0)) AS BIGINT) AS g,
+               CAST(SUM(GREATEST(0 - rq, 0)) AS BIGINT) AS l
+        FROM q GROUP BY name
+    )
+    SELECT name, n_days,
+           ROUND(CAST(g AS DOUBLE) / 1000000000, 9) AS gain_sum,
+           ROUND(CAST(l AS DOUBLE) / 1000000000, 9) AS loss_sum,
+           ROUND(CAST(g AS DOUBLE)
+                 / CAST(CASE WHEN l > 0 THEN l END AS DOUBLE), 9) AS omega
+    FROM agg ORDER BY name
+"""
+
+
+@register("omega_ratio", OMEGA_RATIO_SQL)
+def q_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Omega ratio (threshold 0) per strategy over the same trailing
+    365-day gotk series sortino_calmar uses
+    (operators/risk.py::omega_ratio): probability-weighted gains
+    over losses, no distributional assumption. Nano-quantized int64
+    gain/loss sums; one division per name."""
+    from defimap_data_pipelines_spark.operators.growth import growth_of_10k
+    from defimap_data_pipelines_spark.operators.risk import omega_ratio
+
+    raw = orders_raw_series(spark, sf_dir)
+    g = growth_of_10k(raw, LAST_YEAR, DS)
+    return omega_ratio(g).orderBy("name")
+
+
+HHI_SQL = """
+    WITH member AS (
+        SELECT event_type, user_id AS m,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS mq
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(mq) AS BIGINT) AS total,
+               SUM(CAST(mq AS HUGEINT) * mq) AS ssq
+        FROM member GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n_members, total,
+               CAST(ssq AS DOUBLE)
+               / (CASE WHEN total <> 0
+                  THEN CAST(CAST(total AS HUGEINT) * total AS DOUBLE)
+                  END) AS hhi_raw
+        FROM agg
+    )
+    SELECT event_type, n_members, total,
+           ROUND(hhi_raw, 9) AS hhi,
+           ROUND((CAST(n_members AS DOUBLE) * hhi_raw - 1)
+                 / (CASE WHEN n_members > 1
+                    THEN CAST(n_members AS DOUBLE) - 1 END), 9)
+               AS hhi_norm
+    FROM m ORDER BY event_type
+"""
+
+
+@register("hhi_concentration", HHI_SQL)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of event value mass across users
+    within each event type (operators/stats.py::hhi_by_group) — the
+    market-concentration complement of gini_concentration: how close
+    is each event stream to single-whale dominance, and what is the
+    effective number of contributors (1/HHI). Member masses are
+    cents; squares ride decimal(38,0)/HUGEINT (mass-squared class,
+    widened from birth)."""
+    from defimap_data_pipelines_spark.operators.stats import hhi_by_group
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    return hhi_by_group(e, "event_type", "user_id", "vq").orderBy(
+        "event_type"
+    )
+
+
+TWO_PROP_SQL = f"""
+    WITH units AS (
+        SELECT user_id,
+               MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS t,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS c
+        FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT
+            CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN t = 1 AND c = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN t = 0 AND c = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c0
+        FROM units
+    )
+    SELECT n1, c1, n0, c0,
+           ROUND(CAST(c1 AS DOUBLE)
+                 / CAST(CASE WHEN n1 > 0 THEN n1 END AS DOUBLE), 9) AS p1,
+           ROUND(CAST(c0 AS DOUBLE)
+                 / CAST(CASE WHEN n0 > 0 THEN n0 END AS DOUBLE), 9) AS p0,
+           ROUND(CAST(c1 AS DOUBLE)
+                 / CAST(CASE WHEN n1 > 0 THEN n1 END AS DOUBLE)
+                 - CAST(c0 AS DOUBLE)
+                 / CAST(CASE WHEN n0 > 0 THEN n0 END AS DOUBLE), 9)
+               AS diff,
+           ROUND({TWO_PROP_Z_EXPR}, 9) AS z
+    FROM counts
+"""
+
+
+@register("two_proportion_ztest", TWO_PROP_SQL)
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of user-level purchase conversion
+    between the synthetic arms (user parity — the qini_uplift
+    experiment's first readout)
+    (operators/experiments.py::two_proportion_ztest). Unit rollup by
+    MAX makes the estimator idempotent in event volume; z comes from
+    TWO_PROP_Z_EXPR, shared verbatim with this oracle."""
+    from defimap_data_pipelines_spark.operators.experiments import (
+        two_proportion_ztest,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return two_proportion_ztest(
+        e,
+        "user_id",
+        F.col("user_id") % 2 == 1,
+        F.col("event_type") == "purchase",
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility ordering
 # --------------------------------------------------------------------------
 # The driver's correctness gate evaluates the FIRST 50 registered
@@ -15650,13 +15947,19 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 #
-# Round-9 rotation candidates: gini_concentration, mannwhitney_u,
-# roc_auc, degree_assortativity and ams_f2_moment (changed in r8 — rank sums / tie terms widened to
-# decimal(38,0)/HUGEINT — after the 50 slots were committed;
-# re-verified by tools/parity.py at sf0.01 and the sf0.001 suite,
-# but should get fresh driver rows; kruskal_wallis / pr_auc /
-# cohens_kappa got the same widening and ARE in this window) + any
-# r9 registrations; 42 slots will be free.
+# Round-9 rotation: membership is now MECHANICAL — the freshness
+# guard (tools/freshness.py + tests/test_freshness_guard.py) maps
+# every query to the fingerprint it had at its newest driver-green
+# row and goes red when the implementation/oracle drifts without a
+# window slot. This window = the 9 flagships + every guard-red query
+# at r9 HEAD (31 helper/widening drifts dating back to r2 rows — the
+# guard's bootstrap audit found them; the r8 verdict knew only the 6
+# post-freeze widenings) + the 3 queries changed in r9
+# (partial_corr / ljung_box ADVICE fixes; wasserstein_drift's
+# adjudication docstring) + the 6 wave-22 registrations + 1
+# oldest-backlog slot. 31 r2/r3-validated queries remain green on
+# UNCHANGED code (fingerprint-verified); they rotate r10+ as slots
+# free up.
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
@@ -15669,57 +15972,56 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # r8 rotation, part 1: the complete waves-8-16 remainder (22) —
-    # none has a driver row yet; leadlag_xcorr and variance_ratio
-    # carry this round's factor-cast overflow fix
-    "leadlag_xcorr",
-    "information_ratio",
-    "underwater_spells",
-    "kendall_tau",
-    "fifo_matching",
-    "kruskal_wallis",
-    "ulcer_martin",
-    "variance_ratio",
-    "pr_auc",
-    "cohens_kappa",
-    "local_clustering",
-    "page_hinkley",
-    "permutation_test",
-    "rs_hurst",
-    "updown_capture",
-    "zipf_fit",
-    "target_encoding",
-    "feature_hashing",
-    "cramers_v",
-    "friedman_test",
-    "anova_oneway",
-    "heaps_fit",
-    # r8 rotation, part 2: the 13 r7 registrations (waves 17-20);
-    # levenshtein_neardup (prefix-length banding), conformal_interval
-    # (ceil rank), centroid_similarity (n_a/n_b columns) and
-    # wasserstein_drift (decimal widening) changed this round
-    "bh_fdr",
-    "mcnemar_test",
-    "runs_test",
-    "ar1_halflife",
-    "levenshtein_neardup",
-    "decayed_popularity",
-    "k_anonymity",
-    "forecast_mase",
-    "conformal_interval",
-    "centroid_similarity",
-    "backtest_folds",
-    "wasserstein_drift",
-    "pinball_loss",
-    # r8 rotation, part 3: driver-green in earlier rounds but CHANGED
-    # this round — must be revalidated
-    "cuped_adjustment",
-    "char_jaccard_pairs",
-    "ks_drift",
-    # r8 rotation, part 4: the wave-21 registrations
-    "ljung_box",
+    # r9 rotation, part 1: the freshness-guard red list — queries
+    # whose implementation drifted (shared helpers, r8 widenings,
+    # dedup caching) after their newest driver row
+    "quality_score",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "ivf_topk",
+    "ivf_topk_persisted",
+    "embedding_allpairs_exact",
+    "clean_corpus",
+    "training_dataset",
+    "curation_report",
+    "source_mixture_plan",
+    "vocab_ids",
+    "dedup_keep_best",
+    "neardup_components",
+    "multimodal_framesample",
+    "lsh_dedup_recall",
+    "bloom_persisted_probe",
+    "containment_dups",
+    "rolling_beta",
+    "stream_tumbling_exec",
+    "stream_sliding_exec",
+    "stream_sessions_exec",
+    "stream_join_exec",
+    "stream_dedup_exec",
+    "stream_quality_exec",
+    "stream_rollup_exec",
+    # r9 rotation, part 2: the six r8 post-freeze widenings the
+    # verdict flagged (incl. acf_lags per r8 ADVICE item 4)
+    "gini_concentration",
+    "mannwhitney_u",
+    "roc_auc",
+    "degree_assortativity",
+    "ams_f2_moment",
+    "acf_lags",
+    # r9 rotation, part 3: changed THIS round — ADVICE fixes
     "partial_corr",
-    "qini_uplift",
+    "ljung_box",
+    "wasserstein_drift",
+    # r9 rotation, part 4: the wave-22 registrations
+    "mrr_at_k",
+    "recall_at_k",
+    "logloss_binned",
+    "omega_ratio",
+    "hhi_concentration",
+    "two_proportion_ztest",
+    # r9 rotation, part 5: oldest-driver-row backlog (code unchanged
+    # since its r2 row — age rotation, not correctness risk)
+    "q1_pricing_summary",
 ]
 
 

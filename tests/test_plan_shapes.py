@@ -331,3 +331,54 @@ def test_qini_cumulatives_single_window_over_blocks(spark, sf_dir):
     plan = _final_plan("qini_uplift", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("Window") == 1, plan.count("Window")
+
+
+def test_mrr_recall_single_partitioned_rank_window(spark, sf_dir):
+    """mrr_at_k / recall_at_k rank with ONE window PARTITIONED by the
+    query key (per-group fan-in, never a global sort) and no
+    cartesian anywhere."""
+    for name in ("mrr_at_k", "recall_at_k"):
+        plan = _final_plan(name, spark, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("Window") == 1, (name, plan.count("Window"))
+        assert plan.count("Exchange") <= 3, (name, plan.count("Exchange"))
+
+
+def test_logloss_binned_is_one_scan_one_aggregate(spark, sf_dir):
+    """The binned log loss is a scan-side literal lookup + ONE global
+    aggregate: no window, no join, map-side partials carry three
+    fields."""
+    plan = _final_plan("logloss_binned", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 0
+    assert "Join" not in plan
+
+
+def test_omega_ratio_no_extra_passes_over_gotk(spark, sf_dir):
+    """omega_ratio adds exactly one groupBy on top of the shared gotk
+    tail — the gain/loss sums must not introduce joins or windows
+    beyond the gotk construction itself (compare sortino_calmar,
+    which needs one MORE window for the drawdown cummax)."""
+    plan = _final_plan("omega_ratio", spark, sf_dir)
+    sortino = _final_plan("sortino_calmar", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") <= sortino.count("Window")
+
+
+def test_hhi_two_aggregates_no_window(spark, sf_dir):
+    """HHI is two map-side-combining aggregates (rows -> member
+    totals -> group moments): no window, no join — concentration
+    needs no ranking, unlike gini."""
+    plan = _final_plan("hhi_concentration", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 0
+    assert "Join" not in plan
+
+
+def test_two_prop_ztest_two_aggregates_one_row(spark, sf_dir):
+    """Unit rollup + scalar aggregate: no window, no join; the
+    z-expression runs on one row."""
+    plan = _final_plan("two_proportion_ztest", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 0
+    assert "Join" not in plan
