@@ -862,7 +862,11 @@ def containment_pairs(
     Jaccard: a short document wholly embedded in a long one scores
     containment 10000 while its Jaccard can be arbitrarily small —
     the subset-duplicate case Jaccard-thresholded dedup structurally
-    misses.
+    misses. It is also the designated owner of CROSS-LENGTH near
+    duplication: levenshtein_neardup_pairs' band contract excludes
+    pairs of very different full length by design and delegates them
+    here (tests/test_round9_fixes.py pins the split in both
+    directions).
 
     Same inverted-index shape as ngram_jaccard_pairs' "index"
     strategy: explode distinct hashed shingles, self-join on the

@@ -135,11 +135,61 @@ def test_swept_sites_keep_factor_level_casts():
         "ams_f2_moment",
         "acf_lags",
         "ljung_box",
+        # r9 widenings: quadratic daily-mass moments, literal-weight
+        # loss sums (~3e9 nano per row), member-mass squares
+        "partial_corr",
+        "logloss_binned",
+        "hhi_concentration",
     ):
         assert "HUGEINT" in ORACLE[name], (
             f"{name} lost its HUGEINT widening (rank sums / marginal "
             "products / tie terms are rows-squared- or cubed-scaled)"
         )
+
+
+def test_shared_float_chain_expressions_are_single_sourced():
+    """r8 verdict task 7(b): the fixed-order float expressions shared
+    between engine and oracle (pearson_r_expr, PARTIAL_R_EXPR,
+    ljung_box_q_expr, TWO_PROP_Z_EXPR, the logloss nano weights, the
+    MRR LCM) must stay SINGLE-SOURCED — the oracle SQL embeds the
+    exact rendered text AND the Spark operator consumes the same
+    python object, so the two engines' float trees cannot drift
+    apart silently."""
+    import inspect
+
+    from defimap_data_pipelines_spark.operators import (
+        experiments,
+        evalmetrics,
+        stats,
+        timeseries,
+    )
+
+    # 1. oracle SQL contains the exact rendered helper text
+    assert (
+        stats.pearson_r_expr("_sxy", "_sx", "_sy", "_sxx", "_syy")
+        in ORACLE["partial_corr"]
+    )
+    assert stats.PARTIAL_R_EXPR in ORACLE["partial_corr"]
+    assert timeseries.ljung_box_q_expr(7) in ORACLE["ljung_box"]
+    assert (
+        experiments.TWO_PROP_Z_EXPR in ORACLE["two_proportion_ztest"]
+    )
+    pos_w, neg_w = evalmetrics.logloss_nano_weights(10)
+    for w in (pos_w[0], pos_w[9], neg_w[0], neg_w[9]):
+        assert str(w) in ORACLE["logloss_binned"], w
+    assert "2520 // frk" in ORACLE["mrr_at_k"]
+
+    # 2. the Spark operator references the SAME shared object (not a
+    # hand-rebuilt Column tree that could diverge)
+    assert "pearson_r_expr(" in inspect.getsource(stats.partial_corr)
+    assert "PARTIAL_R_EXPR" in inspect.getsource(stats.partial_corr)
+    assert "ljung_box_q_expr(" in inspect.getsource(timeseries.ljung_box)
+    assert "TWO_PROP_Z_EXPR" in inspect.getsource(
+        experiments.two_proportion_ztest
+    )
+    assert "logloss_nano_weights(" in inspect.getsource(
+        evalmetrics.logloss_binned
+    )
 
 
 # operator-side twin: product-minus-product wrapped in .cast("double")

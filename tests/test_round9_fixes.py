@@ -141,3 +141,55 @@ def test_ljung_box_empty_series_one_null_row_both_engines(spark):
     orows = con.execute(LJUNG_BOX_SQL).fetchall()
     assert len(orows) == 1
     assert orows[0][0] is None and orows[0][2] is None
+
+
+def test_levenshtein_containment_contract_split(spark):
+    """r8 verdict task 6: the levenshtein band constraint is an
+    OUTPUT CONTRACT that excludes cross-length near-dups BY DESIGN,
+    delegating them to containment_pairs — so the two operators'
+    COMBINED coverage is the invariant, not prose. One short doc
+    quoted verbatim inside a much longer doc: levenshtein_neardup
+    must exclude the pair (different full-length bands), and
+    containment_pairs must report it at full containment."""
+    from defimap_data_pipelines_spark.operators.dedup import (
+        containment_pairs,
+        levenshtein_neardup_pairs,
+    )
+
+    short = "the quarterly report shows steady growth in revenue"
+    long_ = (
+        "executive summary for the board: " + short + " and the "
+        "outlook for the next fiscal year remains positive across "
+        "every segment we track, with particular strength in the "
+        "subscription business and continued expansion overseas."
+    )
+    docs = spark.createDataFrame(
+        [(1, short, len(short), "en"), (2, long_, len(long_), "en")],
+        "doc_id long, text string, n_chars int, lang string",
+    )
+
+    lev = levenshtein_neardup_pairs(
+        docs, "doc_id", "text", "n_chars", "lang"
+    ).collect()
+    assert lev == [], (
+        "cross-length pair must be OUTSIDE the levenshtein contract"
+    )
+
+    cont = containment_pairs(docs, "text", 3, 5000).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    # every 3-shingle of the short doc appears in the long doc
+    assert row["cont_bp"] == 10000
+
+    # and the same-length direction still belongs to levenshtein:
+    # a one-word edit of the short doc IS a levenshtein near-dup
+    tweaked = short.replace("steady", "stable")
+    docs2 = spark.createDataFrame(
+        [(1, short, len(short), "en"), (2, tweaked, len(tweaked), "en")],
+        "doc_id long, text string, n_chars int, lang string",
+    )
+    lev2 = levenshtein_neardup_pairs(
+        docs2, "doc_id", "text", "n_chars", "lang"
+    ).collect()
+    assert len(lev2) == 1 and lev2[0]["lev"] <= 12
