@@ -67,10 +67,18 @@ def _iter_refs(fn):
         tree = ast.parse(textwrap.dedent(src))
     g = getattr(fn, "__globals__", {})
     names: set[str] = set()
+    attr_refs: set[tuple[str, str]] = set()  # (base name, attribute)
     local_imports: dict[str, object] = {}
     for node in ast.walk(tree):
         if isinstance(node, ast.Name):
             names.add(node.id)
+        elif isinstance(node, ast.Attribute) and isinstance(
+            node.value, ast.Name
+        ):
+            # `ops.foo` style module-attribute access — resolve the
+            # attribute so a change to foo flips dependents even when
+            # it was never imported by name
+            attr_refs.add((node.value.id, node.attr))
         elif isinstance(node, ast.ImportFrom) and node.module:
             mod_name = node.module
             if node.level:  # relative import inside the package
@@ -105,6 +113,15 @@ def _iter_refs(fn):
             yield n, g[n]
     for n, obj in sorted(local_imports.items()):
         yield n, obj
+    for base, attr in sorted(attr_refs):
+        mod = local_imports.get(base, g.get(base))
+        if isinstance(mod, types.ModuleType) and (
+            mod.__name__ or ""
+        ).startswith(PKG):
+            try:
+                yield f"{base}.{attr}", getattr(mod, attr)
+            except AttributeError:
+                pass
 
 
 def _collect(fn, seen: set, parts: list) -> None:
