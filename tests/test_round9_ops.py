@@ -285,3 +285,90 @@ def test_two_prop_ztest_idempotent_in_event_volume(spark):
         df2, "user_id", F.col("user_id") % 2 == 1, F.col("conv")
     ).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_wave22_empty_input_shapes_match_oracle_semantics(spark):
+    """The ljung_box lesson applied proactively: every wave-22
+    operator must produce the same DEGENERATE shape its oracle
+    produces on empty input — global aggregates yield ONE row of
+    NULL/zero scalars, grouped aggregates yield ZERO rows."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from defimap_data_pipelines_spark.operators.evalmetrics import (
+        logloss_binned,
+        mrr_at_k,
+        recall_at_k,
+    )
+    from defimap_data_pipelines_spark.operators.experiments import (
+        two_proportion_ztest,
+    )
+    from defimap_data_pipelines_spark.operators.risk import omega_ratio
+    from defimap_data_pipelines_spark.operators.stats import hhi_by_group
+
+    rank_empty = spark.createDataFrame(
+        [], "q long, s long, tb long, rel boolean"
+    )
+    rows = mrr_at_k(
+        rank_empty, "q", F.col("s"), "tb", F.col("rel")
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_queries"] == 0 and rows[0]["mrr"] is None
+
+    assert (
+        recall_at_k(
+            rank_empty, "q", F.col("s"), "tb", F.col("rel")
+        ).count()
+        == 0
+    )
+
+    ll = logloss_binned(
+        spark.createDataFrame([], "p long, y boolean"), "p", F.col("y")
+    ).collect()
+    assert len(ll) == 1
+    assert ll[0]["n_rows"] == 0 and ll[0]["log_loss"] is None
+
+    gotk_empty = spark.createDataFrame(
+        [],
+        "date date, name string, end_day_investment double,"
+        " percent_change double",
+    )
+    assert omega_ratio(gotk_empty).count() == 0
+
+    assert (
+        hhi_by_group(
+            spark.createDataFrame([], "g long, m long, vq long"),
+            "g",
+            "m",
+            "vq",
+        ).count()
+        == 0
+    )
+
+    zt = two_proportion_ztest(
+        spark.createDataFrame([], "user_id long, conv boolean"),
+        "user_id",
+        F.col("user_id") % 2 == 1,
+        F.col("conv"),
+    ).collect()
+    assert len(zt) == 1
+    assert zt[0]["n1"] is None and zt[0]["z"] is None
+
+    # and the registered ORACLES agree on an empty substrate
+    from defimap_data_pipelines_spark.plans.queries import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, source VARCHAR,"
+        " n_chars BIGINT, lang VARCHAR, text VARCHAR)"
+    )
+    con.execute(
+        "CREATE TABLE events (ts TIMESTAMP, event_type VARCHAR,"
+        " value DOUBLE, user_id BIGINT)"
+    )
+    assert len(con.execute(ORACLE["mrr_at_k"]).fetchall()) == 1
+    assert len(con.execute(ORACLE["recall_at_k"]).fetchall()) == 0
+    assert len(con.execute(ORACLE["logloss_binned"]).fetchall()) == 1
+    assert len(con.execute(ORACLE["hhi_concentration"]).fetchall()) == 0
+    zo = con.execute(ORACLE["two_proportion_ztest"]).fetchall()
+    assert len(zo) == 1 and zo[0][0] is None
