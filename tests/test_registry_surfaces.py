@@ -268,3 +268,23 @@ def test_driver_window_is_registry_prefix():
         "interpolate_linear",
         "risk",
     ], "the 9 reference-parity flagships must stay first (SURVEY §2)"
+
+
+def test_plan_audit_covers_registry():
+    """docs/PLAN_AUDIT.md is the plan-regression baseline for
+    `tools/explain_audit.py --check` — it must cover every registered
+    query (a registration without an audit line ships with no plan
+    ratchet; regenerate the audit)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "explain_audit", os.path.join(REPO, "tools", "explain_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    audited = set(mod.committed_exchange_counts())
+    missing = sorted(set(QUERIES) - audited)
+    assert not missing, (
+        f"queries absent from docs/PLAN_AUDIT.md: {missing[:10]} — "
+        "run tools/explain_audit.py and refresh the doc"
+    )
