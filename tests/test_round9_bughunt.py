@@ -250,3 +250,168 @@ def test_holt_quantized_rejects_duplicate_order(spark):
     )
     with pytest.raises(Exception, match="duplicate order"):
         holt_quantized(df, "k", "o", "x").collect()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.one_of(
+                st.integers(-1000, 1000).map(float),
+                st.just(None),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([0.25, 0.5, 0.75, 0.9]),
+)
+@settings(**SET)
+def test_exact_grouped_quantile_is_type1(spark, rows, q):
+    """Bucket-refinement quantile must equal the TYPE-1 definition
+    (element at rank ceil(q*n) of the sorted non-null values) for
+    every group — including all-equal groups (degenerate histogram),
+    NULL-heavy groups, and negative values. Tiny bucket count forces
+    multiple refinement passes."""
+    from defimap_data_pipelines_spark.operators.quantiles import (
+        exact_grouped_quantiles,
+    )
+
+    df = spark.createDataFrame(rows, "g long, v double")
+    got = {
+        (r["g"], r["q"]): r["quantile"]
+        for r in exact_grouped_quantiles(
+            df, "g", "v", [q], buckets=4
+        ).collect()
+    }
+    groups = {}
+    for g, v in rows:
+        if v is not None:
+            groups.setdefault(g, []).append(v)
+    for g, vs in groups.items():
+        vs.sort()
+        rank = max(1, math.ceil(q * len(vs)))
+        assert got[(g, q)] == pytest.approx(vs[rank - 1]), (
+            g,
+            q,
+            vs,
+            got[(g, q)],
+        )
+    # groups with only NULLs produce no row
+    null_only = {g for g, v in rows if g not in groups}
+    for g in null_only:
+        assert (g, q) not in got
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),  # x bucket
+            st.integers(0, 1),  # binary y
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SET)
+def test_isotonic_fit_equals_minimax_identity(spark, rows):
+    """PAVA (stack algorithm) must equal the independent minimax
+    identity y_hat(k) = max_{i<=k} min_{j>=k} mean(y[i..j]) with the
+    same truncation — the O(B^3) reference the oracle uses, computed
+    here in exact python rationals."""
+    from fractions import Fraction
+
+    from defimap_data_pipelines_spark.operators.cleaning import (
+        isotonic_fit,
+    )
+
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        F.lit(0).alias("g"), "x", "y"
+    )
+    got = {
+        r["x"]: r["y_hat_micro"]
+        for r in isotonic_fit(df, "g", "x", "y").collect()
+    }
+
+    agg = {}
+    for _, x, y in ((0, x, y) for x, y in rows):
+        s, c = agg.get(x, (0, 0))
+        agg[x] = (s + y, c + 1)
+    xs = sorted(agg)
+    ss = [agg[x][0] for x in xs]
+    cs = [agg[x][1] for x in xs]
+    B = len(xs)
+    for k in range(B):
+        best = None
+        for i in range(k + 1):
+            inner = None
+            for j in range(k, B):
+                m = Fraction(sum(ss[i : j + 1]), sum(cs[i : j + 1]))
+                inner = m if inner is None else min(inner, m)
+            best = inner if best is None else max(best, inner)
+        m = best * 1_000_000
+        # trunc toward zero of the exact rational * micro
+        q = math.floor(m) if m >= 0 else -math.floor(-m)
+        assert got[xs[k]] == q, (xs[k], got[xs[k]], q)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.booleans()),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**SET)
+def test_best_split_ig_matches_python(spark, rows):
+    """Equal-width decision-stump scan vs python: identical binning
+    (integer div on the shifted value), identical 0*log(0) guards,
+    per-threshold information gain."""
+    from defimap_data_pipelines_spark.operators.stats import best_split_ig
+
+    df = spark.createDataFrame(rows, "v long, y boolean")
+    got = {
+        r["threshold"]: r
+        for r in best_split_ig(
+            df, "v", F.col("y"), n_bins=5, quantum=1
+        ).collect()
+    }
+
+    vqs = [(v, int(y)) for v, y in rows]
+    lo = min(v for v, _ in vqs)
+    hi = max(v for v, _ in vqs)
+    bins = {}
+    for v, y in vqs:
+        b = (v - lo) * 5 // (hi - lo + 1)
+        n, p = bins.get(b, (0, 0))
+        bins[b] = (n + 1, p + y)
+
+    def ent(pos, n):
+        out = 0.0
+        if pos > 0:
+            p = pos / n
+            out -= p * math.log(p)
+        if n - pos > 0:
+            q = (n - pos) / n
+            out -= q * math.log(q)
+        return out
+
+    nn = len(vqs)
+    post = sum(y for _, y in vqs)
+    nl = posl = 0
+    for b in sorted(bins):
+        n, p = bins[b]
+        nl += n
+        posl += p
+        if b >= 4:
+            continue
+        nr, posr = nn - nl, post - posl
+        ig = ent(post, nn) - (nl / nn) * ent(posl, nl)
+        if nr > 0:
+            ig -= (nr / nn) * ent(posr, nr)
+        if b in got:
+            r = got[b]
+            assert r["n_left"] == nl and r["pos_left"] == posl
+            assert r["ig"] == pytest.approx(round(ig, 9), abs=1e-9)
+    # thresholds present in spark output == populated bins < n_bins-1
+    assert set(got) == {b for b in bins if b < 4}
