@@ -143,3 +143,66 @@ def test_gaps_islands_matches_python(spark, sf_dir):
         assert r["first_day"] == ds[0]
         assert r["last_day"] == ds[-1]
         assert r["days_observed"] == len(ds)
+
+
+def test_scd2_intervals_matches_python(spark, sf_dir):
+    """SCD2 lag-compare-cumsum vs a sequential python scan of the
+    daily tier snapshots: version boundaries, validity dates and day
+    counts must all match; versions must be contiguous per entity and
+    adjacent versions must differ in tier."""
+    got = {}
+    for r in QUERIES["scd2_intervals"](spark, sf_dir).collect():
+        got[(r["name"], r["version"])] = r
+
+    o = _pq(sf_dir, "orders")
+    o = o.copy()
+    o["cents"] = (
+        (o["o_totalprice"] * 100)
+        .map(lambda x: math.floor(x + 0.5))
+        .astype("int64")
+    )
+    o["date"] = pd.to_datetime(o["o_orderdate"]).dt.date
+    daily = (
+        o.groupby(["date", "o_orderpriority"])
+        .agg(cents=("cents", "sum"), cnt=("cents", "size"))
+        .reset_index()
+    )
+    daily["tier"] = (daily["cents"] / daily["cnt"] >= 15_000_000).map(
+        {True: "high", False: "low"}
+    )
+
+    expect = {}
+    for name, grp in daily.groupby("o_orderpriority"):
+        grp = grp.sort_values("date")
+        version = 0
+        prev_tier = object()
+        for _, row in grp.iterrows():
+            if row["tier"] != prev_tier:
+                version += 1
+                expect[(name, version)] = {
+                    "tier": row["tier"],
+                    "valid_from": row["date"],
+                    "last_observed": row["date"],
+                    "n_days": 1,
+                }
+                prev_tier = row["tier"]
+            else:
+                e = expect[(name, version)]
+                e["last_observed"] = row["date"]
+                e["n_days"] += 1
+    assert set(got) == set(expect)
+    for key, e in expect.items():
+        r = got[key]
+        assert r["tier"] == e["tier"], key
+        assert r["valid_from"] == e["valid_from"], key
+        assert r["last_observed"] == e["last_observed"], key
+        assert r["n_days"] == e["n_days"], key
+    # structural invariants: contiguous versions, alternating tiers
+    by_name = defaultdict(list)
+    for (name, v), e in expect.items():
+        by_name[name].append((v, e["tier"]))
+    for name, vs in by_name.items():
+        vs.sort()
+        assert [v for v, _ in vs] == list(range(1, len(vs) + 1))
+        for (_, t1), (_, t2) in zip(vs, vs[1:]):
+            assert t1 != t2, name
