@@ -206,3 +206,45 @@ def test_scd2_intervals_matches_python(spark, sf_dir):
         assert [v for v, _ in vs] == list(range(1, len(vs) + 1))
         for (_, t1), (_, t2) in zip(vs, vs[1:]):
             assert t1 != t2, name
+
+
+def test_bootstrap_ci_matches_python(spark, sf_dir):
+    """Poisson-bootstrap CI vs a hashlib-based python replay of the
+    md5-derived weights: every resample's (S_b, N_b) is recomputed
+    independently, the CI order statistics must match exactly. The
+    hash path (hashlib vs Spark md5 vs DuckDB md5) is the third
+    implementation of the 'randomness'."""
+    import hashlib
+
+    r = QUERIES["bootstrap_ci"](spark, sf_dir).collect()[0]
+
+    T = (12055, 24109, 30137, 32146, 32648, 32749, 32765)
+    e = _pq(sf_dir, "events")
+    n = len(e)
+    s = 0
+    sb = [0] * 32
+    nb = [0] * 32
+    for eid, v in zip(e["event_id"], e["value"]):
+        xq = math.floor(v * 100 + 0.5) if v >= 0 else math.ceil(v * 100 - 0.5)
+        s += xq
+        words = {}
+        for b in range(32):
+            i = b // 8
+            if i not in words:
+                h = hashlib.md5(f"{eid}|{i}".encode()).hexdigest()
+                words[i] = (int(h[0:15], 16), int(h[15:30], 16))
+            word = words[i][0] if b % 8 < 4 else words[i][1]
+            u = (word >> ((b % 4) * 15)) & 32767
+            w = sum(u >= t for t in T)
+            sb[b] += w * xq
+            nb[b] += w
+    means = sorted(
+        sb[b] / nb[b] / 100 for b in range(32) if nb[b] > 0
+    )
+    assert r["n"] == n
+    assert r["mean"] == pytest.approx(round(s / n / 100, 9), abs=1e-9)
+    assert r["ci_lo"] == pytest.approx(round(means[1], 9), abs=1e-9)
+    assert r["ci_hi"] == pytest.approx(round(means[-2], 9), abs=1e-9)
+    assert r["resamples"] == 32
+    # and the CI must bracket the full-sample mean for this data
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
