@@ -1,0 +1,84 @@
+"""Invariants of the scale-stress replication (tools/stress.py):
+K× row counts, disjoint key spaces across copies, referential
+integrity within a copy, zero cross-copy text similarity, and a real
+registry query running unchanged on the replicated directory."""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+import stress  # noqa: E402
+
+from defimap_data_pipelines_spark.plans.queries import QUERIES  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def m2_dir(spark, sf_dir, tmp_path_factory, monkeysession=None):
+    root = tmp_path_factory.mktemp("stress")
+    old_base, old_root = stress.BASE_DIR, stress.STRESS_ROOT
+    stress.BASE_DIR, stress.STRESS_ROOT = sf_dir, str(root)
+    try:
+        yield stress.generate(2)
+    finally:
+        stress.BASE_DIR, stress.STRESS_ROOT = old_base, old_root
+
+
+def test_replication_invariants(m2_dir, sf_dir):
+    for table, keys in stress.KEY_COLS.items():
+        base = pd.read_parquet(f"{sf_dir}/{table}.parquet")
+        rep = pd.read_parquet(f"{m2_dir}/{table}.parquet")
+        assert len(rep) == 2 * len(base), table
+        k = keys[0]
+        lo = rep[rep[k] < stress.STRIDE]
+        hi = rep[rep[k] >= stress.STRIDE]
+        assert len(lo) == len(hi) == len(base), table
+        # copy 0 is the base verbatim on its primary key
+        assert sorted(lo[k]) == sorted(base[k]), table
+        assert sorted(hi[k] - stress.STRIDE) == sorted(base[k]), table
+    for table in stress.DIM_TABLES:
+        base = pd.read_parquet(f"{sf_dir}/{table}.parquet")
+        rep = pd.read_parquet(f"{m2_dir}/{table}.parquet")
+        assert len(rep) == len(base), table
+
+
+def test_referential_integrity_within_copies(m2_dir):
+    o = pd.read_parquet(f"{m2_dir}/orders.parquet")
+    c = pd.read_parquet(f"{m2_dir}/customer.parquet")
+    li = pd.read_parquet(f"{m2_dir}/lineitem.parquet")
+    assert set(o["o_custkey"]) <= set(c["c_custkey"])
+    assert set(li["l_orderkey"]) <= set(o["o_orderkey"])
+    # no edge crosses the copy boundary
+    side = li["l_orderkey"] >= stress.STRIDE
+    assert (li.loc[side, "l_partkey"] >= stress.STRIDE).all()
+    assert (li.loc[~side, "l_suppkey"] < stress.STRIDE).all()
+
+
+def test_cross_copy_text_is_disjoint(m2_dir):
+    d = pd.read_parquet(f"{m2_dir}/documents.parquet")
+    lo = d[d["doc_id"] < stress.STRIDE]
+    hi = d[d["doc_id"] >= stress.STRIDE]
+    tok_lo = {t for txt in lo["text"] for t in txt.split(" ")}
+    tok_hi = {t for txt in hi["text"] for t in txt.split(" ")}
+    assert not tok_lo & tok_hi, "copy suffix must make shingles disjoint"
+    assert (d["n_chars"] == d["text"].str.len()).all()
+
+
+def test_registry_query_runs_on_replica(spark, m2_dir, sf_dir):
+    base = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    }
+    rep = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q1_pricing_summary"](spark, m2_dir).collect()
+    }
+    assert set(rep) == set(base)
+    for flag, r in rep.items():
+        # doubled volume, identical distribution
+        assert r["count_order"] == 2 * base[flag]["count_order"]
+        assert r["avg_qty"] == pytest.approx(base[flag]["avg_qty"], rel=1e-9)
