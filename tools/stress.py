@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -121,9 +122,22 @@ def generate(mult: int, keep_text: bool = False) -> str:
         return out_dir
     spark = get_spark("stress-gen")
     for table in list(KEY_COLS) + DIM_TABLES:
-        _replicate(spark, table, mult, keep_text).write.mode(
+        # single FILE per table (the testdata layout — the streaming
+        # exec queries copy the file to a watch dir), via a one-file
+        # spark write + rename
+        tmp = os.path.join(out_dir, f"_tmp_{table}")
+        _replicate(spark, table, mult, keep_text).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(out_dir, f"{table}.parquet"))
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(out_dir, f"{table}.parquet"),
+        )
+        shutil.rmtree(tmp)
     with open(marker, "w") as f:
         f.write("ok\n")
     print(json.dumps({"generate": out_dir, "cached": False}), flush=True)
