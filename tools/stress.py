@@ -121,6 +121,12 @@ def generate(mult: int, keep_text: bool = False) -> str:
         print(json.dumps({"generate": out_dir, "cached": True}), flush=True)
         return out_dir
     spark = get_spark("stress-gen")
+    # testdata stores timestamps as INT64 micros; the streaming exec
+    # queries read that physical type via an explicit schema, so the
+    # replicas must match it (Spark's default is INT96)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     for table in list(KEY_COLS) + DIM_TABLES:
         # single FILE per table (the testdata layout — the streaming
         # exec queries copy the file to a watch dir), via a one-file
