@@ -34,9 +34,18 @@ def _score_blocks(
 ) -> DataFrame:
     """Collapse rows to (vq, cnt, pos): quantized-score blocks with
     row and positive counts — the O(distinct) substrate both metrics
-    rank over."""
+    rank over.
+
+    NULL scores are DROPPED (sklearn convention: a row without a
+    score cannot be ranked). This is a correctness requirement, not
+    hygiene: a NULL forms its own vq block and Spark places it
+    NULLS FIRST under ASC while DuckDB places it NULLS LAST, so
+    leaving it in shifts every non-null block's cumulative offset by
+    the null count on one engine only (r9 bug-hunt finding,
+    docs/ROUND9_NOTES.md §15: measured AUC 0.25 vs 0.5)."""
     return (
-        df.select(
+        df.filter(F.col(score_col).isNotNull())
+        .select(
             F.round(F.col(score_col) * quantum).cast("long").alias("vq"),
             F.when(label_col, 1).otherwise(0).cast("long").alias("y"),
         )
@@ -125,7 +134,9 @@ def lift_gains(
     (rank-1)·n_bins div n, an integer decision.
     """
     vq = F.round(F.col(score_col) * quantum).cast("long")
-    rows = df.select(
+    # NULL scores dropped (sklearn convention) — family-wide substrate
+    # contract; see _score_blocks.
+    rows = df.filter(F.col(score_col).isNotNull()).select(
         vq.alias("vq"),
         F.col(tiebreak_col).alias("_tb"),
         F.when(label_col, 1).otherwise(0).cast("long").alias("y"),

@@ -376,8 +376,13 @@ def mannwhitney_pairs(
     from pyspark.sql.window import Window
 
     vq = F.round(F.col(value_col) * quantum).cast("long")
+    # NULL values dropped (sklearn convention) — a NULL forms its own
+    # vq block and the engines place it differently under ASC (Spark
+    # NULLS FIRST, DuckDB NULLS LAST), shifting every cumulative
+    # offset; see evalmetrics._score_blocks / ROUND9_NOTES §15.
     counts = (
-        df.groupBy(F.col(group_col).alias("g"), vq.alias("vq"))
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), vq.alias("vq"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .cache()  # feeds the pair list AND the tagged join below
     )
@@ -1262,8 +1267,11 @@ def kruskal_wallis(
     from pyspark.sql.window import Window
 
     vq = F.round(F.col(value_col) * quantum).cast("long")
+    # NULL values dropped — same cross-engine ASC null-placement
+    # contract as mannwhitney_pairs (ROUND9_NOTES §15).
     counts = (
-        df.groupBy(F.col(group_col).alias("g"), vq.alias("vq"))
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), vq.alias("vq"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .cache()  # feeds block totals AND the per-group join
     )
@@ -1790,7 +1798,12 @@ def wasserstein_drift(
         F.when(F.col(group_col) == treatment, 1).otherwise(0).alias(
             "_b"
         ),
-    ).filter((F.col("_a") == 1) | (F.col("_b") == 1))
+    ).filter(
+        # NULL support values dropped — same cross-engine ASC
+        # null-placement contract as the rank substrates (§15).
+        ((F.col("_a") == 1) | (F.col("_b") == 1))
+        & F.col("v").isNotNull()
+    )
     per_v = tagged.groupBy("v").agg(
         F.sum("_a").cast("long").alias("ca"),
         F.sum("_b").cast("long").alias("cb"),

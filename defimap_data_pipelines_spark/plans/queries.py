@@ -10674,7 +10674,7 @@ MANNWHITNEY_SQL = """
         SELECT event_type AS g,
                CAST(ROUND(value * 100) AS BIGINT) AS vq,
                CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     pairs AS (
         SELECT a.g AS g_a, b.g AS g_b
@@ -12369,7 +12369,7 @@ ROC_AUC_SQL = """
                CAST(COUNT(*) AS BIGINT) AS cnt,
                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                     AS BIGINT) AS pos
-        FROM events GROUP BY 1
+        FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     rk AS (
         SELECT cnt, pos,
@@ -12414,7 +12414,7 @@ LIFT_GAINS_SQL = """
     WITH rows_ AS (
         SELECT CAST(ROUND(value * 100) AS BIGINT) AS vq, event_id,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     blocks AS (
         SELECT vq, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY vq
@@ -13228,7 +13228,7 @@ KRUSKAL_SQL = """
     WITH counts AS (
         SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS vq,
                CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     blocks AS (
         SELECT vq, CAST(SUM(cnt) AS BIGINT) AS blk FROM counts GROUP BY 1
@@ -13417,7 +13417,7 @@ PR_AUC_SQL = """
                CAST(COUNT(*) AS BIGINT) AS cnt,
                CAST(SUM(CASE WHEN event_type = 'purchase'
                         THEN 1 ELSE 0 END) AS BIGINT) AS pos
-        FROM events GROUP BY 1
+        FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     st AS (
         SELECT pos,
@@ -15294,7 +15294,7 @@ WASSERSTEIN_SQL = """
         SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
                CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
                CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     per_v AS (
         SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
@@ -15947,19 +15947,16 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 #
-# Round-9 rotation: membership is now MECHANICAL — the freshness
-# guard (tools/freshness.py + tests/test_freshness_guard.py) maps
-# every query to the fingerprint it had at its newest driver-green
-# row and goes red when the implementation/oracle drifts without a
-# window slot. This window = the 9 flagships + every guard-red query
-# at r9 HEAD (31 helper/widening drifts dating back to r2 rows — the
-# guard's bootstrap audit found them; the r8 verdict knew only the 6
-# post-freeze widenings) + the 3 queries changed in r9
-# (partial_corr / ljung_box ADVICE fixes; wasserstein_drift's
-# adjudication docstring) + the 6 wave-22 registrations + 1
-# oldest-backlog slot. 31 r2/r3-validated queries remain green on
-# UNCHANGED code (fingerprint-verified); they rotate r10+ as slots
-# free up.
+# Round-10 rotation (mechanical, per the freshness guard): the 9
+# flagships + the 6 queries whose fingerprints drifted from the
+# null-score substrate fix (drop NULL scores in _score_blocks /
+# lift_gains / mannwhitney_pairs / kruskal_wallis / the wasserstein
+# tagger, mirrored as WHERE value IS NOT NULL in the oracle texts —
+# the r9 verdict's task 1) + 35 oldest-driver-row backlog slots
+# (all 30 remaining r2 rows, then the first 5 r3 rows alphabetical;
+# code fingerprint-verified UNCHANGED since those rows — age
+# rotation, not correctness risk). The remaining 21 r3 rows rotate
+# in r11.
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
@@ -15972,56 +15969,53 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # r9 rotation, part 1: the freshness-guard red list — queries
-    # whose implementation drifted (shared helpers, r8 widenings,
-    # dedup caching) after their newest driver row
-    "quality_score",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_dedup",
-    "ivf_topk",
-    "ivf_topk_persisted",
-    "embedding_allpairs_exact",
-    "clean_corpus",
-    "training_dataset",
-    "curation_report",
-    "source_mixture_plan",
-    "vocab_ids",
-    "dedup_keep_best",
-    "neardup_components",
-    "multimodal_framesample",
-    "lsh_dedup_recall",
-    "bloom_persisted_probe",
-    "containment_dups",
-    "rolling_beta",
-    "stream_tumbling_exec",
-    "stream_sliding_exec",
-    "stream_sessions_exec",
-    "stream_join_exec",
-    "stream_dedup_exec",
-    "stream_quality_exec",
-    "stream_rollup_exec",
-    # r9 rotation, part 2: the six r8 post-freeze widenings the
-    # verdict flagged (incl. acf_lags per r8 ADVICE item 4)
-    "gini_concentration",
-    "mannwhitney_u",
+    # r10 rotation, part 1: the null-score substrate fix (freshness
+    # guard red list at the fix commit)
     "roc_auc",
-    "degree_assortativity",
-    "ams_f2_moment",
-    "acf_lags",
-    # r9 rotation, part 3: changed THIS round — ADVICE fixes
-    "partial_corr",
-    "ljung_box",
+    "pr_auc",
+    "lift_gains",
+    "mannwhitney_u",
+    "kruskal_wallis",
     "wasserstein_drift",
-    # r9 rotation, part 4: the wave-22 registrations
-    "mrr_at_k",
-    "recall_at_k",
-    "logloss_binned",
-    "omega_ratio",
-    "hhi_concentration",
-    "two_proportion_ztest",
-    # r9 rotation, part 5: oldest-driver-row backlog (code unchanged
-    # since its r2 row — age rotation, not correctness risk)
-    "q1_pricing_summary",
+    # r10 rotation, part 2: oldest-driver-row backlog — the 30
+    # remaining r2 rows (alphabetical)
+    "above_nation_avg",
+    "anti_join",
+    "apy_conversion",
+    "array_agg_sorted",
+    "asof_last_purchase",
+    "cosine_topk",
+    "cube_agg",
+    "date_parts",
+    "dedup_exact",
+    "exact_quantiles",
+    "json_extract",
+    "lang_id",
+    "latest_event_per_user",
+    "min_max_scalar",
+    "pivot_linestatus",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "rollup_agg",
+    "semi_join",
+    "sessionize",
+    "set_ops",
+    "string_funcs",
+    "text_stats",
+    "tumbling_hourly",
+    "unpivot_metrics",
+    "window_frames",
+    "window_rank_suite",
+    "window_running_stats",
+    "wordcount_top50",
+    # r10 rotation, part 3: oldest r3 rows (alphabetical), filling
+    # the window to 50
+    "asof_next_purchase",
+    "bm25_search",
+    "bucketed_join_agg",
+    "char_entropy",
+    "corpus_quality_by_source",
 ]
 
 
