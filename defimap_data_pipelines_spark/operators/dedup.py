@@ -849,6 +849,38 @@ def substring_dedup(
     )
 
 
+# Shingle-frame cache registry (r9 verdict task 6). containment_pairs
+# returns a LAZY frame over a cached shingle scan, so the cache must
+# outlive the call — but a caller invoking the operator in a loop
+# would otherwise accumulate pinned frames until memory pressure.
+# The registry keeps at most _SHINGLE_CACHE_BOUND live caches
+# (oldest-first unpersist: an already-collected result loses nothing;
+# a still-lazy one silently recomputes, never goes wrong) and
+# ``release_shingle_caches()`` gives eager callers a targeted handle
+# that doesn't nuke unrelated caches the way
+# ``spark.catalog.clearCache()`` does.
+_SHINGLE_CACHE_BOUND = 4
+_shingle_caches: list[DataFrame] = []
+
+
+def _register_shingle_cache(df: DataFrame) -> DataFrame:
+    _shingle_caches.append(df)
+    while len(_shingle_caches) > _SHINGLE_CACHE_BOUND:
+        _shingle_caches.pop(0).unpersist(blocking=False)
+    return df
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every registry-held shingle cache; returns how many
+    were released. Call after collecting results when running
+    containment_pairs in a loop."""
+    released = len(_shingle_caches)
+    for cached in _shingle_caches:
+        cached.unpersist(blocking=False)
+    _shingle_caches.clear()
+    return released
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -889,12 +921,13 @@ def containment_pairs(
     # per-doc array frame (pre-explode, so O(docs) rows) or the
     # whole upstream scan executes once per consumer (r8 containment
     # adjudication: the double scan was ~40% of wall time at sf0.1).
-    # DELIBERATELY left cached (the centroid_similarity precedent):
-    # the result is lazy, so the cache must survive until the
-    # caller's action; Spark evicts LRU under memory pressure, and
-    # callers that want eager cleanup can spark.catalog.clearCache()
-    # after collecting.
-    hs = hashed_shingles(doc_shingles(docs, text_col, n)).cache()
+    # The cache outlives the call (the result is lazy) but is BOUNDED:
+    # the module registry unpersists oldest-first past
+    # _SHINGLE_CACHE_BOUND, and release_shingle_caches() gives
+    # loop-callers eager cleanup (r9 verdict task 6).
+    hs = _register_shingle_cache(
+        hashed_shingles(doc_shingles(docs, text_col, n)).cache()
+    )
     post = hs.select(
         "doc_id", F.size("_hh").alias("ns"), F.explode("_hh").alias("h")
     )

@@ -476,12 +476,25 @@ def triangle_count(
     )
 
 
+#: Local-mode ceiling for kcore's per-round localCheckpoint blocks,
+#: from the r9 stress run (docs/ROUND9_NOTES.md §16): a 150M-edge
+#: frame completes only at 56 GiB driver memory; the 24 GiB default
+#: OOMs. 50M edges leaves ~2x headroom at the default. Cluster mode
+#: is exempt — checkpoint blocks spread across executors.
+KCORE_LOCAL_EDGE_CEILING = 50_000_000
+
+
+class LocalCheckpointCeiling(RuntimeError):
+    """Raised instead of letting a single-JVM localCheckpoint OOM."""
+
+
 def kcore_decompose(
     edges: DataFrame,
     k: int,
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    max_local_edges: int | None = KCORE_LOCAL_EDGE_CEILING,
 ) -> DataFrame:
     """Fixed-round k-core pruning: repeatedly drop nodes with degree
     < k and re-count on the surviving subgraph. True k-core iterates
@@ -503,6 +516,15 @@ def kcore_decompose(
 
     Expects DIRECTED input; pass a symmetrized frame for undirected
     degree semantics (matching connected_components).
+
+    ``max_local_edges`` guards the one measured single-JVM ceiling
+    (r9 stress, 64x replication: the 150M-edge checkpoint blocks OOM
+    a 24 GiB local driver; fine at 56 GiB, and a non-issue on a
+    cluster where blocks spread across executors): in local mode,
+    after the first checkpoint materializes, one cheap count on the
+    already-materialized blocks turns the would-be OOM into an
+    actionable error. Pass ``None`` to disable (e.g. after raising
+    SPARK_DRIVER_MEMORY).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -510,6 +532,18 @@ def kcore_decompose(
         .distinct()
         .localCheckpoint()
     )
+    sc = edges.sparkSession.sparkContext
+    if max_local_edges is not None and sc.master.startswith("local"):
+        n_edges = e.count()  # on checkpointed blocks: no recompute
+        if n_edges > max_local_edges:
+            raise LocalCheckpointCeiling(
+                f"kcore_decompose: {n_edges} distinct edges exceeds the "
+                f"single-JVM localCheckpoint budget ({max_local_edges}); "
+                "at this size the per-round checkpoint blocks OOM the "
+                "default 24 GiB local driver (measured r9: 150M edges "
+                "needs 56 GiB). Raise SPARK_DRIVER_MEMORY and pass "
+                "max_local_edges=None, or run on a cluster master."
+            )
     out: DataFrame | None = None
     for i in range(1, rounds + 1):
         kept = (

@@ -15953,9 +15953,12 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lift_gains / mannwhitney_pairs / kruskal_wallis / the wasserstein
 # tagger, mirrored as WHERE value IS NOT NULL in the oracle texts —
 # the r9 verdict's task 1) + 35 oldest-driver-row backlog slots
-# (all 30 remaining r2 rows, then the first 5 r3 rows alphabetical;
+# (all 30 remaining r2 rows, then the first 3 r3 rows alphabetical;
 # code fingerprint-verified UNCHANGED since those rows — age
-# rotation, not correctness risk). The remaining 21 r3 rows rotate
+# rotation, not correctness risk) + 2 slots for this round's other
+# fingerprint drifts: containment_dups (bounded shingle-cache
+# registry, verdict task 6) and kcore_rounds (localCheckpoint
+# ceiling guard, verdict task 7). The remaining 23 r3 rows rotate
 # in r11.
 
 _DRIVER_WINDOW = [
@@ -16009,13 +16012,14 @@ _DRIVER_WINDOW = [
     "window_rank_suite",
     "window_running_stats",
     "wordcount_top50",
-    # r10 rotation, part 3: oldest r3 rows (alphabetical), filling
-    # the window to 50
+    # r10 rotation, part 3: oldest r3 rows (alphabetical)
     "asof_next_purchase",
     "bm25_search",
     "bucketed_join_agg",
-    "char_entropy",
-    "corpus_quality_by_source",
+    # r10 rotation, part 4: drifted by this round's verdict-task
+    # fixes (cache registry / checkpoint ceiling guard)
+    "containment_dups",
+    "kcore_rounds",
 ]
 
 

@@ -18,7 +18,7 @@ from defimap_data_pipelines_spark.plans.queries import QUERIES  # noqa: E402
 
 
 @pytest.fixture(scope="module")
-def m2_dir(spark, sf_dir, tmp_path_factory, monkeysession=None):
+def m2_dir(spark, sf_dir, tmp_path_factory):
     root = tmp_path_factory.mktemp("stress")
     old_base, old_root = stress.BASE_DIR, stress.STRESS_ROOT
     stress.BASE_DIR, stress.STRESS_ROOT = sf_dir, str(root)

@@ -97,12 +97,18 @@ def _replicate(
         for k in KEY_COLS[table]:
             df = df.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast("long"))
         if table == "documents" and i > 0 and not keep_text:
+            # Copy-i tokens get a "\x01{i}" suffix. \x01 cannot appear
+            # in the generated corpus (asserted in generate()), so no
+            # base token can equal another token + suffix — cross-copy
+            # shingle disjointness holds for ANY base vocabulary, not
+            # just the current one (r9 ADVICE: a plain "x{i}" suffix
+            # breaks if 'aa' and 'aax1' ever coexist as tokens).
             df = df.withColumn(
                 "text",
                 F.array_join(
                     F.transform(
                         F.split("text", " "),
-                        lambda t: F.concat(t, F.lit(f"x{i}")),
+                        lambda t: F.concat(t, F.lit(f"\x01{i}")),
                     ),
                     " ",
                 ),
@@ -127,6 +133,14 @@ def generate(mult: int, keep_text: bool = False) -> str:
     spark.conf.set(
         "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
     )
+    # precondition for the \x01 copy-suffix disjointness argument
+    assert (
+        spark.read.parquet(os.path.join(BASE_DIR, "documents.parquet"))
+        .filter(F.col("text").contains("\x01"))
+        .limit(1)
+        .count()
+        == 0
+    ), "base corpus contains \\x01 — the copy-suffix separator"
     for table in list(KEY_COLS) + DIM_TABLES:
         # single FILE per table (the testdata layout — the streaming
         # exec queries copy the file to a watch dir), via a one-file
@@ -157,12 +171,21 @@ def run(mult: int, names: list[str], keep_text: bool = False) -> None:
     if mult != 1 and not os.path.exists(os.path.join(sf_dir, "_DONE")):
         generate(mult, keep_text)
     spark = get_spark("stress-run")
-    runs = int(os.environ.get("STRESS_RUNS", "2"))
-    QUERIES[names[0]](spark, sf_dir).count()  # warmup
+    # r9 ADVICE guards: at least one timed run (best=inf would emit
+    # non-JSON 'Infinity'), no empty/unknown names reaching QUERIES[...]
+    runs = max(1, int(os.environ.get("STRESS_RUNS", "2")))
+    unknown = [n for n in names if n not in QUERIES]
+    if not names or unknown:
+        raise ValueError(f"empty or unknown query names: {unknown}")
     timings: dict[str, float] = {}
     for n in names:
         best = float("inf")
         rows = -1
+        # per-query untimed warmup (r9 ADVICE: warming only names[0]
+        # left every other family's first timed run paying JIT/IO)
+        QUERIES[n](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         for _ in range(runs):
             t0 = time.perf_counter()
             df = QUERIES[n](spark, sf_dir)
