@@ -352,9 +352,7 @@ def _time_queries(
     return timings
 
 
-def _chunked_timings(
-    names: list[str], chunk: int, runs: int
-) -> dict[str, float]:
+def _chunked_timings(names: list[str], chunk: int) -> dict[str, float]:
     """Run the bench in fresh-JVM chunks: every ``chunk`` queries get
     their own subprocess (and so their own Spark JVM).
 
@@ -413,7 +411,15 @@ def main() -> None:
     only = os.environ.get("BENCH_ONLY")
     if only:
         wanted = [n for n in only.split(",") if n]
-        names = [n for n in wanted if n in QUERIES]
+        unknown = [n for n in wanted if n not in QUERIES]
+        if unknown or not wanted:
+            # mirror stress.py's guard: fail loudly before the warmup
+            # rather than IndexError at QUERIES[names[0]]
+            raise ValueError(
+                f"BENCH_ONLY yields no runnable queries: "
+                f"unknown={unknown!r}, requested={wanted!r}"
+            )
+        names = wanted
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     recycle = int(os.environ.get("BENCH_RECYCLE", "0"))
 
@@ -422,7 +428,8 @@ def main() -> None:
         if "--child" in sys.argv:
             return  # parent aggregates; per-query lines already out
     else:
-        timings = _chunked_timings(names, recycle, runs)
+        # each child re-reads BENCH_RUNS from the inherited env
+        timings = _chunked_timings(names, recycle)
 
     total = round(sum(timings.values()), 3)
     print(

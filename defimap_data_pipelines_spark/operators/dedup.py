@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from defimap_data_pipelines_spark.functions.text import fingerprint, word_shingles
+from defimap_data_pipelines_spark.operators.cachereg import BoundedCacheRegistry
 
 
 class BitsetVocabGateExceeded(ValueError):
@@ -849,36 +850,25 @@ def substring_dedup(
     )
 
 
-# Shingle-frame cache registry (r9 verdict task 6). containment_pairs
-# returns a LAZY frame over a cached shingle scan, so the cache must
-# outlive the call — but a caller invoking the operator in a loop
-# would otherwise accumulate pinned frames until memory pressure.
-# The registry keeps at most _SHINGLE_CACHE_BOUND live caches
-# (oldest-first unpersist: an already-collected result loses nothing;
-# a still-lazy one silently recomputes, never goes wrong) and
-# ``release_shingle_caches()`` gives eager callers a targeted handle
-# that doesn't nuke unrelated caches the way
-# ``spark.catalog.clearCache()`` does.
+# Shingle-frame cache registry (r9 verdict task 6, thread-safety +
+# shared implementation r10 ADVICE / r11). containment_pairs returns
+# a LAZY frame over a cached shingle scan, so the cache must outlive
+# the call — the BoundedCacheRegistry (operators/cachereg.py) keeps
+# at most _SHINGLE_CACHE_BOUND live under loop callers and is safe
+# under concurrent driver threads.
 _SHINGLE_CACHE_BOUND = 4
-_shingle_caches: list[DataFrame] = []
+_shingle_registry = BoundedCacheRegistry(_SHINGLE_CACHE_BOUND)
 
 
 def _register_shingle_cache(df: DataFrame) -> DataFrame:
-    _shingle_caches.append(df)
-    while len(_shingle_caches) > _SHINGLE_CACHE_BOUND:
-        _shingle_caches.pop(0).unpersist(blocking=False)
-    return df
+    return _shingle_registry.register(df)
 
 
 def release_shingle_caches() -> int:
     """Unpersist every registry-held shingle cache; returns how many
     were released. Call after collecting results when running
     containment_pairs in a loop."""
-    released = len(_shingle_caches)
-    for cached in _shingle_caches:
-        cached.unpersist(blocking=False)
-    _shingle_caches.clear()
-    return released
+    return _shingle_registry.release()
 
 
 def containment_pairs(

@@ -488,6 +488,15 @@ class LocalCheckpointCeiling(RuntimeError):
     """Raised instead of letting a single-JVM localCheckpoint OOM."""
 
 
+def _is_single_jvm_master(master: str) -> bool:
+    """True only for single-JVM masters: "local", "local[N]",
+    "local[N,F]" / "local[*]". "local-cluster[...]" spawns separate
+    executor JVMs whose checkpoint blocks spread like a real
+    cluster's, so it is exempt from the localCheckpoint memory
+    ceiling (r10 ADVICE)."""
+    return master == "local" or master.startswith("local[")
+
+
 def kcore_decompose(
     edges: DataFrame,
     k: int,
@@ -533,7 +542,7 @@ def kcore_decompose(
         .localCheckpoint()
     )
     sc = edges.sparkSession.sparkContext
-    if max_local_edges is not None and sc.master.startswith("local"):
+    if max_local_edges is not None and _is_single_jvm_master(sc.master):
         n_edges = e.count()  # on checkpointed blocks: no recompute
         if n_edges > max_local_edges:
             raise LocalCheckpointCeiling(

@@ -27,6 +27,24 @@ from defimap_data_pipelines_spark.functions.vector import (
     cosine_from_norms,
     l2_norm,
 )
+from defimap_data_pipelines_spark.operators.cachereg import BoundedCacheRegistry
+
+# Centroid-frame cache registry (r10 verdict task 3 — the symmetry
+# candidate to containment_pairs' shingle registry, deferred from r10
+# so it lands with same-round window slots for its drifted
+# dependents). group_centroid_similarity returns a LAZY frame over a
+# cached centroid aggregation consumed by norms AND both pair sides;
+# the registry bounds loop callers to _CENTROID_CACHE_BOUND live
+# caches and release_centroid_caches() gives eager cleanup.
+_CENTROID_CACHE_BOUND = 4
+_centroid_registry = BoundedCacheRegistry(_CENTROID_CACHE_BOUND)
+
+
+def release_centroid_caches() -> int:
+    """Unpersist every registry-held centroid cache; returns how many
+    were released. Call after collecting results when running
+    group_centroid_similarity in a loop."""
+    return _centroid_registry.release()
 
 
 def cosine_topk(
@@ -682,9 +700,12 @@ def group_centroid_similarity(
             # aggregate, no extra scan
             F.count(F.lit(1)).cast("long").alias("_cnt"),
         )
-        # consumed by norms AND both pair sides
+        # consumed by norms AND both pair sides; BOUNDED under loop
+        # callers via the module registry (oldest-first unpersist —
+        # an evicted still-lazy result silently recomputes)
         .cache()
     )
+    cent = _centroid_registry.register(cent)
     norms = cent.groupBy("g").agg(
         F.sum(F.col("cq") * F.col("cq")).alias("nrm"),
         F.max("_cnt").alias("_gn"),

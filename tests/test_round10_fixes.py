@@ -45,10 +45,10 @@ def test_containment_cache_bounded_in_loops(spark):
     assert grown <= dedup._SHINGLE_CACHE_BOUND, (
         f"{loops} loop calls left {grown} pinned shingle caches"
     )
-    assert len(dedup._shingle_caches) == dedup._SHINGLE_CACHE_BOUND
+    assert len(dedup._shingle_registry) == dedup._SHINGLE_CACHE_BOUND
     released = dedup.release_shingle_caches()
     assert released == dedup._SHINGLE_CACHE_BOUND
-    assert not dedup._shingle_caches
+    assert len(dedup._shingle_registry) == 0
 
 
 def test_containment_result_correct_after_eviction(spark):
