@@ -15947,19 +15947,21 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bpe_encode and the other 3 rows-only entries never take window
 # slots.)
 #
-# Round-10 rotation (mechanical, per the freshness guard): the 9
-# flagships + the 6 queries whose fingerprints drifted from the
-# null-score substrate fix (drop NULL scores in _score_blocks /
-# lift_gains / mannwhitney_pairs / kruskal_wallis / the wasserstein
-# tagger, mirrored as WHERE value IS NOT NULL in the oracle texts —
-# the r9 verdict's task 1) + 35 oldest-driver-row backlog slots
-# (all 30 remaining r2 rows, then the first 3 r3 rows alphabetical;
-# code fingerprint-verified UNCHANGED since those rows — age
-# rotation, not correctness risk) + 2 slots for this round's other
-# fingerprint drifts: containment_dups (bounded shingle-cache
-# registry, verdict task 6) and kcore_rounds (localCheckpoint
-# ceiling guard, verdict task 7). The remaining 23 r3 rows rotate
-# in r11.
+# Round-10 rotation: 9 flagships + the 6 null-score substrate fix
+# drifts + all 30 remaining r2 rows + first 3 r3 rows +
+# containment_dups/kcore_rounds (that round's fingerprint drifts).
+# Went 50/50 green (CORRECTNESS_r10.json); oldest driver row
+# advanced r2 -> r3.
+#
+# Round-11 rotation (mechanical, per the freshness guard): the 9
+# flagships + the 23 remaining r3 rows (pre-verified 23/23 at r10
+# HEAD, docs/ROUND10_NOTES.md §12 — code fingerprint-certified
+# UNCHANGED since r3: age rotation, not correctness risk) + 3 slots
+# for this round's fingerprint drifts (the shared BoundedCacheRegistry
+# refactor drifts containment_dups and centroid_similarity; the
+# kcore master-predicate factoring drifts kcore_rounds) + the 15
+# oldest r4 rows (alphabetical) to fill 50. After this window the
+# oldest driver row advances r3 -> r4 (22 r4 rows remain for r12).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
@@ -15972,54 +15974,52 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # r10 rotation, part 1: the null-score substrate fix (freshness
-    # guard red list at the fix commit)
-    "roc_auc",
-    "pr_auc",
-    "lift_gains",
-    "mannwhitney_u",
-    "kruskal_wallis",
-    "wasserstein_drift",
-    # r10 rotation, part 2: oldest-driver-row backlog — the 30
-    # remaining r2 rows (alphabetical)
-    "above_nation_avg",
-    "anti_join",
-    "apy_conversion",
-    "array_agg_sorted",
-    "asof_last_purchase",
-    "cosine_topk",
-    "cube_agg",
-    "date_parts",
-    "dedup_exact",
-    "exact_quantiles",
-    "json_extract",
-    "lang_id",
-    "latest_event_per_user",
-    "min_max_scalar",
-    "pivot_linestatus",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "rollup_agg",
-    "semi_join",
-    "sessionize",
-    "set_ops",
-    "string_funcs",
-    "text_stats",
-    "tumbling_hourly",
-    "unpivot_metrics",
-    "window_frames",
-    "window_rank_suite",
-    "window_running_stats",
-    "wordcount_top50",
-    # r10 rotation, part 3: oldest r3 rows (alphabetical)
-    "asof_next_purchase",
-    "bm25_search",
-    "bucketed_join_agg",
-    # r10 rotation, part 4: drifted by this round's verdict-task
-    # fixes (cache registry / checkpoint ceiling guard)
+    # r11 rotation, part 1: the 23 remaining r3 rows (alphabetical)
+    "char_entropy",
+    "corpus_quality_by_source",
+    "decontamination_overlap",
+    "doc_repetition",
+    "embedding_neardup_pairs",
+    "exact_median_distributed",
+    "hll_distinct_users",
+    "kmeans_clusters",
+    "line_dedup",
+    "lsh_topk",
+    "mixture_resample",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "rolling_hash_fingerprint",
+    "sentence_split_udtf",
+    "simhash_pairs",
+    "substring_dedup",
+    "tfidf_top_terms",
+    "token_chunks",
+    "unigram_perplexity",
+    "vector_stats",
+    # r11 rotation, part 2: drifted by this round's verdict-task /
+    # ADVICE fixes (shared bounded-cache registry; kcore guard
+    # master predicate)
+    "centroid_similarity",
     "containment_dups",
     "kcore_rounds",
+    # r11 rotation, part 3: oldest r4 rows (alphabetical)
+    "ann_recall_eval",
+    "bpe_merge_pairs",
+    "cohort_retention",
+    "cross_source_dups",
+    "dataset_split",
+    "date_spine_ffill",
+    "edit_distance_pairs",
+    "embedding_quantize_int8",
+    "event_funnel",
+    "gopher_rules",
+    "gotk_sql",
+    "ivf_topk_trained",
+    "multimodal_decode",
+    "pii_redaction",
+    "q10_returned_revenue",
 ]
 
 
