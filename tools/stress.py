@@ -85,17 +85,60 @@ def _mult_dir(mult: int, keep_text: bool) -> str:
     return os.path.join(STRESS_ROOT, tag)
 
 
+#: bumped whenever the replication recipe changes; replicas generated
+#: under an older recipe regenerate instead of being reused
+RECIPE = "v2-disjoint-emb"
+
+
+def _sign_mask(copy: int, dims: int) -> list[float]:
+    """Deterministic per-copy ±1 mask (md5 parity of "copy|dim").
+
+    Sign-flipping dimensions is an ORTHOGONAL transform: every
+    within-copy cosine/distance is exactly preserved (same dup
+    density, same cluster geometry per copy), while cross-copy
+    cosines of formerly identical vectors drop to ~N(0, 1/sqrt(dims))
+    — the embedding analogue of the \\x01 text suffix. Caveat: at 64
+    dims the cross-copy tail beyond |cos| = 0.35 is ~0.3%, so
+    low-threshold operators (semdedup tau) may see a handful of
+    spurious cross-copy pairs; the >=0.9 thresholds see none."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{copy}|{d}".encode()).hexdigest(), 16) & 1
+        else -1.0
+        for d in range(dims)
+    ]
+
+
 def _replicate(
     spark: SparkSession, table: str, mult: int, keep_text: bool
 ) -> DataFrame:
     base = spark.read.parquet(os.path.join(BASE_DIR, f"{table}.parquet"))
     if table in DIM_TABLES:
         return base
+    emb_dims = (
+        len(base.select("embedding").first()[0])
+        if table == "embeddings"
+        else 0
+    )
     copies = []
     for i in range(mult):
         df = base
         for k in KEY_COLS[table]:
             df = df.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast("long"))
+        if table == "embeddings" and i > 0 and not keep_text:
+            # decorrelate copies (constant dup density, like the text
+            # suffix); float->double, x*±1, ->float are all exact
+            m = F.array(*[F.lit(s) for s in _sign_mask(i, emb_dims)])
+            df = df.withColumn(
+                "embedding",
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    m,
+                    lambda x, s: x * s,
+                ).cast("array<float>"),
+            )
         if table == "documents" and i > 0 and not keep_text:
             # Copy-i tokens get a "\x01{i}" suffix. \x01 cannot appear
             # in the generated corpus (asserted in generate()), so no
@@ -124,8 +167,16 @@ def generate(mult: int, keep_text: bool = False) -> str:
     out_dir = _mult_dir(mult, keep_text)
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
-        print(json.dumps({"generate": out_dir, "cached": True}), flush=True)
-        return out_dir
+        with open(marker) as f:
+            stamped = f.read().strip()
+        if stamped == RECIPE:
+            print(
+                json.dumps({"generate": out_dir, "cached": True}),
+                flush=True,
+            )
+            return out_dir
+        # older-recipe replica: regenerate under the current recipe
+        shutil.rmtree(out_dir)
     spark = get_spark("stress-gen")
     # testdata stores timestamps as INT64 micros; the streaming exec
     # queries read that physical type via an explicit schema, so the
@@ -159,7 +210,7 @@ def generate(mult: int, keep_text: bool = False) -> str:
         )
         shutil.rmtree(tmp)
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(RECIPE + "\n")
     print(json.dumps({"generate": out_dir, "cached": False}), flush=True)
     return out_dir
 
