@@ -219,7 +219,10 @@ def run(mult: int, names: list[str], keep_text: bool = False) -> None:
     from defimap_data_pipelines_spark.plans.queries import QUERIES
 
     sf_dir = BASE_DIR if mult == 1 else _mult_dir(mult, keep_text)
-    if mult != 1 and not os.path.exists(os.path.join(sf_dir, "_DONE")):
+    if mult != 1:
+        # generate() is a cheap no-op when the replica exists AND its
+        # marker stamps the CURRENT recipe; checking only the marker's
+        # existence here would silently reuse an older-recipe replica
         generate(mult, keep_text)
     spark = get_spark("stress-run")
     # r9 ADVICE guards: at least one timed run (best=inf would emit
