@@ -82,3 +82,54 @@ def test_registry_query_runs_on_replica(spark, m2_dir, sf_dir):
         # doubled volume, identical distribution
         assert r["count_order"] == 2 * base[flag]["count_order"]
         assert r["avg_qty"] == pytest.approx(base[flag]["avg_qty"], rel=1e-9)
+
+
+def test_embedding_copies_are_sign_masked(m2_dir):
+    """v2 recipe: copy i>0 embeddings are the base times a per-copy
+    ±1 mask — an orthogonal transform, so |components| and every
+    within-copy distance are exactly preserved while aligned
+    cross-copy vectors are no longer identical (constant dup density,
+    the embedding analogue of the \\x01 text suffix)."""
+    import numpy as np
+
+    e = pd.read_parquet(f"{m2_dir}/embeddings.parquet")
+    lo = e[e["vec_id"] < stress.STRIDE].set_index("vec_id")
+    hi = e[e["vec_id"] >= stress.STRIDE].copy()
+    hi["orig"] = hi["vec_id"] - stress.STRIDE
+    hi = hi.set_index("orig")
+    ids = sorted(lo.index)[:20]
+    mask = None
+    for vid in ids:
+        a = np.asarray(lo.loc[vid, "embedding"], dtype=np.float64)
+        b = np.asarray(hi.loc[vid, "embedding"], dtype=np.float64)
+        assert np.array_equal(np.abs(a), np.abs(b)), vid
+        nz = np.abs(a) > 0
+        m = np.sign(b[nz]) * np.sign(a[nz])
+        if mask is None and nz.all():
+            mask = m
+        elif nz.all():
+            assert np.array_equal(m, mask), "mask must be per-copy, not per-row"
+    assert mask is not None and (mask == -1).any(), "some dims must flip"
+    # within-copy geometry preserved exactly: same pairwise distance
+    a0 = np.asarray(lo.loc[ids[0], "embedding"], dtype=np.float64)
+    a1 = np.asarray(lo.loc[ids[1], "embedding"], dtype=np.float64)
+    b0 = np.asarray(hi.loc[ids[0], "embedding"], dtype=np.float64)
+    b1 = np.asarray(hi.loc[ids[1], "embedding"], dtype=np.float64)
+    assert np.dot(a0 - a1, a0 - a1) == pytest.approx(
+        np.dot(b0 - b1, b0 - b1), rel=1e-12
+    )
+
+
+def test_stale_recipe_marker_triggers_regeneration(m2_dir):
+    """A replica stamped with an older recipe regenerates instead of
+    being silently reused (the run()-path bug found in r11: checking
+    only the marker's existence reused the pre-v2 replica)."""
+    import os
+
+    marker = os.path.join(m2_dir, "_DONE")
+    with open(marker, "w") as f:
+        f.write("ok\n")  # the pre-v2 stamp
+    out = stress.generate(2)
+    assert out == m2_dir
+    with open(marker) as f:
+        assert f.read().strip() == stress.RECIPE
