@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -209,14 +211,24 @@ def cosine_pairs(
     )
 
 
+def _auto_planes(n: int, target_bucket: int) -> int:
+    """Planes so expected bucket occupancy n/2^planes ~ target_bucket,
+    floored at the 10-plane default (never LESS selective than the
+    fixed default on small corpora)."""
+    return max(
+        10, math.ceil(math.log2(max(n, 1) / max(target_bucket, 1)))
+    )
+
+
 def cosine_pairs_lsh(
     vectors: DataFrame,
     threshold: float = 0.9,
-    num_planes: int = 10,
+    num_planes: int | str = 10,
     num_tables: int = 6,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs above ``threshold`` via OR-amplified
     hyperplane LSH candidates + exact cosine verification — the scale
@@ -235,7 +247,24 @@ def cosine_pairs_lsh(
     misses with probability < 1e-11 per pair; at loose thresholds
     (s ~ 0.4) hyperplane LSH fundamentally cannot filter — use
     ``cosine_pairs`` for exhaustive low-threshold sweeps.
+
+    **Sizing at scale (the r11 stress finding):** with FIXED planes,
+    expected bucket occupancy is |V|/2^planes, so candidates — and
+    wall time — grow QUADRATICALLY in corpus size (measured 14.8×
+    time for 4× data once the stress replicas stopped sharing
+    identical vectors). Pass ``num_planes="auto"`` to size planes as
+    max(10, ceil(log2(|V| / target_bucket))) — one count() job, then
+    occupancy stays ~``target_bucket`` and candidate volume grows
+    linearly. The trade: each +1 plane multiplies a boundary pair's
+    per-table collision odds by (1 - acos(s)/π); at s≈1 twins this is
+    harmless (20 planes, 6 tables: miss < 5e-10) but pairs NEAR the
+    threshold lose recall — raise ``num_tables`` alongside when
+    boundary recall matters. The registered queries keep explicit
+    values so their oracle contracts (full recall of planted twins at
+    the tested SF) stay exact.
     """
+    if num_planes == "auto":
+        num_planes = _auto_planes(vectors.count(), target_bucket)
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         buckets = F.array(

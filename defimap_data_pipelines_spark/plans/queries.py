@@ -15959,9 +15959,11 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNCHANGED since r3: age rotation, not correctness risk) + 3 slots
 # for this round's fingerprint drifts (the shared BoundedCacheRegistry
 # refactor drifts containment_dups and centroid_similarity; the
-# kcore master-predicate factoring drifts kcore_rounds) + the 15
-# oldest r4 rows (alphabetical) to fill 50. After this window the
-# oldest driver row advances r3 -> r4 (22 r4 rows remain for r12).
+# kcore master-predicate factoring drifts kcore_rounds; the
+# cosine_pairs_lsh auto-planes addition drifts embedding_neardup_pairs,
+# which already holds a part-1 slot) + the 15 oldest r4 rows
+# (alphabetical) to fill 50. After this window the oldest driver row
+# advances r3 -> r4 (22 r4 rows remain for r12).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)

@@ -142,3 +142,35 @@ def test_bench_only_guard_raises_before_warmup(monkeypatch):
     monkeypatch.setenv("BENCH_ONLY", ",")
     with pytest.raises(ValueError, match="no runnable"):
         bench.main()
+
+
+def test_auto_planes_sizing():
+    """num_planes="auto" (the r11 stress finding: fixed planes make
+    LSH candidates quadratic in corpus size) keeps expected bucket
+    occupancy ~target while flooring at the 10-plane default."""
+    from defimap_data_pipelines_spark.operators.similarity import _auto_planes
+
+    assert _auto_planes(1_000, 64) == 10          # small corpus: floor
+    assert _auto_planes(65_536, 64) == 10         # exactly the floor
+    assert _auto_planes(1_000_000, 64) == 14      # scales with log2(n)
+    assert _auto_planes(1_000_000_000, 64) == 24
+    assert _auto_planes(0, 64) == 10              # degenerate-safe
+    assert _auto_planes(100, 0) == 10
+
+
+def test_cosine_pairs_lsh_auto_mode_finds_twins(spark):
+    from defimap_data_pipelines_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    base = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)])
+            for i in range(40)]
+    twins = [(i + 1000, [x * 1.0001 for x in v]) for i, v in base]
+    df = spark.createDataFrame(
+        base + twins, "vec_id long, embedding array<double>"
+    )
+    out = cosine_pairs_lsh(
+        df, threshold=0.98, num_planes="auto", num_tables=6, dim=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    assert all((i, i + 1000) in found for i, _ in base)
