@@ -141,3 +141,69 @@ def test_minhash_lsh_dedup_full_pipeline_replay(spark, sf_dir):
     }
     assert set(got) == exhaustive
     assert exhaustive, "fixture should contain verified near-dup pairs"
+
+
+def _plane(salt: int, plane: int, dim: int) -> list[float]:
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{salt}|{plane}|{j}".encode()).digest()[0] & 1
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def _hyper_bucket(v: list[float], planes: int, dim: int, salt: int) -> int:
+    b = 0
+    for p in range(planes):
+        w = _plane(salt, p, dim)
+        acc = 0.0
+        for x, s in zip(v, w):  # same left-fold order as the SQL aggregate
+            acc += x * s
+        if acc >= 0:
+            b += 1 << (planes - 1 - p)
+    return b
+
+
+def test_hyperplane_lsh_banded_path_replay(spark, sf_dir):
+    """embedding_neardup_pairs' exhaustive-recall replay
+    (test_round11_bughunt_cluster_graph) is blind to the blocking;
+    this one re-derives the BLOCKING itself — md5 ±1 planes, the
+    left-fold dot signs, big-endian bucket packing, the 6-table OR,
+    then exact cosine — and must land on the identical pair set."""
+    import math
+
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    aug = {}
+    for vid, v in zip(e["vec_id"], e["embedding"]):
+        vid = int(vid)
+        base = [float(x) for x in v]
+        aug[vid] = base
+        aug[vid + 1_000_000] = [
+            x * (1.0 + 0.002 * (((vid + i) % 7) - 3.0))
+            for i, x in enumerate(base)
+        ]
+    dim = len(next(iter(aug.values())))
+    index: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for vid in sorted(aug):
+        for t in range(6):
+            index[(t, _hyper_bucket(aug[vid], 10, dim, t))].append(vid)
+    cands = set()
+    for members in index.values():
+        for ai, a in enumerate(members):
+            for b in members[ai + 1 :]:
+                cands.add((min(a, b), max(a, b)))
+    norms = {i: math.sqrt(sum(x * x for x in v)) for i, v in aug.items()}
+    expect = set()
+    for a, b in cands:
+        cos = sum(x * y for x, y in zip(aug[a], aug[b])) / (
+            norms[a] * norms[b]
+        )
+        if cos >= 0.98:
+            expect.add((a, b))
+    rows = QUERIES["embedding_neardup_pairs"](spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == expect
+    assert expect
