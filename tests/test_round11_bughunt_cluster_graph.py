@@ -203,3 +203,57 @@ def test_incremental_cc_matches_python_union_find(spark, sf_dir):
     rows = QUERIES["incremental_cc"](spark, sf_dir).collect()
     got = {r["node"]: r["component"] for r in rows}
     assert got == expect
+
+
+def test_ivf_topk_trained_matches_python_probe(spark, sf_dir):
+    """The full trained-IVF path replayed: one Lloyd round (the same
+    HALF_UP helpers as the kmeans replay), nearest-list assignment
+    with the (-cosine, centroid_id) struct order, 4-list probing for
+    the sub-10 query ids, exact cosine within probed lists, top-5 by
+    (cosine desc, vec_id)."""
+    vecs = _vecs(sf_dir)
+    dims = len(next(iter(vecs.values())))
+    seeds = sorted(vecs)[:8]
+    init = {i + 1: vecs[vid] for i, vid in enumerate(seeds)}
+    assigned = _lloyd_round(vecs, init)
+    trained = _update_centroids(vecs, assigned, dims)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    norms = {i: math.sqrt(fold_dot(v, v)) for i, v in vecs.items()}
+    cnorms = {k: math.sqrt(fold_dot(c, c)) for k, c in trained.items()}
+
+    def entries(v, n):
+        return sorted(
+            (-fold_dot(v, c) / (n * cnorms[k]), k)
+            for k, c in trained.items()
+        )
+
+    lists = {}
+    for vid, v in vecs.items():
+        lists.setdefault(entries(v, norms[vid])[0][1], []).append(vid)
+    expect = {}
+    for qid in (i for i in vecs if i < 10):
+        probed = [k for _, k in entries(vecs[qid], norms[qid])[:4]]
+        cand = [
+            (
+                fold_dot(vecs[qid], vecs[c])
+                / (norms[qid] * norms[c]),
+                c,
+            )
+            for k in probed
+            for c in lists.get(k, [])
+            if c != qid
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for cos, c in cand[:5]:
+            expect[(qid, c)] = cos
+    rows = QUERIES["ivf_topk_trained"](spark, sf_dir).collect()
+    got = {(r["query_id"], r["vec_id"]): r["cosine"] for r in rows}
+    assert set(got) == set(expect)
+    for k, cos in expect.items():
+        assert got[k] == pytest.approx(cos, abs=1e-6)
