@@ -52,7 +52,9 @@ class BoundedCacheRegistry:
 
     def release(self) -> int:
         """Unpersist every held cache; returns how many were released.
-        A frame is popped exactly once, so no double-unpersist."""
+        Each REGISTRY ENTRY is popped exactly once; registering the
+        same DataFrame object twice yields two entries and two
+        unpersist calls (harmless — Spark unpersist is idempotent)."""
         with self._lock:
             drained = list(self._frames)
             self._frames.clear()

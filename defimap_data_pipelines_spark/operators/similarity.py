@@ -211,12 +211,13 @@ def cosine_pairs(
     )
 
 
-def _auto_planes(n: int, target_bucket: int) -> int:
+def _auto_planes(n: int, target_bucket: int, floor: int = 10) -> int:
     """Planes so expected bucket occupancy n/2^planes ~ target_bucket,
-    floored at the 10-plane default (never LESS selective than the
-    fixed default on small corpora)."""
+    floored at ``floor`` (default 10 — never LESS selective than the
+    fixed default on small corpora; lower it only when the corpus is
+    small AND boundary recall matters more than candidate volume)."""
     return max(
-        10, math.ceil(math.log2(max(n, 1) / max(target_bucket, 1)))
+        floor, math.ceil(math.log2(max(n, 1) / max(target_bucket, 1)))
     )
 
 
@@ -229,6 +230,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket: int = 64,
+    min_planes: int = 10,
 ) -> DataFrame:
     """Near-duplicate pairs above ``threshold`` via OR-amplified
     hyperplane LSH candidates + exact cosine verification — the scale
@@ -262,9 +264,22 @@ def cosine_pairs_lsh(
     boundary recall matters. The registered queries keep explicit
     values so their oracle contracts (full recall of planted twins at
     the tested SF) stay exact.
+
+    Auto mode adds one count() action on top of the two bucketed
+    scans of the same input, so an expensive uncached upstream
+    lineage would be recomputed three times — cache/checkpoint such
+    inputs before calling with ``num_planes="auto"``. The count here
+    projects only the id column, so a cached/columnar input pays a
+    single-column scan, not a full-width one.
     """
     if num_planes == "auto":
-        num_planes = _auto_planes(vectors.count(), target_bucket)
+        num_planes = _auto_planes(
+            vectors.select(id_col).count(), target_bucket, min_planes
+        )
+    if isinstance(num_planes, str):
+        raise ValueError(
+            f"num_planes must be an int or 'auto', got {num_planes!r}"
+        )
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         buckets = F.array(
@@ -623,6 +638,8 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    max_cluster: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -641,6 +658,27 @@ def semdedup_prune(
     cluster id + one groupBy, never an all-pairs crossJoin over the
     corpus. Assignment itself is a broadcast-literal projection
     (operators/clustering.py).
+
+    **Per-cluster size cap (the r11 stress finding's twin):** with a
+    FIXED k, cluster occupancy is ~n/k, so intra-cluster candidates —
+    and wall time — grow QUADRATICALLY in corpus size (measured
+    137–166 s at 16× in docs/STRESS_r11.jsonl). Pass
+    ``max_cluster=M`` to pin occupancy: clusters over M are
+    subdivided by a deterministic hyperplane signature on the
+    embedding (the same md5-derived ±1 planes as ``lsh_bucket``),
+    using ceil(log2(size/M)) low bits per oversized cluster, and the
+    pair search runs within (cluster, sub-bucket) — candidate volume
+    grows linearly past M. The trade mirrors ``num_planes="auto"``:
+    a pair at cosine s lands in the same sub-bucket with probability
+    (1 - acos(s)/π)^planes, so near-twins (s ≥ 0.95, where semantic
+    dedup prunes) are kept with per-plane odds > 0.9, but pairs near
+    a LOOSE tau (~0.35) lose recall across sub-bucket boundaries —
+    the cap is a scale knob for near-dup taus, not for exhaustive
+    low-threshold sweeps (keep ``max_cluster=None`` there, or raise
+    M). Clusters at or under M are untouched: when no cluster
+    exceeds M the output is IDENTICAL to the uncapped form, which is
+    how the registered query keeps its exhaustive DuckDB oracle
+    exact at the tested SF while the cap engages at stress scale.
     """
     from defimap_data_pipelines_spark.operators.clustering import kmeans_fit
 
@@ -656,20 +694,62 @@ def semdedup_prune(
         F.col("e"),
         l2_norm(F.col("e")).alias("_n"),
     )
+    pair_keys = ["cluster"]
+    if max_cluster is not None:
+        # occupancy pinning: clusters over the cap get a deterministic
+        # hyperplane sub-signature — ceil(log2(size/cap)) low bits of a
+        # 16-plane lsh_bucket — so per-(cluster, sub) candidate volume
+        # stays ~cap² instead of growing quadratically with the corpus.
+        # Clusters at/under the cap keep sub = 0 (exact, untouched).
+        wide_planes = 16
+        sizes = staged.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_csz")
+        )
+        staged = (
+            staged.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "_p",
+                F.when(
+                    F.col("_csz") > max_cluster,
+                    F.least(
+                        F.ceil(
+                            F.log2(F.col("_csz") / F.lit(max_cluster))
+                        ),
+                        F.lit(wide_planes),
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("int"),
+            )
+            .withColumn(
+                # CASE short-circuits per row: members of at/under-cap
+                # clusters never pay the 16-plane fold
+                "_wb",
+                F.when(
+                    F.col("_p") > 0,
+                    lsh_bucket("e", wide_planes, dim, salt=0),
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn(
+                "sub", F.expr("_wb & (shiftleft(1L, _p) - 1)")
+            )
+            .drop("_wb", "_p", "_csz")
+        )
+        pair_keys = ["cluster", "sub"]
     a = staged.select(
-        "cluster",
+        *pair_keys,
         F.col("vec_id").alias("a_id"),
         F.col("e").alias("_av"),
         F.col("_n").alias("_an"),
     )
     b = staged.select(
-        "cluster",
+        *pair_keys,
         F.col("vec_id").alias("b_id"),
         F.col("e").alias("_bv"),
         F.col("_n").alias("_bn"),
     )
     cand = (
-        a.join(b, "cluster")
+        a.join(b, pair_keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "cluster",

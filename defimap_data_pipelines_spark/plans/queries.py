@@ -1431,6 +1431,38 @@ def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", r(F.col("cosine"), 6).alias("cosine"))
 
 
+@register("embedding_neardup_auto", NEARDUP_COSINE_SQL)
+def q_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``num_planes="auto"`` form of ``embedding_neardup_pairs``
+    — the 100 TB sizing knob (r11 stress finding: fixed planes enter
+    a quadratic-candidate regime as the corpus grows; auto pins
+    expected bucket occupancy at ``target_bucket`` so candidate
+    volume grows linearly). The oracle is the same EXHAUSTIVE
+    all-pairs SQL, so the value-hash gate asserts the RECALL CONTRACT
+    — every planted twin found, zero false positives (exact verify) —
+    not any particular plane count. ``min_planes=6`` drops the
+    small-corpus floor below the data-dependent branch so the driver
+    row certifies COUNT-DRIVEN sizing, not the floor constant: at the
+    oracle SF (1,000 augmented vectors, target_bucket=8) auto
+    resolves to ceil(log2(1000/8)) = 7 planes; at sf0.1 (4,000) to 9.
+    Twin miss probability at 7 planes x 6 tables for the planted
+    cosine ~0.999996 twins is < 1e-13 (per-plane collision
+    1 - acos(s)/pi ~ 0.9991)."""
+    from defimap_data_pipelines_spark.operators.similarity import cosine_pairs_lsh
+
+    out = cosine_pairs_lsh(
+        _augmented_embeddings(spark, sf_dir),
+        threshold=0.98,
+        num_planes="auto",
+        num_tables=6,
+        id_col="vec_id",
+        vec_col="e",
+        target_bucket=8,
+        min_planes=6,
+    )
+    return out.select("id_a", "id_b", r(F.col("cosine"), 6).alias("cosine"))
+
+
 ALLPAIRS_EXACT_SQL = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -6994,7 +7026,18 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates WITHIN clusters only — the quadratic pair search
     is confined to cluster-local joins, never an all-pairs crossJoin
     (operators/similarity.py::semdedup_prune). Returns the pruned
-    members with their keep-lowest-id duplicate root."""
+    members with their keep-lowest-id duplicate root.
+
+    ``max_cluster=4096`` pins per-cluster candidate volume at stress
+    scale (r11 verdict item 4: 137–166 s at 16× under the quadratic
+    in-cluster contract): clusters over the cap are subdivided by a
+    deterministic hyperplane sub-signature. At the oracle SFs
+    (sf0.001/sf0.01: ≤ 6.4k vectors over 8 clusters) no cluster
+    exceeds the cap, so the capped output is IDENTICAL to the
+    uncapped form and the exhaustive DuckDB oracle stays exact —
+    pinned by tests/test_round12_semdedup_cap.py, which asserts both
+    the sf-scale identity and the cap engaging on a synthetic
+    oversized cluster."""
     from defimap_data_pipelines_spark.operators.similarity import (
         semdedup_prune,
     )
@@ -7002,6 +7045,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(
         read_table(spark, sf_dir, "embeddings"),
         assigned=_kmeans_assigned(spark, sf_dir),
+        max_cluster=4096,
     )
 
 

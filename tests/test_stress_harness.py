@@ -133,3 +133,30 @@ def test_stale_recipe_marker_triggers_regeneration(m2_dir):
     assert out == m2_dir
     with open(marker) as f:
         assert f.read().strip() == stress.RECIPE
+
+
+def test_replicate_empty_embeddings_guard(spark, tmp_path):
+    """r11 ADVICE: _replicate on an EMPTY embeddings table must raise
+    a clear ValueError when a sign mask is needed (mult > 1, not
+    keep_text) — not a TypeError on first()[0] — and must not touch
+    first() at all when no mask will be applied (mult == 1)."""
+    import os
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    empty.write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    old_base = stress.BASE_DIR
+    stress.BASE_DIR = str(tmp_path)
+    try:
+        with pytest.raises(ValueError, match="embeddings table is empty"):
+            stress._replicate(spark, "embeddings", 2, keep_text=False)
+        # no mask path -> no dims probe -> empty frame passes through
+        assert stress._replicate(
+            spark, "embeddings", 1, keep_text=False
+        ).count() == 0
+        assert stress._replicate(
+            spark, "embeddings", 2, keep_text=True
+        ).count() == 0
+    finally:
+        stress.BASE_DIR = old_base

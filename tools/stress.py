@@ -117,11 +117,18 @@ def _replicate(
     base = spark.read.parquet(os.path.join(BASE_DIR, f"{table}.parquet"))
     if table in DIM_TABLES:
         return base
-    emb_dims = (
-        len(base.select("embedding").first()[0])
-        if table == "embeddings"
-        else 0
-    )
+    # lazily computed only when a sign mask is actually applied
+    # (table == embeddings, mult > 1, not keep_text); guarded so an
+    # empty embeddings table fails with a clear message instead of a
+    # TypeError on first()[0]
+    emb_dims = 0
+    if table == "embeddings" and mult > 1 and not keep_text:
+        row = base.select("embedding").first()
+        if row is None:
+            raise ValueError(
+                "embeddings table is empty — cannot derive mask dims"
+            )
+        emb_dims = len(row[0])
     copies = []
     for i in range(mult):
         df = base
