@@ -7028,16 +7028,17 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py::semdedup_prune). Returns the pruned
     members with their keep-lowest-id duplicate root.
 
-    ``max_cluster=4096`` pins per-cluster candidate volume at stress
-    scale (r11 verdict item 4: 137–166 s at 16× under the quadratic
+    ``max_cluster=1024`` pins per-cluster candidate volume at stress
+    scale (r11 verdict item 4: 137–166 s at 16x under the quadratic
     in-cluster contract): clusters over the cap are subdivided by a
-    deterministic hyperplane sub-signature. At the oracle SFs
-    (sf0.001/sf0.01: ≤ 6.4k vectors over 8 clusters) no cluster
-    exceeds the cap, so the capped output is IDENTICAL to the
-    uncapped form and the exhaustive DuckDB oracle stays exact —
-    pinned by tests/test_round12_semdedup_cap.py, which asserts both
-    the sf-scale identity and the cap engaging on a synthetic
-    oversized cluster."""
+    deterministic hyperplane sub-signature. At the oracle SFs the
+    WHOLE corpus (500 vectors at sf0.001/sf0.01) is smaller than the
+    cap, so no cluster can exceed it under ANY skew — the capped
+    output is IDENTICAL to the uncapped form and the exhaustive
+    DuckDB oracle stays exact — pinned by
+    tests/test_round12_semdedup_cap.py, which asserts both the
+    sf-scale identity and the cap engaging on a synthetic oversized
+    cluster."""
     from defimap_data_pipelines_spark.operators.similarity import (
         semdedup_prune,
     )
@@ -7045,7 +7046,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(
         read_table(spark, sf_dir, "embeddings"),
         assigned=_kmeans_assigned(spark, sf_dir),
-        max_cluster=4096,
+        max_cluster=1024,
     )
 
 

@@ -37,12 +37,13 @@ def _rows(df):
 
 
 def test_cap_identity_when_no_cluster_exceeds_it(spark):
-    """At the oracle SF no cluster exceeds 4096, so the capped form
-    (the registered query's setting) must be bit-identical to the
-    uncapped one — the oracle-exactness precondition."""
+    """At the oracle SF the whole corpus (500 vectors) is below the
+    registered cap (1024), so no cluster can exceed it under any
+    skew — the capped form must be bit-identical to the uncapped
+    one, the oracle-exactness precondition."""
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     base = _rows(semdedup_prune(emb))
-    capped = _rows(semdedup_prune(emb, max_cluster=4096))
+    capped = _rows(semdedup_prune(emb, max_cluster=1024))
     assert base == capped
     assert len(base) > 0
 
