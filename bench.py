@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "embedding_neardup_pairs",
+    "embedding_neardup_auto",
     "embedding_allpairs_exact",
     "simhash_xxhash_pairs",
     "multimodal_digest_features",

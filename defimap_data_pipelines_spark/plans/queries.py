@@ -16002,13 +16002,14 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flagships + the 23 remaining r3 rows (pre-verified 23/23 at r10
 # HEAD, docs/ROUND10_NOTES.md §12 — code fingerprint-certified
 # UNCHANGED since r3: age rotation, not correctness risk) + 3 slots
-# for this round's fingerprint drifts (the shared BoundedCacheRegistry
-# refactor drifts containment_dups and centroid_similarity; the
-# kcore master-predicate factoring drifts kcore_rounds; the
-# cosine_pairs_lsh auto-planes addition drifts embedding_neardup_pairs,
-# which already holds a part-1 slot) + the 15 oldest r4 rows
-# (alphabetical) to fill 50. After this window the oldest driver row
-# advances r3 -> r4 (22 r4 rows remain for r12).
+# r12 window: 9 flagships + this round's fingerprint drifts (the
+# semdedup max_cluster cap drifts semdedup_prune — already an r4
+# backlog row; the cosine_pairs_lsh min_planes/validation changes
+# drift embedding_neardup_pairs; embedding_neardup_auto is NEW this
+# round — the auto-planes knob's first driver row, r11 verdict item
+# 3) + the 22 remaining r4 rows (alphabetical) + the 17 oldest r5
+# rows (alphabetical) to fill 50. After this window the oldest
+# driver row advances r4 -> r5 (20 r5 rows remain for r13).
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
@@ -16021,52 +16022,51 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # r11 rotation, part 1: the 23 remaining r3 rows (alphabetical)
-    "char_entropy",
-    "corpus_quality_by_source",
-    "decontamination_overlap",
-    "doc_repetition",
+    # r12 rotation, part 1: this round's drifts + the new auto-planes
+    # variant (semdedup_prune holds its slot in the r4 block below)
     "embedding_neardup_pairs",
-    "exact_median_distributed",
-    "hll_distinct_users",
-    "kmeans_clusters",
-    "line_dedup",
-    "lsh_topk",
-    "mixture_resample",
-    "q15_top_supplier",
-    "q21_waiting_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "rolling_hash_fingerprint",
-    "sentence_split_udtf",
-    "simhash_pairs",
-    "substring_dedup",
-    "tfidf_top_terms",
-    "token_chunks",
-    "unigram_perplexity",
-    "vector_stats",
-    # r11 rotation, part 2: drifted by this round's verdict-task /
-    # ADVICE fixes (shared bounded-cache registry; kcore guard
-    # master predicate)
-    "centroid_similarity",
-    "containment_dups",
-    "kcore_rounds",
-    # r11 rotation, part 3: oldest r4 rows (alphabetical)
-    "ann_recall_eval",
-    "bpe_merge_pairs",
-    "cohort_retention",
-    "cross_source_dups",
-    "dataset_split",
-    "date_spine_ffill",
-    "edit_distance_pairs",
-    "embedding_quantize_int8",
-    "event_funnel",
-    "gopher_rules",
-    "gotk_sql",
-    "ivf_topk_trained",
-    "multimodal_decode",
-    "pii_redaction",
-    "q10_returned_revenue",
+    "embedding_neardup_auto",
+    # r12 rotation, part 2: the 22 remaining r4 rows (alphabetical)
+    "q11_important_value",
+    "q12_priority_split",
+    "q13_count_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q20_dominant_supplier",
+    "q22_inactive_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_volume_shipping",
+    "quality_classifier",
+    "resample_weekly_ohlc",
+    "salted_join_agg",
+    "semdedup_prune",
+    "stratified_sample",
+    "temperature_mixture",
+    "token_shards",
+    "vocab_coverage",
+    "winsorized_stats",
+    # r12 rotation, part 3: oldest r5 rows (alphabetical)
+    "benford_digit_check",
+    "bloom_decontamination",
+    "bool_aggs",
+    "cms_heavy_hitters",
+    "date_arith",
+    "dq_checks",
+    "drawdown_series",
+    "epoch_shuffle",
+    "equidepth_histogram",
+    "event_transitions",
+    "gaps_islands",
+    "grouping_sets_id",
+    "html_text_extract",
+    "interval_count_join",
+    "kmv_distinct",
+    "lang_source_mixture",
+    "limit_offset",
 ]
 
 
