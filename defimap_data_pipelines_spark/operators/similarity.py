@@ -49,6 +49,21 @@ def release_centroid_caches() -> int:
     return _centroid_registry.release()
 
 
+# LSH signature-frame cache registry (r12 optimization): each
+# cosine_pairs_lsh call caches ONE (id, vec, norm, buckets) frame
+# consumed by both self-join sides; bounded so loop callers cannot
+# accumulate unbounded storage memory.
+_LSH_SIG_CACHE_BOUND = 4
+_lsh_sig_registry = BoundedCacheRegistry(_LSH_SIG_CACHE_BOUND)
+
+
+def release_lsh_sig_caches() -> int:
+    """Unpersist every registry-held LSH signature cache; returns how
+    many were released. Call after collecting results when running
+    cosine_pairs_lsh in a loop."""
+    return _lsh_sig_registry.release()
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -265,12 +280,13 @@ def cosine_pairs_lsh(
     values so their oracle contracts (full recall of planted twins at
     the tested SF) stay exact.
 
-    Auto mode adds one count() action on top of the two bucketed
-    scans of the same input, so an expensive uncached upstream
-    lineage would be recomputed three times — cache/checkpoint such
-    inputs before calling with ``num_planes="auto"``. The count here
-    projects only the id column, so a cached/columnar input pays a
-    single-column scan, not a full-width one.
+    The plane-projection signatures are computed ONCE into a bounded
+    cached frame shared by both join sides (r12; previously each side
+    re-evaluated the full num_tables x num_planes fold subtree). Auto
+    mode still adds one count() action over the uncached upstream
+    lineage before the signature pass; the count projects only the id
+    column, so a columnar input pays a single-column scan, not a
+    full-width one.
     """
     if num_planes == "auto":
         num_planes = _auto_planes(
@@ -281,27 +297,45 @@ def cosine_pairs_lsh(
             f"num_planes must be an int or 'auto', got {num_planes!r}"
         )
 
-    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    lsh_bucket(vec_col, num_planes, dim, salt=t).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(f"_{out_id}_v"),
-            l2_norm(F.col(vec_col)).alias(f"_{out_id}_n"),
-            F.explode(buckets).alias("tb"),
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec_col, num_planes, dim, salt=t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    # ONE signature pass, shared by both join sides (r12 optimization,
+    # guide §2.4/§5): the num_tables x num_planes plane-projection
+    # folds are by far the heaviest expression in the plan, and the
+    # self-join used to evaluate the whole subtree once per side (plus
+    # once more for the upstream lineage when that is itself a union/
+    # transform pipeline). Cache the compact un-exploded (id, vec,
+    # norm, buckets) frame — |V| rows, ~dim+2 doubles + num_tables
+    # structs per row — and explode per side from memory. Bounded for
+    # loop callers via the module registry (oldest-first unpersist;
+    # an evicted still-lazy frame silently recomputes).
+    sigs = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        buckets.alias("_tb"),
+    ).cache()
+    sigs = _lsh_sig_registry.register(sigs)
+
+    def bucketed(out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col("_id").alias(out_id),
+            F.col("_v").alias(f"_{out_id}_v"),
+            F.col("_n").alias(f"_{out_id}_n"),
+            F.explode("_tb").alias("tb"),
         ).select(out_id, f"_{out_id}_v", f"_{out_id}_n", "tb.table", "tb.bucket")
 
-    a = bucketed(vectors, "id_a")
-    b = bucketed(vectors, "id_b")
+    a = bucketed("id_a")
+    b = bucketed("id_b")
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
