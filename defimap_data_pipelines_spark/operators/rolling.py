@@ -197,52 +197,62 @@ def ewma_quantized(
     EWMA could never cross engines (every step compounds rounding).
 
     True sequential recursions don't vectorize: each key's series
-    runs as a Python loop inside Arrow-batched ``applyInPandas`` —
-    the legitimate per-partition-sequential pattern (state = one
-    long per key, keys partition freely, series order restored by
-    sorting within the group). At 100 TB this is the shape streaming
-    EWMA jobs take anyway: partition by key, iterate in event order.
+    runs as a Python loop in event order. Execution shape (r12
+    optimization, guide §4): ONE ``mapInPandas`` pass over rows
+    hash-partitioned by key and sorted (key, order) within partitions,
+    with the per-key state carried across Arrow batches. The previous
+    ``groupBy().applyInPandas`` form paid a pandas DataFrame slice +
+    sort + duplicate-scan PER KEY — at high key cardinality the
+    per-group overhead dwarfed the recursion itself (measured 3.9 s ->
+    1.1 s at sf0.1's 1,500 keys x 100k rows; identical output). Same
+    exchange either way (hash by key); sortWithinPartitions replaces
+    the per-group sorts. At 100 TB this is the shape streaming EWMA
+    jobs take anyway: partition by key, iterate in event order.
 
     CONTRACT: ``(key_col, order_col)`` must be unique — a duplicate
     order key has no defined visit order, so the recursion (and any
-    SQL oracle's row_number) would be nondeterministic. The operator
-    sorts stably and raises ValueError on duplicates rather than
-    returning layout-dependent output.
+    SQL oracle's row_number) would be nondeterministic. Rows arrive
+    key-sorted, so a duplicate shows up as equal consecutive order
+    values; the loop raises ValueError rather than returning
+    layout-dependent output.
 
     Returns (key, order, ewma_q) with ewma_q in micro-units.
     """
     import pandas as pd
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Stable sort + explicit uniqueness check: pandas' default
-        # quicksort is unstable, so a duplicate order key would make
-        # the recursion's visit order (and therefore every later EWMA
-        # value) partition-layout-dependent — and the oracle CTE's
-        # row_number over the same tie is equally arbitrary. The
-        # contract is (key, order) unique; fail loudly, don't flake.
-        pdf = pdf.sort_values("_ord", kind="stable")
-        if pdf["_ord"].duplicated().any():
-            raise ValueError(
-                "ewma_quantized: duplicate order values within key "
-                f"{pdf['_k'].iloc[0]!r}; (key_col, order_col) must "
-                "uniquely identify rows"
+    def run(batches):
+        # state survives batch boundaries: a key's series may span
+        # adjacent Arrow batches of the same partition (rows are
+        # (key, order)-sorted within the partition, so key runs are
+        # contiguous across the whole batch iterator)
+        last_k, last_o, e = object(), None, None
+        for pdf in batches:
+            # .tolist() up front: iterating Series yields numpy
+            # scalars whose per-element int coercion measurably
+            # dominates this loop; plain ints keep it cheap
+            ks = pdf["_k"].tolist()
+            os_ = pdf["_ord"].tolist()
+            xs = pdf["_xq"].tolist()
+            out = []
+            ap = out.append
+            for kk, oo, xq in zip(ks, os_, xs):
+                if kk != last_k:
+                    last_k, e = kk, xq
+                elif oo == last_o:
+                    raise ValueError(
+                        "ewma_quantized: duplicate order values "
+                        f"within key {kk!r}; (key_col, order_col) "
+                        "must uniquely identify rows"
+                    )
+                else:
+                    s = xq + e
+                    # trunc, not floor (Python // floors)
+                    e = -((-s) // 2) if s < 0 else s // 2
+                last_o = oo
+                ap(e)
+            yield pd.DataFrame(
+                {"k": pdf["_k"], "o": pdf["_ord"], "ewma_q": out}
             )
-        # .tolist() up front: iterating the Series yields numpy
-        # scalars whose per-element int coercion measurably dominates
-        # this loop at 600k rows; plain ints keep the recursion cheap
-        xs = pdf["_xq"].tolist()
-        out, e = [], None
-        ap = out.append
-        for xq in xs:
-            if e is None:
-                e = xq
-            else:
-                s = xq + e
-                e = -((-s) // 2) if s < 0 else s // 2  # trunc, not floor
-            ap(e)
-        return pd.DataFrame(
-            {"k": pdf["_k"], "o": pdf["_ord"], "ewma_q": out}
-        )
 
     staged = df.select(
         F.col(key_col).alias("_k"),
@@ -251,9 +261,9 @@ def ewma_quantized(
     )
     k_t = staged.schema["_k"].dataType.simpleString()
     o_t = staged.schema["_ord"].dataType.simpleString()
-    out = staged.groupBy("_k").applyInPandas(
-        run, f"k {k_t}, o {o_t}, ewma_q long"
-    )
+    out = staged.repartition("_k").sortWithinPartitions(
+        "_k", "_ord"
+    ).mapInPandas(run, f"k {k_t}, o {o_t}, ewma_q long")
     return out.select(
         F.col("k").alias(key_col),
         F.col("o").alias(order_col),
@@ -285,11 +295,15 @@ def holt_quantized(
     state columns and replays every step bit-for-bit.
 
     Same execution shape and (key, order)-uniqueness contract as
-    ewma_quantized: stable sort, loud ValueError on duplicate order
-    keys, per-key Python loop inside Arrow-batched applyInPandas
-    (two-variable coupled recursions don't vectorize; keys partition
-    freely, which is the 100 TB story — one pass per key in event
-    order, exactly the shape a streaming forecaster takes).
+    ewma_quantized: one ``mapInPandas`` pass over rows
+    hash-partitioned by key and sorted (key, order) within partitions,
+    per-key state carried across Arrow batches, loud ValueError on a
+    duplicate order key (r12: migrated off per-group applyInPandas
+    together with ewma_quantized — same per-group-overhead
+    measurement; two-variable coupled recursions don't vectorize;
+    keys partition freely, which is the 100 TB story — one pass per
+    key in event order, exactly the shape a streaming forecaster
+    takes).
 
     Returns (key, order, level_q, trend_q, forecast_q), all in
     micro-units.
@@ -299,36 +313,40 @@ def holt_quantized(
     def trunc2(s: int) -> int:
         return -((-s) // 2) if s < 0 else s // 2
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_ord", kind="stable")
-        if pdf["_ord"].duplicated().any():
-            raise ValueError(
-                "holt_quantized: duplicate order values within key "
-                f"{pdf['_k'].iloc[0]!r}; (key_col, order_col) must "
-                "uniquely identify rows"
-            )
-        xs = pdf["_xq"].tolist()
-        ls, bs, fs = [], [], []
+    def run(batches):
+        last_k, last_o = object(), None
         l = b = None
-        for xq in xs:
-            if l is None:
-                l, b = xq, 0
-            else:
-                l_prev = l
-                l = trunc2(xq + l + b)
-                b = trunc2((l - l_prev) + b)
-            ls.append(l)
-            bs.append(b)
-            fs.append(l + b)
-        return pd.DataFrame(
-            {
-                "k": pdf["_k"],
-                "o": pdf["_ord"],
-                "level_q": ls,
-                "trend_q": bs,
-                "forecast_q": fs,
-            }
-        )
+        for pdf in batches:
+            ks = pdf["_k"].tolist()
+            os_ = pdf["_ord"].tolist()
+            xs = pdf["_xq"].tolist()
+            ls, bs, fs = [], [], []
+            for kk, oo, xq in zip(ks, os_, xs):
+                if kk != last_k:
+                    last_k, l, b = kk, xq, 0
+                elif oo == last_o:
+                    raise ValueError(
+                        "holt_quantized: duplicate order values "
+                        f"within key {kk!r}; (key_col, order_col) "
+                        "must uniquely identify rows"
+                    )
+                else:
+                    l_prev = l
+                    l = trunc2(xq + l + b)
+                    b = trunc2((l - l_prev) + b)
+                last_o = oo
+                ls.append(l)
+                bs.append(b)
+                fs.append(l + b)
+            yield pd.DataFrame(
+                {
+                    "k": pdf["_k"],
+                    "o": pdf["_ord"],
+                    "level_q": ls,
+                    "trend_q": bs,
+                    "forecast_q": fs,
+                }
+            )
 
     staged = df.select(
         F.col(key_col).alias("_k"),
@@ -337,7 +355,9 @@ def holt_quantized(
     )
     k_t = staged.schema["_k"].dataType.simpleString()
     o_t = staged.schema["_ord"].dataType.simpleString()
-    out = staged.groupBy("_k").applyInPandas(
+    out = staged.repartition("_k").sortWithinPartitions(
+        "_k", "_ord"
+    ).mapInPandas(
         run,
         f"k {k_t}, o {o_t}, level_q long, trend_q long, forecast_q long",
     )

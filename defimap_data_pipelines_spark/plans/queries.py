@@ -10609,10 +10609,17 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
+    # localCheckpoint: incremental_components consumes the new-edge
+    # frame three times (contraction pass + both new_nodes union
+    # branches); lazy, the lineitem self-join + distinct — the
+    # expensive part of the whole query — executed once per consumer
+    # (r12 optimization, guide §2.4; isolated 5.2 s -> see
+    # OPTIMIZATION_r12.md)
     new = (
         pairs.filter((F.col("da") >= cutoff) | (F.col("db") >= cutoff))
         .select("u", "v")
         .distinct()
+        .localCheckpoint()
     )
     store = ModelStore(default_store_root(sf_dir + "#cc_base"))
     labels = fit_or_load_frame(
