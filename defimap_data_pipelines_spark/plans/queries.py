@@ -16123,24 +16123,39 @@ _DRIVER_WINDOW = [
     "token_shards",
     "vocab_coverage",
     "winsorized_stats",
-    # r12 rotation, part 3: oldest r5 rows (alphabetical)
+    # r12 rotation, part 3 (REVISED in the r12 optimization round):
+    # the optimization waves drifted 16 fingerprints (shared
+    # session-materialized edge frames, canonical fast paths, the q21
+    # window rewrite, the simhash signature cache, the ewma/holt
+    # mapInPandas migration, incremental_cc's checkpointed new-edge
+    # frame — OPTIMIZATION_r12.md), and drifts take same-round window
+    # slots by the standing freshness policy. They displace all but
+    # the first of the oldest-r5 age-rotation block, which returns in
+    # r13 (those rows are fingerprint-certified unchanged since r5 —
+    # age, not risk): bloom_decontamination, bool_aggs,
+    # cms_heavy_hitters, date_arith, dq_checks, drawdown_series,
+    # epoch_shuffle, equidepth_histogram, event_transitions,
+    # gaps_islands, grouping_sets_id, html_text_extract,
+    # interval_count_join, kmv_distinct, lang_source_mixture,
+    # limit_offset.
     "benford_digit_check",
-    "bloom_decontamination",
-    "bool_aggs",
-    "cms_heavy_hitters",
-    "date_arith",
-    "dq_checks",
-    "drawdown_series",
-    "epoch_shuffle",
-    "equidepth_histogram",
-    "event_transitions",
-    "gaps_islands",
-    "grouping_sets_id",
-    "html_text_extract",
-    "interval_count_join",
-    "kmv_distinct",
-    "lang_source_mixture",
-    "limit_offset",
+    # r12 optimization drifts (16)
+    "q21_waiting_supplier",
+    "simhash_pairs",
+    "ewma_quantized",
+    "holt_forecast",
+    "label_propagation",
+    "pagerank_top20",
+    "triangle_count",
+    "kcore_rounds",
+    "khop_reach",
+    "sssp_hops",
+    "ra_linkpred",
+    "degree_assortativity",
+    "incremental_cc",
+    "graph_walks",
+    "community_modularity",
+    "local_clustering",
 ]
 
 
