@@ -1009,11 +1009,17 @@ def levenshtein_neardup_pairs(
     distance and filters — identical kept pairs and values; the
     oracle carries the SAME band predicate, so condition (1) is
     parity-checked, not assumed)."""
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(lang_col).alias("_lang"),
-        F.expr(f"{len_col} div {band_width}").alias("_band"),
-        F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
+    # bounded cache (r12, guide §2.4): the (id, lang, band, prefix)
+    # frame feeds BOTH sides of BOTH the same-band and adjacent-band
+    # joins — uncached the projection subtree (and its parquet scan)
+    # executed four times per call
+    base = _register_shingle_cache(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(lang_col).alias("_lang"),
+            F.expr(f"{len_col} div {band_width}").alias("_band"),
+            F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
+        ).cache()
     )
     a = base.select(
         F.col("_id").alias("_ida"),
