@@ -16137,9 +16137,10 @@ _DRIVER_WINDOW = [
     # epoch_shuffle, equidepth_histogram, event_transitions,
     # gaps_islands, grouping_sets_id, html_text_extract,
     # interval_count_join, kmv_distinct, lang_source_mixture,
-    # limit_offset.
-    "benford_digit_check",
-    # r12 optimization drifts (16)
+    # limit_offset — and benford_digit_check, displaced by the
+    # levenshtein_neardup banded-prefix cache drift (wave 3).
+    # r12 optimization drifts (17)
+    "levenshtein_neardup",
     "q21_waiting_supplier",
     "simhash_pairs",
     "ewma_quantized",
