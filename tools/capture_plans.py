@@ -1,8 +1,8 @@
-"""Capture .explain("formatted") output per query into plans/r12/.
+"""Capture .explain("formatted") output per query into plans/<round>/ (default r13, override $PLANS_ROUND).
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
 
-Writes plans/r12/<query>_<suffix>.txt for each query (the judge's
+Writes plans/<round>/<query>_<suffix>.txt for each query (the judge's
 plan-claim evidence files; suffix is "before" or "after").
 """
 
@@ -22,7 +22,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
