@@ -1013,13 +1013,11 @@ def levenshtein_neardup_pairs(
     # frame feeds BOTH sides of BOTH the same-band and adjacent-band
     # joins — uncached the projection subtree (and its parquet scan)
     # executed four times per call
-    base = _register_shingle_cache(
-        docs.select(
-            F.col(id_col).alias("_id"),
-            F.col(lang_col).alias("_lang"),
-            F.expr(f"{len_col} div {band_width}").alias("_band"),
-            F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
-        ).cache()
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.expr(f"{len_col} div {band_width}").alias("_band"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
     )
     a = base.select(
         F.col("_id").alias("_ida"),
