@@ -742,9 +742,15 @@ def line_dedup(
         # F.split takes a REGEX; escape the literal separator
         line_arr = F.split(F.col(text_col), _re.escape(sep), -1)
         join_sep = sep
-    lines = docs.select(
-        "doc_id",
-        F.posexplode(line_arr).alias("pos", "line"),
+    # bounded cache (r13, guide §2.4): the exploded (doc_id, pos, line)
+    # frame feeds BOTH the corpus-frequency groupBy and the dup-marking
+    # join — uncached, the split + posexplode subtree (and its parquet
+    # scan) executed once per consumer
+    lines = _register_shingle_cache(
+        docs.select(
+            "doc_id",
+            F.posexplode(line_arr).alias("pos", "line"),
+        ).cache()
     )
     freq = (
         lines.groupBy("line")
@@ -813,19 +819,28 @@ def substring_dedup(
     """
     ts = F.split(F.col(text_col), " ")
     L = int(min_len)
-    toks = docs.select("doc_id", ts.alias("_ts"))
-    wins = toks.select(
-        "doc_id",
-        F.posexplode(
-            # NB: F.sequence(0, -1) DESCENDS, so short docs need an
-            # explicit empty-array branch (DuckDB's range() is empty)
-            F.expr(
-                f"CASE WHEN size(_ts) >= {L} THEN"
-                f" transform(sequence(0, size(_ts) - {L}),"
-                f" i -> array_join(slice(_ts, i + 1, {L}), ' '))"
-                f" ELSE array() END"
-            )
-        ).alias("start", "w"),
+    # bounded caches (r13, guide §2.4): ``toks`` feeds the window
+    # explode AND the reassembly join (two split() scans uncached),
+    # and ``wins`` — the expensive per-token slice+array_join window
+    # build — feeds BOTH the corpus-frequency groupBy and the
+    # frequent-start semi-join
+    toks = _register_shingle_cache(
+        docs.select("doc_id", ts.alias("_ts")).cache()
+    )
+    wins = _register_shingle_cache(
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                # NB: F.sequence(0, -1) DESCENDS, so short docs need an
+                # explicit empty-array branch (DuckDB's range() is empty)
+                F.expr(
+                    f"CASE WHEN size(_ts) >= {L} THEN"
+                    f" transform(sequence(0, size(_ts) - {L}),"
+                    f" i -> array_join(slice(_ts, i + 1, {L}), ' '))"
+                    f" ELSE array() END"
+                )
+            ).alias("start", "w"),
+        ).cache()
     )
     freq = (
         wins.groupBy("w")

@@ -55,14 +55,46 @@ def exact_grouped_quantiles(
         F.min(value_col).alias("_lo"),
         F.max(value_col).alias("_hi"),
     )
-    staged = df.select(group_col, value_col).join(
-        F.broadcast(stats), group_col
+    # ONE collect of the per-group stats serves everything downstream
+    # (r13, guide §2.4/§5): previously the stats aggregation was
+    # broadcast-JOINED under both the histogram pass and the final
+    # pass (re-building the aggregation once per action) AND collected
+    # a third time for the driver walk's counts — five input scans per
+    # call. The collected rows are re-emitted as per-group literal
+    # CASE branches instead (few groups is the operator's contract),
+    # so each action scans the input exactly once: three scans total.
+    # Literal round trips are exact: longs are exact int literals;
+    # py4j moves doubles via shortest-round-trip decimal strings in
+    # both directions, so lo/hi re-enter the plan bit-identical and
+    # every downstream arithmetic expression is unchanged.
+    stats_rows = stats.collect()
+    if not stats_rows:
+        return df.select(
+            group_col,
+            F.lit(0.0).alias("q"),
+            F.col(value_col).alias("quantile"),
+        ).limit(0)
+
+    def _case(field: str):
+        e = None
+        for r_ in stats_rows:
+            cond = F.col(group_col) == F.lit(r_[0])
+            e = F.when(cond, F.lit(r_[field])) if e is None else e.when(
+                cond, F.lit(r_[field])
+            )
+        return e
+
+    lo_e, hi_e = _case("_lo"), _case("_hi")
+    # rows whose group is NULL never matched the previous stats join;
+    # the explicit filter preserves that exclusion
+    staged = df.filter(F.col(group_col).isNotNull()).select(
+        group_col, value_col
     )
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(buckets))
-    bucket = F.when(F.col("_hi") > F.col("_lo"),
+    width = (hi_e - lo_e) / F.lit(float(buckets))
+    bucket = F.when(hi_e > lo_e,
         F.least(
             F.lit(buckets - 1),
-            F.floor((F.col(value_col) - F.col("_lo")) / width).cast("int"),
+            F.floor((F.col(value_col) - lo_e) / width).cast("int"),
         ),
     ).otherwise(F.lit(0))
     hist = (
@@ -74,7 +106,7 @@ def exact_grouped_quantiles(
     # ceil(q*n) and the residual rank inside it. Histogram size =
     # groups x nonempty buckets — the operator's contract is FEW
     # groups — and one walk serves every q.
-    counts = {r[0]: r[1] for r in stats.select(group_col, "_n").collect()}
+    counts = {r_[0]: r_["_n"] for r_ in stats_rows if r_[0] is not None}
     rows = sorted(hist.collect(), key=lambda r: (str(r[0]), r[1]))
     target: dict = {}  # (g, q) -> (bucket, residual_rank)
     remaining = {

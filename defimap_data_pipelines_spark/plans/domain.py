@@ -25,6 +25,32 @@ from defimap_data_pipelines_spark.sources.parquet import read_table
 
 EPOCH = "1995-01-01"
 
+
+def note_shared_frame(name: str, t0: float) -> None:
+    """Shared-frame build-cost visibility (r13, r12 verdict item 6):
+    one JSON line per session-cache materialization so the cost of a
+    frame shared across queries is never silently absent from the
+    bench tail. For ``localCheckpoint()`` builders the build is eager
+    and ``build_s`` is the real materialization time; for lazy
+    ``.cache()`` builders it is plan-construction time only — the data
+    materializes inside the first consumer's (run-1) timed region
+    either way, which the bench's min-over-runs then hides; this line
+    is the visible record. Additions-only to stdout: the bench
+    contract line and methodology are unchanged."""
+    import json
+    import time
+
+    print(
+        json.dumps(
+            {
+                "shared_frame": name,
+                "build_s": round(time.perf_counter() - t0, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 # (session id, sf_dir) -> cached series; six domain queries share this
 # frame, so one cached materialization serves the whole bench/correctness
 # run instead of re-running the scan+groupBy per query.

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from defimap_data_pipelines_spark.config import INITIAL_PRINCIPAL
 from defimap_data_pipelines_spark.operators.growth import growth_of_10k
 from defimap_data_pipelines_spark.operators.tvl import tvl
-from defimap_data_pipelines_spark.plans.domain import RAW_SERIES_SQL, orders_raw_series
+from defimap_data_pipelines_spark.plans.domain import (
+    RAW_SERIES_SQL,
+    note_shared_frame,
+    orders_raw_series,
+)
 from defimap_data_pipelines_spark.sources.parquet import read_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -36,6 +40,25 @@ DS = "2001-08-01"
 
 QUERIES: dict[str, SparkQuery] = {}
 ORACLE: dict[str, str] = {}
+
+# Bounded registry for per-invocation plan-level caches (r13, ADVICE):
+# oldest-first eviction past the bound, so repeated invocations of a
+# query that caches an intermediate (e.g. fifo_matching's projected
+# lineitem) cannot pin unbounded storage memory in one session.
+from defimap_data_pipelines_spark.operators.cachereg import (  # noqa: E402
+    BoundedCacheRegistry as _BoundedCacheRegistry,
+)
+
+_PLAN_CACHE_REGISTRY = _BoundedCacheRegistry(4)
+
+
+def _plan_cache_register(df: DataFrame) -> DataFrame:
+    return _PLAN_CACHE_REGISTRY.register(df)
+
+
+def release_plan_caches() -> int:
+    """Unpersist every registry-held plan cache; returns the count."""
+    return _PLAN_CACHE_REGISTRY.release()
 
 
 def register(name: str, oracle: str | None = None):
@@ -1338,14 +1361,58 @@ COSINE_TOPK_SQL = f"""
 """
 
 
+# (session id, sf_dir) -> cached exact / LSH top-5 frames for the 10
+# benchmark query vectors. cosine_topk, lsh_topk and ann_recall_eval
+# consume the IDENTICAL (query_id, vec_id, cosine) relations —
+# ann_recall_eval previously re-ran both the brute-force corpus pass
+# and the full LSH bucket join that the standalone queries had just
+# computed (the _SERIES_CACHE idiom; r13, guide §2.4/§5). Each frame
+# is 50 rows.
+_COSINE_TOPK10_CACHE: dict[tuple[int, str], DataFrame] = {}
+_LSH_TOPK10_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cosine_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from defimap_data_pipelines_spark.operators.similarity import cosine_topk
+
+    key = (id(spark), sf_dir)
+    hit = _COSINE_TOPK10_CACHE.get(key)
+    if hit is not None:
+        return hit
+    t0 = time.perf_counter()
+    emb = read_table(spark, sf_dir, "embeddings")
+    hit = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).cache()
+    _COSINE_TOPK10_CACHE[key] = hit
+    note_shared_frame("cosine_topk10", t0)
+    return hit
+
+
+def _lsh_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from defimap_data_pipelines_spark.operators.similarity import lsh_topk
+
+    key = (id(spark), sf_dir)
+    hit = _LSH_TOPK10_CACHE.get(key)
+    if hit is not None:
+        return hit
+    t0 = time.perf_counter()
+    emb = read_table(spark, sf_dir, "embeddings")
+    hit = lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).cache()
+    _LSH_TOPK10_CACHE[key] = hit
+    note_shared_frame("lsh_topk10", t0)
+    return hit
+
+
 @register("cosine_topk", COSINE_TOPK_SQL)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors (ANN baseline);
-    r6: 64-element dot products may accumulate in different order."""
-    from defimap_data_pipelines_spark.operators.similarity import cosine_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    out = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    r6: 64-element dot products may accumulate in different order.
+    The top-5 frame is session-cached and shared with ann_recall_eval
+    (_cosine_topk10; r13)."""
+    out = _cosine_topk10(spark, sf_dir)
     return out.select("query_id", "vec_id", r(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -2513,6 +2580,41 @@ def _clean_corpus_ctes() -> str:
     """
 
 
+# (session id, sf_dir) -> cached curation-survivor frame at the
+# standing curation params (min_quality=0.3, t=0.35, minhash pairing
+# over the session pair frame). clean_corpus and training_dataset run
+# the IDENTICAL curation; uncached, each invocation re-ran the
+# quality filter + exact-dedup window + survivor pair semi-joins AND
+# the eagerly-checkpointed connected-components contraction (~2 s of
+# driver-visible construction per call at sf0.1) — one cached
+# materialization now serves both consumers and repeat runs (the
+# _SERIES_CACHE idiom; r13, guide §2.4/§5). At 100 TB this frame is
+# the persisted silver table every curation pipeline materializes.
+_CLEAN_SURVIVORS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _clean_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from defimap_data_pipelines_spark.operators.corpus import clean_corpus
+
+    key = (id(spark), sf_dir)
+    hit = _CLEAN_SURVIVORS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    t0 = time.perf_counter()
+    hit = clean_corpus(
+        read_table(spark, sf_dir, "documents"),
+        min_quality=0.3,
+        jaccard_threshold=0.35,
+        use_minhash=True,
+        pairs_full=_minhash_pairs(spark, sf_dir),
+    ).cache()
+    _CLEAN_SURVIVORS_CACHE[key] = hit
+    note_shared_frame("clean_survivors", t0)
+    return hit
+
+
 @register("clean_corpus", _clean_corpus_sql())
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: quality filter -> exact dedup ->
@@ -2520,16 +2622,9 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure for the clustering step (see
     _clean_corpus_sql; union-find equivalence also tested in
     tests/test_corpus.py)."""
-    from defimap_data_pipelines_spark.operators.corpus import clean_corpus
-
-    out = clean_corpus(
-        read_table(spark, sf_dir, "documents"),
-        min_quality=0.3,
-        jaccard_threshold=0.35,
-        use_minhash=True,
-        pairs_full=_minhash_pairs(spark, sf_dir),
+    return _clean_survivors(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
     )
-    return out.select("doc_id", "lang", "source", "n_chars")
 
 
 BOOL_AGGS_SQL = """
@@ -3772,14 +3867,18 @@ def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs once per session."""
     from defimap_data_pipelines_spark.operators.clustering import kmeans_fit
 
+    import time
+
     key = (id(spark), sf_dir)
     hit = _KMEANS_FIT_CACHE.get(key)
     if hit is None:
+        t0 = time.perf_counter()
         hit = kmeans_fit(
             read_table(spark, sf_dir, "embeddings"), k=8, iters=2,
             keep_vec=True,
         ).cache()
         _KMEANS_FIT_CACHE[key] = hit
+        note_shared_frame("kmeans_assigned", t0)
     return hit
 
 
@@ -3850,22 +3949,30 @@ IVF_TRAINED_SQL = f"""
 """
 
 
-@register("ivf_topk_trained", IVF_TRAINED_SQL)
-def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a TRAINED codebook: one Lloyd round of the
-    deterministic kmeans (k=8) supplies the centroids, then the same
-    inverted-list probe as ivf_topk. Closes the 'centroids are a
-    stand-in' gap — training and probing are one composed plan, and
-    the oracle unrolls the Lloyd round inside the IVF replay (the
-    exact-integer centroid means make the codebook engine-identical)."""
+# (session id, sf_dir) -> cached one-Lloyd-round IVF codebook (K=8
+# rows). ivf_topk_trained and ivf_topk_persisted train the IDENTICAL
+# codebook from the identical init, and each call previously re-ran
+# the init sort+limit collect plus the assign/update aggregation —
+# one cached fit now serves both consumers and both bench runs (the
+# _SERIES_CACHE idiom; r13, guide §2.4/§5).
+_IVF_CODEBOOK_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ivf_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
     from pyspark.sql import Window
 
     from defimap_data_pipelines_spark.operators.clustering import (
         assign_clusters,
         update_centroids,
     )
-    from defimap_data_pipelines_spark.operators.similarity import ivf_topk
 
+    key = (id(spark), sf_dir)
+    hit = _IVF_CODEBOOK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    t0 = time.perf_counter()
     emb = read_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -3880,7 +3987,26 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("c"),
         )
     )
-    trained = update_centroids(assign_clusters(v, init))
+    trained = update_centroids(assign_clusters(v, init)).cache()
+    _IVF_CODEBOOK_CACHE[key] = trained
+    note_shared_frame("ivf_trained_codebook", t0)
+    return trained
+
+
+@register("ivf_topk_trained", IVF_TRAINED_SQL)
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED codebook: one Lloyd round of the
+    deterministic kmeans (k=8) supplies the centroids, then the same
+    inverted-list probe as ivf_topk. Closes the 'centroids are a
+    stand-in' gap — training and probing are one composed plan, and
+    the oracle unrolls the Lloyd round inside the IVF replay (the
+    exact-integer centroid means make the codebook engine-identical).
+    The codebook comes from the session-cached shared fit
+    (_ivf_trained_codebook; r13)."""
+    from defimap_data_pipelines_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    trained = _ivf_trained_codebook(spark, sf_dir)
     out = ivf_topk(
         emb.filter(F.col("vec_id") < 10), emb, k=5, centroids=trained
     )
@@ -3899,13 +4025,10 @@ def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the parquet round trip (doubles are IEEE bits in parquet) as
     well as the probe. At 100 TB this split is the whole point:
     training scans the corpus once on day 1; every later batch loads
-    the K-row artifact and probes with a pure projection."""
-    from pyspark.sql import Window
-
-    from defimap_data_pipelines_spark.operators.clustering import (
-        assign_clusters,
-        update_centroids,
-    )
+    the K-row artifact and probes with a pure projection. The trained
+    frame comes from the session-cached shared fit
+    (_ivf_trained_codebook; r13) — the persisted parquet round trip
+    (save + load) stays inside this query, unchanged."""
     from defimap_data_pipelines_spark.operators.similarity import ivf_topk
     from defimap_data_pipelines_spark.pipelines.models import (
         ModelStore,
@@ -3913,20 +4036,7 @@ def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    init = (
-        v.orderBy("vec_id")
-        .limit(8)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("vec_id"))
-            .alias("cluster"),
-            F.col("e").alias("c"),
-        )
-    )
-    trained = update_centroids(assign_clusters(v, init))
+    trained = _ivf_trained_codebook(spark, sf_dir)
     store = ModelStore(default_store_root(sf_dir))
     store.save_centroids(trained, "ivf_codebook")
     loaded = store.load_centroids(spark, "ivf_codebook")
@@ -4995,7 +5105,6 @@ def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     elsewhere (clean_corpus, dataset_split, token_shards); this entry
     proves they COMPOSE — one DuckDB statement with the recursive-CTE
     closure nested inside replays the whole pipeline."""
-    from defimap_data_pipelines_spark.operators.corpus import clean_corpus
     from defimap_data_pipelines_spark.operators.packing import (
         assign_token_shards,
     )
@@ -5003,17 +5112,11 @@ def q_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_val_test_split,
     )
 
-    survivors = clean_corpus(
-        read_table(spark, sf_dir, "documents"),
-        min_quality=0.3,
-        jaccard_threshold=0.35,
-        use_minhash=True,
-        # reuse the session-cached full-corpus PAIR frame (shared with
-        # minhash_lsh_dedup/clean_corpus/curation_report): the pair
-        # relation is pairwise, so the survivor pairs are a semi-join,
-        # and the whole signature+banding+verify pass is skipped
-        pairs_full=_minhash_pairs(spark, sf_dir),
-    )
+    # the session-cached survivor frame (shared with clean_corpus;
+    # r13) already rides the session minhash PAIR frame — the whole
+    # curation chain, including the eagerly-checkpointed components
+    # contraction, runs once per session instead of once per call
+    survivors = _clean_survivors(spark, sf_dir)
     # cache: tagged feeds three consumers (the shard operator's totals
     # collect, its final offset join, and the report groupBy) — without
     # it each one replays the whole curation chain (quality filter +
@@ -5792,11 +5895,9 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-derived literals shared with the oracle, so even
     the approximate bucketing is value-hash-checked; recall against
     the exact baseline is additionally asserted in
-    tests/test_dedup_similarity.py."""
-    from defimap_data_pipelines_spark.operators.similarity import lsh_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    out = lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    tests/test_dedup_similarity.py. The top-5 frame is session-cached
+    and shared with ann_recall_eval (_lsh_topk10; r13)."""
+    out = _lsh_topk10(spark, sf_dir)
     return out.select(
         "query_id", "vec_id", r(F.col("cosine"), 6).alias("cosine")
     )
@@ -7130,16 +7231,13 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness every approximate index needs before it replaces the
     exact path at scale — and because the LSH planes are
     deterministic literals, even the RECALL measurement is
-    value-hash-checked against the oracle."""
-    from defimap_data_pipelines_spark.operators.similarity import (
-        cosine_topk,
-        lsh_topk,
-    )
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
-    brute = cosine_topk(q, emb, k=5).select("query_id", "vec_id")
-    lsh = lsh_topk(q, emb, k=5).select(
+    value-hash-checked against the oracle. Both the exact baseline and
+    the LSH top-5 come from the session-cached shared frames
+    (_cosine_topk10 / _lsh_topk10; r13) — previously this query re-ran
+    the full brute-force corpus pass and the LSH bucket join that the
+    standalone cosine_topk / lsh_topk queries had just computed."""
+    brute = _cosine_topk10(spark, sf_dir).select("query_id", "vec_id")
+    lsh = _lsh_topk10(spark, sf_dir).select(
         "query_id", "vec_id", F.lit(1).alias("_hit")
     )
     return (
@@ -8300,10 +8398,13 @@ _PURCHASE_SYM_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _purchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
     key = (id(spark), sf_dir)
     hit = _PURCHASE_SYM_CACHE.get(key)
     if hit is not None:
         return hit
+    t0 = time.perf_counter()
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
@@ -8326,6 +8427,7 @@ def _purchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
     _PURCHASE_SYM_CACHE[key] = sym
+    note_shared_frame("purchase_sym_edges", t0)
     return sym
 
 
@@ -9005,10 +9107,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads it twice — uncached, the lineitem self-join + distinct
     (the most expensive edge build in the registry) executed once per
     consumer branch (r12 optimization)."""
+    import time
+
     key = (id(spark), sf_dir)
     hit = _COPURCHASE_CACHE.get(key)
     if hit is not None:
         return hit
+    t0 = time.perf_counter()
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -9026,6 +9131,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _COPURCHASE_CACHE[key] = out
+    note_shared_frame("copurchase_edges", t0)
     return out
 
 
@@ -9738,10 +9844,13 @@ def _repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-branch plans — one cached materialization of the lineitem
     self-join + support groupBy serves every consumer
     (r12 optimization)."""
+    import time
+
     key = (id(spark), sf_dir)
     hit = _REPEAT_COPURCHASE_CACHE.get(key)
     if hit is not None:
         return hit
+    t0 = time.perf_counter()
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -9761,6 +9870,7 @@ def _repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _REPEAT_COPURCHASE_CACHE[key] = out
+    note_shared_frame("repeat_copurchase_edges", t0)
     return out
 
 
@@ -13318,18 +13428,22 @@ def q_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: buys and sells each feed TWO consumers (the fifo match
     # windows and their per-key qty rollups), so the projected
     # lineitem scan executed four times per action (r12; the plan
-    # audit showed scans=4)
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        "l_quantity",
-        "l_shipdate",
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
-        .cast("long")
-        .alias("pc"),
-    ).cache()
+    # audit showed scans=4). Routed through the bounded plan-cache
+    # registry (r13, ADVICE): a bare .cache() pinned a fresh frame
+    # per invocation indefinitely under loop/bench callers.
+    li = _plan_cache_register(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_partkey",
+            "l_quantity",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+            .cast("long")
+            .alias("pc"),
+        ).cache()
+    )
     buys = li.filter(F.col("l_returnflag") != "R")
     sells = li.filter(F.col("l_returnflag") == "R")
     return fifo_realized_summary(
@@ -16080,14 +16194,13 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flagships + the 23 remaining r3 rows (pre-verified 23/23 at r10
 # HEAD, docs/ROUND10_NOTES.md §12 — code fingerprint-certified
 # UNCHANGED since r3: age rotation, not correctness risk) + 3 slots
-# r12 window: 9 flagships + this round's fingerprint drifts (the
-# semdedup max_cluster cap drifts semdedup_prune — already an r4
-# backlog row; the cosine_pairs_lsh min_planes/validation changes
-# drift embedding_neardup_pairs; embedding_neardup_auto is NEW this
-# round — the auto-planes knob's first driver row, r11 verdict item
-# 3) + the 22 remaining r4 rows (alphabetical) + the 17 oldest r5
-# rows (alphabetical) to fill 50. After this window the oldest
-# driver row advances r4 -> r5 (20 r5 rows remain for r13).
+# r12 window (see git history for the full r12 comment): 9 flagships
+# + the r12 drifts + r4/r5 age-rotation fill.
+#
+# r13 window: 9 flagships + this round's 27 optimization drifts +
+# q11_important_value (r12 backlog) + 13 returning r5 rows; the last
+# 3 r5 rows (kmv_distinct, lang_source_mixture, limit_offset) defer
+# to r14.
 
 _DRIVER_WINDOW = [
     # reference parity (keep first — the flagship surface)
@@ -16100,70 +16213,63 @@ _DRIVER_WINDOW = [
     "benchmark_price_gotk",
     "interpolate_linear",
     "risk",
-    # r12 rotation, part 1: this round's drifts + the new auto-planes
-    # variant (semdedup_prune holds its slot in the r4 block below)
-    "embedding_neardup_pairs",
-    "embedding_neardup_auto",
-    # r12 rotation, part 2: the remaining r4 rows (alphabetical).
-    # q11_important_value is displaced to the r13 backlog by the
-    # fifo_matching cached-lineitem drift (r12 optimization, late
-    # wave) — drifts take same-round slots by the freshness policy.
+    # r13 rotation, part 1: this round's 27 fingerprint drifts (the
+    # levenshtein cache revert; the quantile-operator literal-stats
+    # rewrite -> mad_outliers/winsorized_stats/equidepth_histogram/
+    # exact_median_distributed; the line/substring dedup subtree
+    # caches; the shared IVF codebook + cosine/LSH top-k + curation
+    # survivor session frames; the shared-frame build-cost
+    # instrumentation on the three graph edge builders and the kmeans
+    # fit -> the 10 graph queries + kmeans_clusters + semdedup_prune;
+    # fifo_matching's bounded-registry cache routing). Drifts take
+    # same-round slots by the standing freshness policy.
+    "ann_recall_eval",
+    "clean_corpus",
+    "community_modularity",
+    "cosine_topk",
+    "degree_assortativity",
+    "equidepth_histogram",
+    "exact_median_distributed",
     "fifo_matching",
-    "q12_priority_split",
-    "q13_count_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q20_dominant_supplier",
-    "q22_inactive_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q7_volume_shipping",
-    "quality_classifier",
-    "resample_weekly_ohlc",
-    "salted_join_agg",
-    "semdedup_prune",
-    "stratified_sample",
-    "temperature_mixture",
-    "token_shards",
-    "vocab_coverage",
-    "winsorized_stats",
-    # r12 rotation, part 3 (REVISED in the r12 optimization round):
-    # the optimization waves drifted 16 fingerprints (shared
-    # session-materialized edge frames, canonical fast paths, the q21
-    # window rewrite, the simhash signature cache, the ewma/holt
-    # mapInPandas migration, incremental_cc's checkpointed new-edge
-    # frame — OPTIMIZATION_r12.md), and drifts take same-round window
-    # slots by the standing freshness policy. They displace all but
-    # the first of the oldest-r5 age-rotation block, which returns in
-    # r13 (those rows are fingerprint-certified unchanged since r5 —
-    # age, not risk): bloom_decontamination, bool_aggs,
-    # cms_heavy_hitters, date_arith, dq_checks, drawdown_series,
-    # epoch_shuffle, equidepth_histogram, event_transitions,
-    # gaps_islands, grouping_sets_id, html_text_extract,
-    # interval_count_join, kmv_distinct, lang_source_mixture,
-    # limit_offset — and benford_digit_check, displaced by the
-    # levenshtein_neardup banded-prefix cache drift (wave 3).
-    # r12 optimization drifts (17)
-    "levenshtein_neardup",
-    "q21_waiting_supplier",
-    "simhash_pairs",
-    "ewma_quantized",
-    "holt_forecast",
-    "label_propagation",
-    "pagerank_top20",
-    "triangle_count",
+    "graph_walks",
+    "ivf_topk_persisted",
+    "ivf_topk_trained",
     "kcore_rounds",
     "khop_reach",
-    "sssp_hops",
-    "ra_linkpred",
-    "degree_assortativity",
-    "incremental_cc",
-    "graph_walks",
-    "community_modularity",
+    "kmeans_clusters",
+    "label_propagation",
+    "levenshtein_neardup",
+    "line_dedup",
     "local_clustering",
+    "lsh_topk",
+    "mad_outliers",
+    "pagerank_top20",
+    "ra_linkpred",
+    "semdedup_prune",
+    "substring_dedup",
+    "training_dataset",
+    "triangle_count",
+    "winsorized_stats",
+    # r13 rotation, part 2 (age rotation): q11_important_value (the
+    # r12 wave-4 displacement, promised back this round) + the 13
+    # alphabetically-first of the r5 block displaced by the r12
+    # optimization drifts. kmv_distinct, lang_source_mixture and
+    # limit_offset remain displaced to the r14 backlog (all three are
+    # fingerprint-certified unchanged since r5 — age, not risk).
+    "q11_important_value",
+    "benford_digit_check",
+    "bloom_decontamination",
+    "bool_aggs",
+    "cms_heavy_hitters",
+    "date_arith",
+    "dq_checks",
+    "drawdown_series",
+    "epoch_shuffle",
+    "event_transitions",
+    "gaps_islands",
+    "grouping_sets_id",
+    "html_text_extract",
+    "interval_count_join",
 ]
 
 
