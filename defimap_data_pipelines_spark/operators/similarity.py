@@ -770,31 +770,123 @@ def semdedup_prune(
             .drop("_wb", "_p", "_csz")
         )
         pair_keys = ["cluster", "sub"]
-    a = staged.select(
-        *pair_keys,
-        F.col("vec_id").alias("a_id"),
-        F.col("e").alias("_av"),
-        F.col("_n").alias("_an"),
-    )
-    b = staged.select(
-        *pair_keys,
-        F.col("vec_id").alias("b_id"),
-        F.col("e").alias("_bv"),
-        F.col("_n").alias("_bn"),
-    )
-    cand = (
-        a.join(b, pair_keys)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "cluster",
-            "a_id",
-            "b_id",
-            cosine_from_norms(
-                F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")
-            ).alias("cosine"),
+    if max_cluster is not None:
+        # Dense-regime pair kernel (r13, r12 verdict item 3; the
+        # char_jaccard block-matmul precedent): the self-join form
+        # evaluates an INTERPRETED zip_with/aggregate fold per
+        # candidate pair (~7 us/pair measured — 4M in-cluster pairs at
+        # the 4x stress point cost ~26 s), while one BLAS gram matrix
+        # per (cluster, sub) group computes every pairwise dot as a
+        # fused multiply-add. The cap bounds group size, so per-task
+        # state is ~cap x dim; a pathological oversized bucket streams
+        # in 4096-row tiles (O(n^2) work either way, bounded memory).
+        # Exactness: dots and norms accumulate one DIMENSION at a
+        # time (acc += outer(m[:, d], m[:, d])) — the same
+        # left-to-right fp64 addition order as the JVM aggregate
+        # fold, so every cosine is BIT-identical to the join path's
+        # cosine_from_norms (the cosine_pairs kernel's established
+        # technique). The kernel pre-filters with a 1e-7 GUARD BAND
+        # only — the exact round(cosine, 9) >= tau gate is re-applied
+        # Spark-side, so the kept-pair decision is the identical
+        # expression as before. Zero-norm vectors: 0/0 -> nan,
+        # nan >= guard is False — same drop as try_divide's NULL.
+        import numpy as np
+        import pandas as pd
+
+        guard = float(tau) - 1e-7
+        tile = 4096
+
+        def _gram_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            empty = pd.DataFrame(
+                {
+                    "cluster": pd.Series(dtype="int64"),
+                    "a_id": pd.Series(dtype="int64"),
+                    "b_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+            if n < 2:
+                return empty
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            m = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            # per-dimension accumulation == the JVM fold's addition
+            # order, bit for bit (see cosine_pairs' fold_norm)
+            nacc = np.zeros(m.shape[0])
+            for d in range(m.shape[1]):
+                nacc += m[:, d] * m[:, d]
+            norms = np.sqrt(nacc)
+            clu = pdf["cluster"].iloc[0]
+            out_a: list = []
+            out_b: list = []
+            out_c: list = []
+            for i0 in range(0, n, tile):
+                mi = m[i0 : i0 + tile]
+                g = np.zeros((mi.shape[0], m.shape[0]))
+                for d in range(m.shape[1]):
+                    g += np.multiply.outer(mi[:, d], m[:, d])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = g / np.outer(norms[i0 : i0 + tile], norms)
+                for r_ in range(mi.shape[0]):
+                    i = i0 + r_
+                    row = c[r_, i + 1 :]
+                    js = np.nonzero(row >= guard)[0]  # nan -> False
+                    if js.size:
+                        out_a.append(np.full(js.size, ids[i]))
+                        out_b.append(ids[i + 1 + js])
+                        out_c.append(row[js])
+            if not out_a:
+                return empty
+            return pd.DataFrame(
+                {
+                    "cluster": np.full(
+                        sum(x.size for x in out_a), clu, dtype="int64"
+                    ),
+                    "a_id": np.concatenate(out_a),
+                    "b_id": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+        ctype = staged.schema["cluster"].dataType.simpleString()
+        vtype = staged.schema["vec_id"].dataType.simpleString()
+        cand = (
+            staged.select(*pair_keys, "vec_id", "e")
+            .groupBy(*pair_keys)
+            .applyInPandas(
+                _gram_pairs,
+                f"cluster {ctype}, a_id {vtype}, "
+                f"b_id {vtype}, cosine double",
+            )
+            .filter(F.round(F.col("cosine"), 9) >= tau)
         )
-        .filter(F.round(F.col("cosine"), 9) >= tau)
-    )
+    else:
+        a = staged.select(
+            *pair_keys,
+            F.col("vec_id").alias("a_id"),
+            F.col("e").alias("_av"),
+            F.col("_n").alias("_an"),
+        )
+        b = staged.select(
+            *pair_keys,
+            F.col("vec_id").alias("b_id"),
+            F.col("e").alias("_bv"),
+            F.col("_n").alias("_bn"),
+        )
+        cand = (
+            a.join(b, pair_keys)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select(
+                "cluster",
+                "a_id",
+                "b_id",
+                cosine_from_norms(
+                    F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")
+                ).alias("cosine"),
+            )
+            .filter(F.round(F.col("cosine"), 9) >= tau)
+        )
     best = cand.groupBy("b_id", "cluster").agg(
         F.min(F.struct("a_id", "cosine")).alias("_m")
     )

@@ -172,3 +172,40 @@ def test_plan_cache_registry_releases(spark, sf_dir):
     assert len(_PLAN_CACHE_REGISTRY) >= 1
     assert release_plan_caches() >= 1
     assert len(_PLAN_CACHE_REGISTRY) == 0
+
+
+def test_semdedup_gram_kernel_matches_join_path(spark):
+    """The r13 dense-regime gram kernel (max_cluster set) must emit
+    the IDENTICAL pruned rows — ids AND rounded cosines — as the
+    expression join path (max_cluster=None) when no cluster exceeds
+    the cap (the regime where the two formulations are defined to
+    coincide)."""
+    import random
+
+    from defimap_data_pipelines_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 3 == 0:  # planted near-twin
+            rows.append(
+                (1000 + i, [x * (1.0 + 0.001 * ((i % 7) - 3)) for x in base])
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    kw = dict(k=4, iters=1, tau=0.35)
+    via_join = {
+        tuple(r)
+        for r in semdedup_prune(emb, max_cluster=None, **kw).collect()
+    }
+    via_gram = {
+        tuple(r)
+        for r in semdedup_prune(emb, max_cluster=4096, dim=8, **kw).collect()
+    }
+    assert via_gram == via_join
+    assert via_gram  # non-vacuous: the planted twins must be pruned
